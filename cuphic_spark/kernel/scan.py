@@ -1,0 +1,80 @@
+"""Tree scanning / scraping — the reference's "query" surface.
+
+Reimplements scan / select-all / select-one / scrape from
+/root/reference/src/dk/cst/cuphic.cljc:381-457.
+
+The traversal contract (hickory hiccup-zip + iterate-zipper,
+zip.cljc:17-20): every loc is visited in preorder; branch nodes are
+vectors, children are ``rest(node)`` — so attrs maps and strings are
+visited as leaf locs but can never match (get-bindings requires a
+vector, cuphic.cljc:200-201). Golden pin: ``[tag ???]`` over the TEI
+test letter yields exactly 123 matches = its element count
+(cuphic_test.cljc:186).
+"""
+
+from __future__ import annotations
+
+from .match import get_bindings
+from .values import Bindings, is_vector
+
+
+def iterate_nodes(root, _node_id=None):
+    """Preorder node stream with stable ids.
+
+    Yields (node_id, node) for every loc the reference's zipper
+    visits. node_id is the preorder rank — the Spark `nodes` table
+    uses the same numbering, making "first in document order" an
+    ORDER BY node_id.
+    """
+    counter = [0] if _node_id is None else _node_id
+    yield counter[0], root
+    counter[0] += 1
+    if is_vector(root):
+        for child in root[1:]:
+            yield from iterate_nodes(child, counter)
+
+
+def scan(hiccup, *patterns):
+    """Lazy preorder scan — cuphic.cljc:387-406.
+
+    Yields rows ``(node_id, node, [bindings_or_None, ...])`` for
+    every node where at least one pattern matches.
+    """
+    for node_id, node in iterate_nodes(hiccup):
+        results = [get_bindings(p, node) for p in patterns]
+        if any(r is not None for r in results):
+            yield node_id, node, results
+
+
+def select_all(hiccup, pattern):
+    """All nodes matching ``pattern``, document order — cuphic.cljc:408-413."""
+    return [node for _, node, results in scan(hiccup, pattern)
+            if results[0] is not None]
+
+
+def select_one(hiccup, pattern):
+    """First matching node in document order — cuphic.cljc:415-418."""
+    for _, node, results in scan(hiccup, pattern):
+        if results[0] is not None:
+            return node
+    return None
+
+
+def scrape(hiccup, key_to_pattern: dict) -> dict:
+    """k->pattern scrape — cuphic.cljc:420-457.
+
+    Returns {k: [bindings, ...]} in scan order; keys with zero
+    matches are ABSENT (cuphic_test.cljc:226-227). Each bindings map
+    carries meta {'node_id': preorder rank} (the relational stand-in
+    for the reference's {:loc zipper-loc}).
+    """
+    keys = list(key_to_pattern.keys())
+    patterns = [key_to_pattern[k] for k in keys]
+    out: dict = {}
+    for node_id, _node, results in scan(hiccup, *patterns):
+        for k, b in zip(keys, results):
+            if b is not None:
+                if isinstance(b, Bindings):
+                    b.meta = dict(b.meta, node_id=node_id)
+                out.setdefault(k, []).append(b)
+    return out

@@ -1,0 +1,129 @@
+"""XML/HTML bytes -> Hiccup tree, replicating the reference parser.
+
+Reimplements /root/reference/src/dk/cst/cuphic/xml.cljc with
+``xml.dom.minidom`` standing in for the JAXP DOM:
+
+* qualified names kept verbatim and keywordized by splitting on the
+  first ``:`` (``xml:id`` -> ``:xml/id``; ``xmlns:t`` -> ``:xmlns/t``)
+  — keywordize, xml.cljc:26-32; the parser is NOT namespace-aware
+  (JAXP default), so xmlns declarations appear as ordinary attrs;
+* Document -> ``.normalize()`` (merge adjacent text) then the root
+  element — xml.cljc:107-110;
+* Element -> ``[tag attrs child...]`` with nil children removed —
+  xml.cljc:115-119;
+* Text (incl. CDATA) -> dropped iff blank per Clojure ``str/blank?``
+  (Java ``Character/isWhitespace``), else kept VERBATIM (untrimmed,
+  whole text) — xml.cljc:121-125; cuphic_test.cljc:213-215;
+* Comments -> dropped — xml.cljc:127-128;
+* processing instructions / doctypes -> dropped (the reference would
+  pass the raw DOM object through, xml.cljc:130 — never exercised by
+  its corpus; we drop instead of leaking parser objects).
+
+Also provides ``extract_text``: the in-order concatenation of kept
+text nodes — the byte-identity target column of the pipeline.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from xml.dom import minidom
+
+from .values import Keyword, is_vector
+
+# Java Character.isWhitespace: Unicode space separators (Zs/Zl/Zp)
+# EXCEPT the non-breaking ones, plus these control chars.
+_JAVA_WS_CTRL = set("\t\n\x0b\f\r\x1c\x1d\x1e\x1f")
+_NON_BREAKING = {" ", " ", " "}
+
+
+def _is_java_whitespace(ch: str) -> bool:
+    if ch in _JAVA_WS_CTRL:
+        return True
+    if ch in _NON_BREAKING:
+        return False
+    return unicodedata.category(ch) in ("Zs", "Zl", "Zp")
+
+
+def is_blank(s: str | None) -> bool:
+    """Clojure str/blank?: nil, empty, or whitespace-only (Java rules)."""
+    if s is None or s == "":
+        return True
+    return all(_is_java_whitespace(c) for c in s)
+
+
+def keywordize(s: str) -> Keyword:
+    """'xml:id' -> :xml/id (split on the FIRST colon) — xml.cljc:26-32."""
+    ns, sep, local = s.partition(":")
+    if sep:
+        return Keyword(f"{ns}/{local}")
+    return Keyword(ns)
+
+
+_TEXT_TYPES = (minidom.Node.TEXT_NODE, minidom.Node.CDATA_SECTION_NODE)
+
+
+def _node_to_hiccup(node):
+    t = node.nodeType
+    if t != minidom.Node.ELEMENT_NODE:
+        return None  # comments, PIs, doctypes dropped
+    attrs = {}
+    if node.attributes is not None:
+        for i in range(node.attributes.length):
+            a = node.attributes.item(i)
+            attrs[keywordize(a.name)] = a.value
+    out = [keywordize(node.nodeName), attrs]
+    # Merge runs of adjacent Text/CDATA children into one string (the
+    # DOM .normalize() + getWholeText contract, xml.cljc:109,97-100 —
+    # expat chunking never splits a logical text node), then drop
+    # blank-only merged text (xml.cljc:123-125).
+    buf: list[str] = []
+    for child in node.childNodes:
+        if child.nodeType in _TEXT_TYPES:
+            buf.append(child.data)
+            continue
+        if buf:
+            s = "".join(buf)
+            buf.clear()
+            if not is_blank(s):
+                out.append(s)
+        h = _node_to_hiccup(child)
+        if h is not None:
+            out.append(h)
+    if buf:
+        s = "".join(buf)
+        if not is_blank(s):
+            out.append(s)
+    return out
+
+
+def parse(xml) -> list:
+    """Parse XML bytes/string into Hiccup — xml.cljc:132-135."""
+    if isinstance(xml, bytes):
+        dom = minidom.parseString(xml)
+    elif isinstance(xml, str):
+        dom = minidom.parseString(xml.encode("utf-8"))
+    else:
+        dom = minidom.parse(xml)
+    try:
+        # adjacent-text merging (xml.cljc:109 .normalize) happens
+        # inside _node_to_hiccup
+        return _node_to_hiccup(dom.documentElement)
+    finally:
+        dom.unlink()
+
+
+def extract_text(hiccup) -> str:
+    """In-order concatenation of the text nodes kept by the parse
+    rules above. Byte-identical per url is the pipeline invariant
+    (BASELINE.json input_hint)."""
+    parts: list[str] = []
+    _collect_text(hiccup, parts)
+    return "".join(parts)
+
+
+def _collect_text(node, parts: list) -> None:
+    if isinstance(node, str):
+        parts.append(node)
+    elif is_vector(node):
+        for child in node[2:] if len(node) > 1 and isinstance(node[1], dict) else node[1:]:
+            _collect_text(child, parts)

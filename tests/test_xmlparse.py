@@ -1,0 +1,85 @@
+"""XML -> Hiccup parser rules (xml.cljc replication) and the
+byte-identity of extracted text against the committed goldens for all
+12 TEI corpus files."""
+
+import pathlib
+
+import pytest
+
+from cuphic_spark.kernel import parse_xml, extract_text
+from cuphic_spark.kernel.reader import parse as p
+from cuphic_spark.kernel.values import Keyword
+from cuphic_spark.kernel.xmlparse import is_blank, keywordize
+
+K = Keyword
+TEI = pathlib.Path("/root/reference/resources/examples/tei")
+GOLDEN_TEXT = pathlib.Path(__file__).resolve().parents[1] / "goldens" / "text"
+
+
+def test_keywordize():
+    # xml.cljc:26-32 — split on the first colon
+    assert keywordize("p") == K("p")
+    assert keywordize("xml:id") == K("xml/id")
+    assert keywordize("xmlns:t") == K("xmlns/t")
+
+
+def test_blank_follows_java_whitespace():
+    assert is_blank(None)
+    assert is_blank("")
+    assert is_blank(" \t\n\r")
+    assert is_blank("   ")  # Zl, Zp, Zs
+    assert not is_blank(" ")  # NBSP is NOT Java whitespace
+    assert not is_blank(" x ")
+
+
+def test_basic_parse_shape():
+    h = parse_xml(b'<root a="1"><child>text</child></root>')
+    assert h == [K("root"), {K("a"): "1"}, [K("child"), {}, "text"]]
+
+
+def test_blank_text_dropped_nonblank_untrimmed():
+    h = parse_xml(b"<r>\n  <a> kept </a>\n</r>")
+    # whitespace-only text between elements is dropped; " kept " is
+    # verbatim (xml.cljc:121-125; cuphic_test.cljc:213-215)
+    assert h == [K("r"), {}, [K("a"), {}, " kept "]]
+
+
+def test_comments_dropped():
+    h = parse_xml(b"<r><!-- gone -->x<!-- gone too --></r>")
+    assert h == [K("r"), {}, "x"]
+
+
+def test_adjacent_text_merged():
+    # DOM .normalize() merges text around entity refs / CDATA
+    h = parse_xml(b"<r>a&amp;b<![CDATA[c]]>d</r>")
+    assert h == [K("r"), {}, "a&bcd"]
+
+
+def test_namespaced_attrs():
+    h = parse_xml(b'<r xmlns:t="urn:x" t:k="v" xml:id="i"/>')
+    assert h[1] == {K("xmlns/t"): "urn:x", K("t/k"): "v", K("xml/id"): "i"}
+
+
+def test_empty_element():
+    assert parse_xml(b"<r/>") == [K("r"), {}]
+
+
+def test_tag_with_namespace_prefix():
+    h = parse_xml(b'<t:r xmlns:t="urn:x"/>')
+    assert h[0] == K("t/r")
+
+
+@pytest.mark.parametrize("path", sorted(TEI.glob("*.xml")),
+                         ids=lambda p: p.stem)
+def test_golden_text_byte_identity(path):
+    tree = parse_xml(path.read_bytes())
+    golden = (GOLDEN_TEXT / (path.stem + ".txt")).read_text(encoding="utf-8")
+    assert extract_text(tree) == golden
+
+
+def test_extract_text_tree_rules():
+    tree = p('[:a {} "x" [:b {} "y"] "z"]')
+    assert extract_text(tree) == "xyz"
+    # attrs-less nodes (hand-written hiccup) still walk children
+    tree2 = p('[:a "x" [:b "y"]]')
+    assert extract_text(tree2) == "xy"
