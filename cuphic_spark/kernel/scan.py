@@ -19,19 +19,25 @@ from .values import Bindings, is_vector
 
 
 def iterate_nodes(root, _node_id=None):
-    """Preorder node stream with stable ids.
+    """Preorder ELEMENT stream with stable ids.
 
-    Yields (node_id, node) for every loc the reference's zipper
-    visits. node_id is the preorder rank — the Spark `nodes` table
-    uses the same numbering, making "first in document order" an
-    ORDER BY node_id.
+    Yields (node_id, node) for every vector node, numbered by element
+    preorder rank — the same numbering the Spark `nodes` table uses,
+    making "first in document order" an ORDER BY node_id and letting
+    kernel-path and relational-path matches join/compare on node_id.
+
+    The reference's zipper also visits strings and attr maps, but
+    those can never match (get-bindings requires a vector,
+    cuphic.cljc:200-201), so skipping them changes no observable
+    result (golden pin: 123 matches of [tag ???] on test-1307).
     """
     counter = [0] if _node_id is None else _node_id
+    if not is_vector(root):
+        return
     yield counter[0], root
     counter[0] += 1
-    if is_vector(root):
-        for child in root[1:]:
-            yield from iterate_nodes(child, counter)
+    for child in root[1:]:
+        yield from iterate_nodes(child, counter)
 
 
 def scan(hiccup, *patterns):

@@ -1,0 +1,192 @@
+"""Parse stage: pages -> nodes / matches / extracted text.
+
+All Python executes in Arrow batches via ``mapInPandas`` (no per-row
+Python UDFs — BASELINE.json input_hint hard constraint). Each
+operator is a narrow map over the pages scan: linear, shuffle-free,
+and partition-parallel, so throughput scales with executors.
+
+The ``nodes`` table is the relational encoding of the Hiccup tree
+(one row per element, preorder ``node_id``), designed so cuphic's
+head check (tag + attrs) becomes a Catalyst filter with parquet
+pushdown (SURVEY §1.3, §2.B):
+
+    url        string   page key
+    node_id    long     preorder rank of the element within the page
+    parent_id  long     null for the root
+    depth      int
+    child_pos  int      position among the parent's children (0-based,
+                        counting text+element children — document order)
+    tag        string   Clojure-style qualified name ("p", "xml/id")
+    attrs      map<string,string>
+    children   array<struct<kind:string, text:string, child_id:long>>
+                        ordered child sequence; kind in ('text','elem')
+
+Binding values in the ``matches`` table are encoded as strings:
+plain strings verbatim; keywords as ":name"; trees/vectors as the
+EDN text form (reader.dumps); nil as SQL NULL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernel import reader
+from ..kernel.values import Keyword, Symbol, is_vector
+from ..kernel.xmlparse import parse as parse_xml, extract_text as kernel_extract_text
+
+NODES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("node_id", T.LongType()),
+    T.StructField("parent_id", T.LongType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("child_pos", T.IntegerType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("children", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("child_id", T.LongType()),
+    ]))),
+])
+
+TEXT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+MATCHES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("pattern_key", T.StringType()),
+    T.StructField("node_id", T.LongType()),
+    T.StructField("bindings", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def encode_value(v) -> str:
+    """Binding value -> string column encoding (see module docstring).
+    nil binds encode as the EDN string "nil" (Spark map semantics make
+    key-present-with-null indistinguishable from absent after
+    map_filter; both paths use "nil")."""
+    if v is None:
+        return "nil"
+    if isinstance(v, str):
+        return v
+    return reader.dumps(v)
+
+
+def _html_to_tree(html) -> list | None:
+    data = bytes(html) if isinstance(html, (bytes, bytearray, memoryview)) else html
+    try:
+        return parse_xml(data)
+    except Exception:
+        return None  # unparseable page -> skipped (crawl reality)
+
+
+def _flatten(url: str, tree) -> Iterator[tuple]:
+    """Preorder flatten to nodes rows."""
+    next_id = 0
+    out = []
+
+    def walk(node, parent_id, depth, child_pos):
+        nonlocal next_id
+        my_id = next_id
+        next_id += 1
+        attrs = node[1] if len(node) > 1 and isinstance(node[1], dict) else {}
+        content = node[2:] if len(node) > 1 and isinstance(node[1], dict) else node[1:]
+        children = []
+        elem_children = []
+        for pos, child in enumerate(content):
+            if isinstance(child, str):
+                children.append({"kind": "text", "text": child, "child_id": None})
+            elif is_vector(child):
+                elem_children.append((child, pos))
+                children.append({"kind": "elem", "text": None, "child_id": -1})
+        # two-pass: assign ids to element children in preorder
+        row = (url, my_id, parent_id, depth, child_pos,
+               node[0].name if isinstance(node[0], Keyword) else str(node[0]),
+               {k.name if isinstance(k, Keyword) else str(k): encode_value(v)
+                for k, v in attrs.items()},
+               children)
+        out.append(row)
+        ci = 0
+        for child, pos in elem_children:
+            cid = walk(child, my_id, depth + 1, pos)
+            # patch the placeholder child_id in document order
+            while children[ci]["kind"] != "elem":
+                ci += 1
+            children[ci]["child_id"] = cid
+            ci += 1
+        return my_id
+
+    walk(tree, None, 0, 0)
+    return iter(out)
+
+
+def pages_to_nodes(pages: DataFrame) -> DataFrame:
+    """pages -> nodes table (one narrow mapInPandas pass)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                tree = _html_to_tree(html)
+                if tree is None:
+                    continue
+                rows.extend(_flatten(url, tree))
+            yield pd.DataFrame(rows, columns=[f.name for f in NODES_SCHEMA.fields])
+
+    return pages.select("url", "html").mapInPandas(gen, NODES_SCHEMA)
+
+
+def pages_extract_text(pages: DataFrame) -> DataFrame:
+    """pages -> (url, text): the byte-identity extraction operator."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                tree = _html_to_tree(html)
+                if tree is None:
+                    continue
+                urls.append(url)
+                texts.append(kernel_extract_text(tree))
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)
+
+
+def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str]) -> DataFrame:
+    """General scrape: parse each page once, match ALL patterns in a
+    single traversal (the reference's one-pass multi-pattern juxt,
+    cuphic.cljc:401-405), emit long-format matches rows.
+
+    ``key_to_pattern`` maps key -> pattern SOURCE TEXT (kept as
+    strings so the closure ships cheaply to executors; compiled once
+    per partition batch).
+    """
+    pattern_src = dict(key_to_pattern)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.scan import scan as kernel_scan
+
+        patterns = {k: reader.parse(v) for k, v in pattern_src.items()}
+        keys = list(patterns)
+        plist = [patterns[k] for k in keys]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                tree = _html_to_tree(html)
+                if tree is None:
+                    continue
+                for node_id, _node, results in kernel_scan(tree, *plist):
+                    for k, b in zip(keys, results):
+                        if b is not None:
+                            enc = {sym.name if isinstance(sym, Symbol) else str(sym):
+                                   encode_value(val) for sym, val in b.items()}
+                            rows.append((url, k, node_id, enc))
+            yield pd.DataFrame(rows, columns=["url", "pattern_key", "node_id",
+                                              "bindings"])
+
+    return pages.select("url", "html").mapInPandas(gen, MATCHES_SCHEMA)
