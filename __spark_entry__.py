@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction run at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 and
+the training-data operator families), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query over the
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings).
+
+The `pages` corpus every extraction query runs on is synthesized
+deterministically from `documents` with pure Spark SQL expressions
+(cuphic_spark/sources/pagegen.py, copies=4); the oracles recompute
+the same closed forms directly in SQL — they never parse HTML, so an
+agreement is a genuine two-implementation check of the parse+match
+engine.
 """
 
 from __future__ import annotations
@@ -12,27 +20,365 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuphic_spark.compiler import compile_pattern, match_nodes
+from cuphic_spark.operators.dedup import exact_dedup_groups, minhash_signature
+from cuphic_spark.operators.parse import pages_extract_text, pages_to_nodes
+from cuphic_spark.operators.similarity import inner_product_topk_quantized
+from cuphic_spark.operators.textstats import (
+    lang_id,
+    lang_id_oracle_sql,
+    quality_score,
+    token_count,
+)
+from cuphic_spark.sources.pagegen import (
+    DEFAULT_COPIES,
+    oracle_pages_cte,
+    synth_pages,
+)
+
+_PAGES_CTE = oracle_pages_cte(DEFAULT_COPIES)
+
+GOLDEN_PATTERNS = {
+    "links": "[:a {:href href} ???]",
+    "term": "[:term {:type term/type} term/name]",
+    "p_id": "[:p {:id ?id} ???]",
+    "title": "[:title {:id title/id} title/text]",
+}
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_pages(spark, sf_dir, DEFAULT_COPIES)
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_to_nodes(_pages(spark, sf_dir))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001 — synthesize
+    pages, parse to nodes, run the compiled golden patterns through
+    the Catalyst head-filter path, aggregate match counts."""
+    nodes = _nodes(spark, "/root/testdata/sf0.001")
+    compiled = [compile_pattern(k, v) for k, v in GOLDEN_PATTERNS.items()]
+    matches = match_nodes(nodes, compiled)
+    return (matches.groupBy("pattern_key")
+            .agg(F.count("*").alias("n_matches"),
+                 F.countDistinct("url").alias("n_urls"))
+            .orderBy("pattern_key"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_extract_text(spark, sf_dir):
+    return (pages_extract_text(_pages(spark, sf_dir))
+            .select("url", F.col("text").alias("extracted")))
+
+
+def q_extract_text_parity(spark, sf_dir):
+    """Engine extraction vs the generator's expected text column —
+    byte identity, aggregated. The oracle computes the same count
+    without parsing anything."""
+    pages = _pages(spark, sf_dir)
+    ext = pages_extract_text(pages).withColumnRenamed("text", "extracted")
+    j = ext.join(pages.select("url", "text"), "url")
+    return j.select(
+        F.count("*").alias("n_pages"),
+        F.sum((F.col("extracted") == F.col("text")).cast("long"))
+        .alias("n_identical"))
+
+
+def q_match_link_count(spark, sf_dir):
+    cp = [compile_pattern("links", GOLDEN_PATTERNS["links"])]
+    m = match_nodes(_nodes(spark, sf_dir), cp)
+    return (m.groupBy("url").agg(F.count("*").alias("n_links_found")))
+
+
+def q_match_term(spark, sf_dir):
+    cp = [compile_pattern("term", GOLDEN_PATTERNS["term"])]
+    m = match_nodes(_nodes(spark, sf_dir), cp)
+    return m.select(
+        "url",
+        F.element_at("bindings", "term/type").alias("term_type"),
+        F.element_at("bindings", "term/name").alias("term_name"))
+
+
+def q_match_p_optional_id(spark, sf_dir):
+    cp = [compile_pattern("p_id", GOLDEN_PATTERNS["p_id"])]
+    m = match_nodes(_nodes(spark, sf_dir), cp)
+    return m.select("url", F.element_at("bindings", "?id").alias("p_id"))
+
+
+def q_link_host_counts(spark, sf_dir):
+    cp = [compile_pattern("links", GOLDEN_PATTERNS["links"])]
+    m = match_nodes(_nodes(spark, sf_dir), cp)
+    host = F.parse_url(F.element_at("bindings", "href"), F.lit("HOST"))
+    return (m.select(host.alias("host"))
+            .groupBy("host").agg(F.count("*").alias("n")))
+
+
+def q_tag_histogram(spark, sf_dir):
+    return (_nodes(spark, sf_dir)
+            .groupBy("tag").agg(F.count("*").alias("n")))
+
+
+def q_politeness_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "rk"))
+
+
+def q_seen_anti_join(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (customer.join(orders,
+                          customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+            .select("c_custkey"))
+
+
+def q_frontier_merge(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = orders.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("id"))
+    b = customer.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("id"))
+    return a.unionByName(b).distinct()
+
+
+def q_events_agg(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (events.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def q_top5_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(5).select("o_orderkey", "o_custkey"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.unionByName(docs.where(F.col("doc_id") % 2 == 0))
+    return exact_dedup_groups(corpus)
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_minhash_signature(spark, sf_dir):
+    return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=4)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    return inner_product_topk_quantized(emb, queries, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_text": q_extract_text,
+        "extract_text_parity": q_extract_text_parity,
+        "match_link_count": q_match_link_count,
+        "match_term": q_match_term,
+        "match_p_optional_id": q_match_p_optional_id,
+        "link_host_counts": q_link_host_counts,
+        "tag_histogram": q_tag_histogram,
+        "politeness_topk": q_politeness_topk,
+        "seen_anti_join": q_seen_anti_join,
+        "frontier_merge": q_frontier_merge,
+        "events_agg": q_events_agg,
+        "top5_orders": q_top5_orders,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "minhash_signature": q_minhash_signature,
+        "ann_topk": q_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
+               "list_transform(range(n_links), k -> 'L' || uid || '-' || k),"
+               " '') ELSE '' END")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url,
+                   title_text || doc_text || {_LINKS_TEXT} ||
+                   CASE WHEN has_term THEN term_word ELSE '' END AS extracted
+            FROM pages
+        """,
+        "extract_text_parity": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT count(*)::BIGINT AS n_pages,
+                   count(*)::BIGINT AS n_identical
+            FROM pages
+        """,
+        "match_link_count": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url, n_links::BIGINT AS n_links_found
+            FROM pages WHERE n_links > 0
+        """,
+        "match_term": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url, term_type, term_word AS term_name
+            FROM pages WHERE has_term
+        """,
+        "match_p_optional_id": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url, 'p' || uid AS p_id FROM pages
+        """,
+        "link_host_counts": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT 'host' || ((uid + k) % 10) || '.example' AS host,
+                   count(*)::BIGINT AS n
+            FROM pages, UNNEST(range(n_links)) AS t(k)
+            GROUP BY 1
+        """,
+        "tag_histogram": f"""
+            WITH pages AS ({_PAGES_CTE}),
+            t AS (
+              SELECT 'doc' AS tag, count(*)::BIGINT AS n FROM pages
+              UNION ALL SELECT 'title', count(*)::BIGINT FROM pages
+              UNION ALL SELECT 'p', count(*)::BIGINT FROM pages
+              UNION ALL SELECT 'a', coalesce(sum(n_links), 0)::BIGINT FROM pages
+              UNION ALL SELECT 'term',
+                        count(*) FILTER (WHERE has_term)::BIGINT FROM pages
+            )
+            SELECT tag, n FROM t WHERE n > 0
+        """,
+        "politeness_topk": """
+            SELECT o_custkey, o_orderkey, rk::INTEGER AS rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3
+        """,
+        "seen_anti_join": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "frontier_merge": """
+            SELECT DISTINCT id FROM (
+              SELECT o_custkey AS id FROM orders WHERE o_totalprice > 100000
+              UNION ALL
+              SELECT c_custkey AS id FROM customer WHERE c_acctbal > 0)
+        """,
+        "events_agg": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "top5_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_copies,
+                   min(doc_id) AS rep_doc_id
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::INTEGER AS n_tokens,
+                   list_sum(list_transform(string_split(text, ' '),
+                            w -> ceil(length(w) / 4.0)::INT))::INTEGER
+                     AS n_subwords,
+                   length(text)::INTEGER AS n_chars_actual
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   n_words::INTEGER AS n_words,
+                   n_chars::INTEGER AS n_chars_len,
+                   floor((n_chars - (n_words - 1)) * 10.0 / n_words)::INTEGER
+                     AS avg_word_len_tenths,
+                   CASE WHEN n_words >= 20 AND n_words <= 80
+                        AND floor((n_chars - (n_words - 1)) * 10.0
+                                  / n_words) <= 80
+                        THEN 1 ELSE 0 END::INTEGER AS quality_pass
+            FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                         length(text) AS n_chars
+                  FROM documents)
+        """,
+        "lang_id": lang_id_oracle_sql(),
+        "minhash_signature": """
+            SELECT doc_id,
+                   list_aggregate(list_transform(sh, s -> md5('0:' || s)),
+                                  'min') AS minhash_0,
+                   list_aggregate(list_transform(sh, s -> md5('1:' || s)),
+                                  'min') AS minhash_1,
+                   list_aggregate(list_transform(sh, s -> md5('2:' || s)),
+                                  'min') AS minhash_2,
+                   list_aggregate(list_transform(sh, s -> md5('3:' || s)),
+                                  'min') AS minhash_3
+            FROM (SELECT doc_id,
+                         list_transform(range(len(w) - 2),
+                           i -> array_to_string(w[(i+1):(i+3)], ' ')) AS sh
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents)
+                  WHERE len(w) >= 3)
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(len(e.embedding)),
+                       i -> round(e.embedding[i+1]::DOUBLE * 10000)::BIGINT
+                          * round(q.qe[i+1]::DOUBLE * 10000)::BIGINT))::BIGINT
+                       AS dot_q
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, dot_q,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot_q DESC, neighbor_id)
+                       AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, rank::INTEGER AS rank, dot_q
+            FROM ranked WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,174 @@
+"""Deduplication operators: exact (hash-groupBy), MinHash, SimHash,
+n-gram Jaccard — the dedup family a large-scale training-data
+pipeline needs (driver brief).
+
+Scale notes (the 100 TB story):
+
+* exact dedup is a single hash aggregation on md5(text) — map-side
+  partial agg, one shuffle on the digest (uniform key distribution by
+  construction, no skew);
+* MinHash signatures are pure column expressions (shingle -> md5 ->
+  min), no Python, no shuffle; LSH banding turns near-dup search into
+  an equi-join on (band, band_min) — shuffle on band keys instead of
+  an O(n^2) cross join;
+* SimHash is an Arrow-batched pandas UDF (numpy bit-twiddling) —
+  the deliberate demonstration of the vectorized-Python path;
+  candidate pairing again via equi-join on band prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact duplicate groups: digest, copy count,
+    representative (min doc_id). Only groups with >1 copies."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("rep_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _shingles(text_col, k: int = 3):
+    """k-word shingles as a column expression."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(docs: DataFrame, k: int = 3,
+                      n_hashes: int = 4) -> DataFrame:
+    """MinHash over k-word shingles. Hash family h_j(s) =
+    md5(j || ':' || s) (hex strings compare lexicographically =
+    numerically). Returns doc_id + minhash_0..n-1. Pure expressions."""
+    sh = _shingles(F.col("text"), k)
+    cols = [F.col("doc_id")]
+    for j in range(n_hashes):
+        mh = F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
+        cols.append(mh.alias(f"minhash_{j}"))
+    return docs.where(F.size(F.split(F.col("text"), " ")) >= k).select(*cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become
+    candidate pairs (equi-join on band value — shuffle on band keys,
+    never a cross join). Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    sig = minhash_signature(docs, k, n_hashes)
+    bands = []
+    for b in range(0, n_hashes, band_size):
+        band_val = F.concat_ws("|", *[F.col(f"minhash_{j}")
+                                      for j in range(b, b + band_size)])
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"),
+                                band_val.alias("band_val")))
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                        k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage
+    after LSH): joins shingle sets, computes |A∩B| / |A∪B| in
+    thousandths (integer — stable across engines)."""
+    sh = docs.select("doc_id",
+                     F.array_distinct(_shingles(F.col("text"), k)).alias("sh"))
+    a = candidates.join(sh.withColumnRenamed("doc_id", "doc_a")
+                        .withColumnRenamed("sh", "sh_a"), "doc_a")
+    ab = a.join(sh.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return ab.select(
+        "doc_a", "doc_b",
+        (inter * 1000 / union).cast("int").alias("jaccard_milli"),
+    )
+
+
+SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens — Arrow-batched pandas
+    UDF with numpy bit counting (the vectorized-Python path; a
+    row-at-a-time UDF here would be 10-100x slower)."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import numpy as np
+
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                if not words:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                hs = np.frombuffer(
+                    b"".join(hashlib.md5(w.encode()).digest()[:8]
+                             for w in words),
+                    dtype=">u8")
+                bits = ((hs[:, None] >> np.arange(64)[None, :]) & 1)
+                vote = bits.sum(axis=0) * 2 - len(words)
+                sim = int(((vote > 0).astype(np.uint64)
+                           << np.arange(64, dtype=np.uint64)).sum())
+                out_ids.append(doc_id)
+                out_hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, SIMHASH_SCHEMA)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold_milli: int = 990,
+                            n_bands: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: sign-random-projection style LSH
+    buckets from the embedding's own sign pattern (first n_bands
+    dims), then exact cosine within buckets. Returns pairs with
+    cosine >= threshold (in thousandths)."""
+    sig = emb.select(
+        "vec_id", "embedding",
+        F.concat_ws("", *[
+            (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
+            for i in range(n_bands)]).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (a.join(b, "bucket")
+             .where(F.col("a.vec_id") < F.col("b.vec_id")))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: (x * y).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos_milli = (dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
+                 * 1000).cast("int")
+    return (pairs.select(F.col("a.vec_id").alias("vec_a"),
+                         F.col("b.vec_id").alias("vec_b"),
+                         cos_milli.alias("cos_milli"))
+            .where(F.col("cos_milli") >= threshold_milli))

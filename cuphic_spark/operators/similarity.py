@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk`` — brute-force cosine top-k: broadcast the (small)
+  query set against the corpus; dot products via zip_with/aggregate
+  (JVM-side, codegen'd); rank with a per-query window. The baseline.
+* ``ivf_topk`` — the scale path: coarse-quantize the corpus into
+  buckets (sign-prefix cells here; k-means centroids on a real
+  deployment), probe only the query's cell + neighbors. Turns the
+  all-pairs scan into a pruned equi-join; at 1000 executors the
+  corpus stays partitioned by cell and only candidate cells shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(
+        F.transform(c, lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k.
+
+    ``queries``: (query_id, q_embedding) — small, broadcast.
+    Returns (query_id, neighbor_id, rank, cos_milli), self-matches
+    excluded, ties broken by neighbor_id (total order).
+    """
+    j = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding")))
+    scored = j.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (cos * 1000000).cast("long").alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_micro"))
+
+
+def inner_product_topk_quantized(emb: DataFrame, queries: DataFrame,
+                                 k: int = 5, scale: int = 10000) -> DataFrame:
+    """Top-k by INTEGER-quantized inner product (MIPS formulation).
+
+    Quantizing each component to round(x*scale) makes the similarity
+    an exact integer — bit-identical across engines and partitionings
+    (float dot products are not: summation order and float32/64
+    promotion differ), so this is the oracle-checkable ANN baseline.
+    """
+    q = lambda c: F.round(c.cast("double") * scale).cast("long")  # noqa: E731
+    j = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id"))
+    dot_q = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("q_embedding"),
+                   lambda x, y: q(x) * q(y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        dot_q.alias("dot_q"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dot_q"))
+
+
+def sign_cell(col, bits: int = 6):
+    """Coarse cell id from the sign pattern of the first ``bits``
+    dims (stand-in for IVF centroids; deterministic, join-friendly)."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out * 2 + (F.element_at(col, i + 1) >= 0).cast("int")
+    return out
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             bits: int = 4) -> DataFrame:
+    """IVF-style pruned top-k: corpus bucketed by sign cell; each
+    query probes its own cell plus all Hamming-distance-1 cells
+    (guaranteed recall loss is the documented ANN trade-off)."""
+    corpus = emb.withColumn("cell", sign_cell(F.col("embedding"), bits))
+    probe_cells = F.array(*(
+        [sign_cell(F.col("q_embedding"), bits)]
+        + [sign_cell(F.col("q_embedding"), bits)
+           .bitwiseXOR(F.lit(1 << i)) for i in range(bits)]))
+    probes = (queries
+              .withColumn("cell", F.explode(probe_cells))
+              .select("query_id", "q_embedding", "cell"))
+    j = corpus.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding")))
+    scored = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (cos * 1000000).cast("long").alias("cos_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_micro"))

@@ -1,0 +1,134 @@
+"""Text-analysis operators for a training-data pipeline: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure built-in ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path. Each has
+a closed-form SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately deterministic + SQL-replicable (substring occurrence
+# counts), not a statistical model.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (ceil of
+    chars/4 per word, a common rough proxy)."""
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_subwords = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_subwords.alias("n_subwords"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def quality_score(docs: DataFrame,
+                  min_words: int = 20, max_words: int = 80,
+                  max_avg_word_len: int = 8) -> DataFrame:
+    """Deterministic quality gates over integer metrics (length,
+    word count, mean word length, uppercase start)."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    # mean word length in tenths (integer — avoids float hash drift;
+    # explicit floor: Spark's double->int cast truncates while DuckDB's
+    # rounds, so the cast must never see a fractional value)
+    avg_len_tenths = F.floor((n_chars - (n_words - 1)) * 10 / n_words).cast("int")
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (avg_len_tenths <= max_avg_word_len * 10)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_len"),
+        avg_len_tenths.alias("avg_word_len_tenths"),
+        passes.cast("int").alias("quality_pass"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word-count language heuristic. hits_xx = number of
+    marker-word occurrences (space-padded substring count)."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    cols = [F.col("doc_id")]
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        total = F.lit(0)
+        for m in markers:
+            needle = f" {m} "
+            # occurrences = (len(s) - len(replace(s, needle, ''))) / len(needle)
+            # NOTE: overlapping pads (' the the ') undercount — the
+            # oracle uses the identical formula, so both sides agree.
+            total = total + (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(needle),
+                                                       F.lit(""))))
+                / len(needle)
+            ).cast("int")
+        hit_cols[lang] = total
+        cols.append(total.alias(f"hits_{lang}"))
+    # predicted = argmax with fixed tie order en > de > es, 'und' if all 0
+    pred = (
+        F.when((hit_cols["en"] >= hit_cols["de"])
+               & (hit_cols["en"] >= hit_cols["es"])
+               & (hit_cols["en"] > 0), F.lit("en"))
+        .when((hit_cols["de"] >= hit_cols["es"]) & (hit_cols["de"] > 0),
+              F.lit("de"))
+        .when(hit_cols["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    cols.append(pred.alias("predicted_lang"))
+    return docs.select(*cols)
+
+
+def lang_id_oracle_sql() -> str:
+    def occ(m):
+        return ("CAST((length(p) - length(replace(p, ' {m} ', '')))"
+                " / {n} AS INT)").format(m=m, n=len(m) + 2)
+
+    hits = {lang: " + ".join(occ(m) for m in ms)
+            for lang, ms in LANG_MARKERS.items()}
+    return f"""
+    SELECT doc_id,
+           {hits['en']} AS hits_en,
+           {hits['de']} AS hits_de,
+           {hits['es']} AS hits_es,
+           CASE
+             WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['es']}
+                  AND {hits['en']} > 0 THEN 'en'
+             WHEN {hits['de']} >= {hits['es']} AND {hits['de']} > 0 THEN 'de'
+             WHEN {hits['es']} > 0 THEN 'es'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+    """
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 whole-text hash + a 31-base rolling
+    hash over the first 32 chars (mod 2^31, closed form both sides)."""
+    prefix = F.substring("text", 1, 32)
+    chars = F.split(prefix, "")
+    rolling = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % (2 ** 31))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,106 @@
+"""Spark-parity tests: the DataFrame pipeline must reproduce the
+kernel's golden results (SURVEY §5.2 layer 3)."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuphic_spark.compiler import compile_pattern, match_nodes
+from cuphic_spark.operators.parse import (
+    pages_extract_text,
+    pages_to_nodes,
+    scrape_pages,
+)
+from cuphic_spark.sources.tei import tei_pages
+
+GOLDENS = pathlib.Path(__file__).resolve().parents[1] / "goldens"
+
+PATTERNS = {
+    "all-tags": "[tag ???]",
+    "p": "[:p {:xml/id ?id} ???]",
+    "rs": "[:rs {:type type} ???]",
+    "persName": "[:persName {:ref ref :type ?type} full-name]",
+    "ref": "[_ {:ref ref} ???]",
+    "term": "[:term {:type term/type} term/name]",
+    "glen": "[:glen {} ???]",
+}
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return tei_pages(spark, goldens_dir=str(GOLDENS.parent / "goldens")).cache()
+
+
+def _canon(df):
+    return df.select("url", "pattern_key", "node_id",
+                     F.sort_array(F.map_entries("bindings")).alias("b"))
+
+
+def test_extracted_text_byte_identity(spark, pages):
+    ext = pages_extract_text(pages).withColumnRenamed("text", "extracted")
+    j = ext.join(pages.select("url", "text"), "url")
+    bad = j.where(F.col("extracted") != F.col("text")).count()
+    assert bad == 0
+    assert j.count() == 12
+
+
+def test_relational_and_kernel_paths_identical(spark, pages):
+    compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
+    assert all(c.strategy == "relational" for c in compiled)
+    rel = _canon(match_nodes(pages_to_nodes(pages), compiled)).cache()
+    ker = _canon(scrape_pages(pages, PATTERNS)).cache()
+    assert rel.count() == ker.count()
+    assert rel.exceptAll(ker).count() == 0
+    assert ker.exceptAll(rel).count() == 0
+
+
+def test_golden_counts_via_spark(spark, pages):
+    compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
+    m = match_nodes(pages_to_nodes(pages), compiled)
+    counts = dict(
+        m.where(F.col("url") == "tei://test-1307-anno-tei.xml")
+        .groupBy("pattern_key").count().collect())
+    golden = json.loads(
+        (GOLDENS / "scrape" / "test-1307.json").read_text())
+    assert counts == {k: len(v) for k, v in golden.items()}
+    assert "glen" not in counts
+
+
+def test_head_filter_pushes_into_scan(spark, pages):
+    """The compiled head filter must sit directly above the parse map
+    (no Python between filter and scan) — the Catalyst-native path."""
+    compiled = [compile_pattern("rs", PATTERNS["rs"])]
+    plan = match_nodes(pages_to_nodes(pages), compiled)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan
+    # the filter applies to the nodes output, not a second Python stage
+    assert plan.count("MapInPandas") == 1
+
+
+def test_kernel_path_repetition_pattern(spark):
+    """A pattern the relational path cannot express routes to the
+    kernel and still returns correct bindings."""
+    cp = compile_pattern("items", "[:list (... item)]")
+    assert cp.strategy == "kernel"
+
+    from cuphic_spark.sources.tei import PAGES_SCHEMA
+    import datetime
+
+    html = b'<list><i>a</i><i>b</i></list>'
+    df = spark.createDataFrame(
+        [("u1", datetime.datetime(2024, 1, 1), html, "", "en")], PAGES_SCHEMA)
+    rows = scrape_pages(df, {"items": "[:list (... item)]"}).collect()
+    assert len(rows) == 1
+    assert rows[0].bindings["item"] == '[[:i {} "a"] [:i {} "b"]]'
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 3
+    assert {r.pattern_key for r in rows} >= {"links", "term", "title"}
+    assert set(e.queries()) >= set(e.oracle_sql())
