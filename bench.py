@@ -1,0 +1,137 @@
+"""Benchmark harness — run the headline pipeline at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+Headline ops (BASELINE.json metric = URLs scheduled+extracted/sec):
+  * extract_text      — parse+extract every page (the byte-identity op)
+  * scrape_relational — 4 compiled patterns through the Catalyst path
+  * scrape_kernel     — same 4 patterns through the Arrow kernel path
+  * minhash_pages     — MinHash signatures over page text
+  * ann_topk          — quantized inner-product top-k over embeddings
+  * crawl             — 2 frontier waves (schedule+fetch+extract+merge)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from cuphic_spark.compiler import compile_pattern, match_nodes
+from cuphic_spark.frontier.crawl import CrawlConfig, crawl
+from cuphic_spark.operators.dedup import minhash_signature
+from cuphic_spark.operators.parse import (
+    pages_extract_text,
+    pages_to_nodes,
+    scrape_pages,
+)
+from cuphic_spark.operators.similarity import inner_product_topk_quantized
+from cuphic_spark.session import get_spark
+from cuphic_spark.sources.pagegen import synth_pages
+
+PATTERNS = {
+    "links": "[:a {:href href} ???]",
+    "term": "[:term {:type term/type} term/name]",
+    "p_id": "[:p {:id ?id} ???]",
+    "title": "[:title {:id title/id} title/text]",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    copies = int(os.environ.get("CUPHIC_BENCH_COPIES", "20"))
+    waves = int(os.environ.get("CUPHIC_BENCH_WAVES", "2"))
+    wave_cap = int(os.environ.get("CUPHIC_BENCH_WAVE_CAP", "4000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(app_name="cuphic-bench", cores=cpus)
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    pages = synth_pages(spark, sf_dir, copies)
+    pages.write.mode("overwrite").parquet("/tmp/cuphic_bench_pages")
+    pages = spark.read.parquet("/tmp/cuphic_bench_pages")
+    n_pages = pages.count()
+
+    def timed(name, fn, warm: bool = False):
+        if warm:
+            fn()
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. extraction (byte-identity op over every page)
+    timed("extract_text",
+          lambda: pages_extract_text(pages)
+          .agg(F.sum(F.length("text"))).collect())
+    throughput["extract_pages_per_sec"] = round(
+        n_pages / timings["extract_text"], 1)
+
+    # 2. relational scrape (Catalyst head-filter path)
+    compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
+    n_matches = timed(
+        "scrape_relational",
+        lambda: match_nodes(pages_to_nodes(pages), compiled)
+        .groupBy("pattern_key").count().collect())
+    total_matches = sum(r["count"] for r in n_matches)
+    throughput["relational_matches_per_sec"] = round(
+        total_matches / timings["scrape_relational"], 1)
+
+    # 3. kernel scrape (Arrow path, same patterns — the generality tax)
+    timed("scrape_kernel",
+          lambda: scrape_pages(pages, PATTERNS)
+          .groupBy("pattern_key").count().collect())
+
+    # 4. minhash signatures over page text
+    page_docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    timed("minhash_pages",
+          lambda: minhash_signature(page_docs, k=3, n_hashes=4)
+          .agg(F.count("*"), F.min("minhash_0")).collect())
+
+    # 5. ANN top-k over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    timed("ann_topk",
+          lambda: inner_product_topk_quantized(emb, queries, k=10).collect())
+
+    # 6. crawl waves (schedule + fetch + extract + discover + checkpoint)
+    crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
+    cfg = CrawlConfig(universe=1_000_000, n_seeds=256, budget_per_host=1024,
+                      wave_cap=wave_cap, n_waves=waves,
+                      checkpoint_dir=crawl_dir, partitions=max(cpus, 8))
+    t0 = time.perf_counter()
+    summary = crawl(spark, cfg)
+    timings["crawl"] = round(time.perf_counter() - t0, 3)
+    scheduled = sum(m["scheduled"] for m in summary["metrics"])
+    throughput["urls_scheduled_extracted_per_sec"] = round(
+        scheduled / timings["crawl"], 1)
+    shutil.rmtree(crawl_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline pipeline seconds (extract+scrape+dedup+ann+crawl)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "cpus": cpus,
+        "throughput": throughput,
+    }))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""The crawl wave loop: frontier -> robots -> politeness -> schedule
+-> fetch -> extract -> discover -> merge, checkpointed per wave.
+
+north_rule implementation (BASELINE.json): bloom/cuckoo URL-seen,
+per-host politeness buckets, robots cache, priority queue as
+host-salted score-sorted partitions, resumable from checkpoint with
+per-partition lineage + metrics. The reference (cuphic) has no
+crawler; the deterministic contract below is pinned by the
+single-process oracle in tests/oracle/crawl_oracle.py.
+
+Determinism contract (identical at ANY parallelism level):
+
+* every ordering uses the total order (score DESC, url ASC);
+* depth of a discovered url = discovery wave (independent of which
+  page linked it);
+* the seen set = every url ever entered into the frontier (seeds
+  included; robots-denied urls stay in it, so they never re-enter);
+* bloom/cuckoo structures only prune — membership truth is always
+  the anti-join against the seen table.
+
+Wave w, given frontier_w and seen_w:
+
+1. denied   = frontier rows whose (host, path) hits a robots deny rule
+2. eligible = frontier - denied
+3. per-host rank by (score desc, url asc); keep rank <= budget B
+4. global top-W by (score desc, url asc) -> scheduled (rank_in_wave)
+5. fetch scheduled (simulated: webgraph.gen_html)
+6. extract hrefs with the cuphic engine ([:a {:href href} ???]),
+   canonicalize (column expressions), distinct
+7. new = links - seen_w  (bloom prune + exact anti-join)
+8. frontier_{w+1} = (eligible - scheduled) ∪ new(depth=w+1, scored)
+9. seen_{w+1} = seen_w ∪ new
+10. checkpoint: frontier, seen, fetch_log, metrics, lineage json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import webgraph
+from .seen import build_bloom, filter_new_urls
+from .urlnorm import canonicalize_cols, host_col, path_col
+
+FRONTIER_SCHEMA = "url string, host string, depth int, score long, discovered_wave int"
+SEEN_SCHEMA = "url string, added_wave int"
+
+
+@dataclass
+class CrawlConfig:
+    universe: int = 100_000
+    n_seeds: int = 8
+    budget_per_host: int = 8      # politeness B
+    wave_cap: int = 64            # global W
+    n_waves: int = 3
+    checkpoint_dir: str = "/tmp/cuphic_crawl"
+    partitions: int = 8           # seen/frontier partition count
+    bloom_bits: int = 1 << 20
+    use_bloom: bool = True
+    salt_buckets: int = 4         # host-salt fan-out for skewed hosts
+    extra: dict = field(default_factory=dict)
+
+
+def score_expr(id_col, depth_col, is_seed):
+    """Priority: depth-decayed base + per-url jitter + seed bonus.
+    Integer arithmetic only (exact everywhere)."""
+    base = (10000 - 1000 * F.least(depth_col, F.lit(9)))
+    bonus = id_col % 7
+    seed_bonus = F.when(F.lit(is_seed), F.lit(5000)).otherwise(F.lit(0))
+    return (base + bonus + seed_bonus).cast("long")
+
+
+def score_py(url_id: int, depth: int, is_seed: bool) -> int:
+    return (10000 - 1000 * min(depth, 9)) + url_id % 7 + (5000 if is_seed else 0)
+
+
+def robots_rules(spark: SparkSession) -> DataFrame:
+    """The robots cache: tiny dim table, broadcast at join time.
+    (Real deployments refresh it per TTL; here it is the graph spec.)"""
+    rows = [(f"host{h}.example", webgraph.DENY_PREFIX)
+            for h in range(webgraph.N_HOSTS) if h % 7 == 0]
+    return spark.createDataFrame(rows, "host string, deny_prefix string")
+
+
+def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    ids = spark.range(cfg.n_seeds).select(F.col("id").cast("long"))
+    urls = ids.select(
+        F.concat(
+            F.lit("https://host"),
+            F.when(F.col("id") % 3 == 0, F.lit(0)).otherwise(F.col("id") % 10)
+            .cast("string"),
+            F.lit(".example"),
+            F.when(F.col("id") % 11 == 0,
+                   F.concat(F.lit("/private/doc/"), F.col("id").cast("string")))
+            .otherwise(F.concat(F.lit("/doc/"), F.col("id").cast("string"))),
+        ).alias("url"),
+        F.col("id"))
+    return urls.select(
+        "url",
+        host_col(F.col("url")).alias("host"),
+        F.lit(0).alias("depth"),
+        score_expr(F.col("id"), F.lit(0), True).alias("score"),
+        F.lit(0).alias("discovered_wave"))
+
+
+def _fetch(pages: DataFrame, universe: int) -> DataFrame:
+    """Simulated fetch: url -> html bytes (Arrow-batched)."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "html": [webgraph.gen_html(u, universe).encode()
+                         for u in pdf["url"]],
+            })
+
+    return pages.select("url").mapInPandas(gen, schema)
+
+
+def _extract_links(fetched: DataFrame) -> DataFrame:
+    """href extraction REUSES the cuphic engine: compiled head-only
+    pattern -> relational match over the nodes table."""
+    from ..compiler import compile_pattern, match_nodes
+    from ..operators.parse import pages_to_nodes
+
+    nodes = pages_to_nodes(fetched)
+    cp = compile_pattern("links", "[:a {:href href} ???]")
+    m = match_nodes(nodes, [cp])
+    return m.select(F.col("url").alias("base_url"),
+                    F.element_at("bindings", "href").alias("href"))
+
+
+def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
+             frontier: DataFrame, seen: DataFrame):
+    """Returns (frontier_next, seen_next, fetch_log, metrics_row)."""
+    robots = robots_rules(spark)
+    fr = frontier.withColumn("path", path_col(F.col("url")))
+
+    joined = fr.join(F.broadcast(robots), "host", "left")
+    denied = joined.where(
+        F.col("deny_prefix").isNotNull()
+        & F.col("path").startswith(F.col("deny_prefix")))
+    eligible = joined.where(
+        F.col("deny_prefix").isNull()
+        | ~F.col("path").startswith(F.col("deny_prefix"))
+    ).drop("deny_prefix", "path")
+
+    w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+    budgeted = (eligible.withColumn("host_rank", F.row_number().over(w_host))
+                .where(F.col("host_rank") <= cfg.budget_per_host)
+                .drop("host_rank"))
+    # global top-W: TakeOrdered (sort + limit fuses; no full sort at scale)
+    scheduled = (budgeted.orderBy(F.desc("score"), F.asc("url"))
+                 .limit(cfg.wave_cap)
+                 .withColumn("rank_in_wave", F.row_number().over(
+                     Window.orderBy(F.desc("score"), F.asc("url"))))
+                 .cache())
+
+    fetched = _fetch(scheduled, cfg.universe)
+    fetched_pages = fetched.withColumn("bytes", F.length("html")).cache()
+
+    links = _extract_links(fetched_pages)
+    canon = links.select(
+        canonicalize_cols(F.col("href"), F.col("base_url")).alias("url"))
+    distinct_links = canon.groupBy("url").agg(F.count("*").alias("n_refs"))
+
+    bloom = build_bloom(seen, cfg.bloom_bits) if cfg.use_bloom else None
+    new_urls = filter_new_urls(distinct_links, seen, bloom, cfg.bloom_bits)
+    # also not already pending in the frontier
+    new_urls = new_urls.join(frontier.select("url"), "url", "left_anti")
+
+    new_rows = new_urls.select(
+        "url",
+        host_col(F.col("url")).alias("host"),
+        F.lit(wave + 1).alias("depth"),
+        score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
+                   F.lit(wave + 1), False).alias("score"),
+        F.lit(wave + 1).alias("discovered_wave"))
+
+    frontier_next = (eligible.join(scheduled.select("url"), "url", "left_anti")
+                     .select("url", "host", "depth", "score", "discovered_wave")
+                     .unionByName(new_rows))
+    # every frontier url is already in seen (added at discovery), so
+    # denied rows need no re-insert; seen grows only by new discoveries
+    seen_next = seen.unionByName(new_rows.select(
+        "url", F.lit(wave + 1).alias("added_wave")))
+
+    fetch_log = (scheduled
+                 .join(fetched_pages.select("url", "bytes"), "url")
+                 .select(F.lit(wave).alias("wave"), "rank_in_wave", "url",
+                         "host", "depth", "score", "bytes"))
+
+    n_scheduled = scheduled.count()
+    n_links_total = links.count()
+    n_links_distinct = distinct_links.count()
+    n_new = new_rows.count()
+    metrics = {
+        "wave": wave,
+        "scheduled": n_scheduled,
+        "fetched": n_scheduled,
+        "denied": denied.count(),
+        "links_total": n_links_total,
+        "links_distinct": n_links_distinct,
+        "new_urls": n_new,
+        "dupes": n_links_distinct - n_new,
+        "bytes": (fetched_pages.agg(F.sum("bytes")).collect()[0][0] or 0),
+    }
+    return frontier_next, seen_next, fetch_log, metrics
+
+
+def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
+    return os.path.join(cfg.checkpoint_dir, f"wave={wave:05d}")
+
+
+def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
+                       salt: bool = False):
+    """Frontier/seen snapshots: partitioned by pmod(xxhash64(host),P)
+    (+ optional intra-host salt for skewed hosts), score-sorted within
+    partitions — the 'priority queue as host-salted, score-sorted
+    partitions' of the north rule."""
+    part = F.pmod(F.xxhash64("host"), F.lit(cfg.partitions)).cast("int")
+    df = df.withColumn("part", part)
+    if salt:
+        df = df.withColumn(
+            "host_salt",
+            F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int"))
+    sort_keys = ([F.desc("score"), F.asc("url")]
+                 if "score" in df.columns else [F.asc("url")])
+    (df.repartition(cfg.partitions, "part")
+       .sortWithinPartitions(*sort_keys)
+       .write.mode("overwrite").partitionBy("part").parquet(path))
+
+
+def last_complete_wave(cfg: CrawlConfig) -> int:
+    """Highest wave with a committed lineage marker, or -1."""
+    w = -1
+    if not os.path.isdir(cfg.checkpoint_dir):
+        return w
+    for name in sorted(os.listdir(cfg.checkpoint_dir)):
+        d = os.path.join(cfg.checkpoint_dir, name)
+        if name.startswith("wave=") and \
+                os.path.exists(os.path.join(d, "_lineage.json")):
+            w = max(w, int(name.split("=")[1]))
+    return w
+
+
+def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
+    """Run (or resume) the crawl up to cfg.n_waves. Returns summary."""
+    start = last_complete_wave(cfg) + 1
+    if start == 0:
+        frontier = seed_frontier(spark, cfg)
+        seen = frontier.select("url", F.lit(0).alias("added_wave"))
+    else:
+        prev = _wave_dir(cfg, start - 1)
+        frontier = spark.read.schema(
+            FRONTIER_SCHEMA + ", part int").parquet(
+                os.path.join(prev, "frontier")).drop("part")
+        seen = spark.read.schema(SEEN_SCHEMA + ", part int").parquet(
+            os.path.join(prev, "seen")).drop("part")
+
+    all_metrics = []
+    for wave in range(start, cfg.n_waves):
+        frontier.cache()
+        seen.cache()
+        fnext, snext, fetch_log, metrics = run_wave(
+            spark, cfg, wave, frontier, seen)
+        d = _wave_dir(cfg, wave)
+        fetch_log.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "fetch_log"))
+        _partitioned_write(fnext, os.path.join(d, "frontier"), cfg, salt=True)
+        snext_h = snext.withColumn("host", host_col(F.col("url")))
+        _partitioned_write(
+            snext_h.select("url", "added_wave", F.col("host")),
+            os.path.join(d, "seen"), cfg)
+        # re-read the committed snapshots (truncates lineage, frees cache)
+        frontier = spark.read.parquet(os.path.join(d, "frontier")) \
+            .select("url", "host", "depth", "score", "discovered_wave")
+        seen = spark.read.parquet(os.path.join(d, "seen")) \
+            .select("url", "added_wave")
+        lineage = {
+            "wave": wave,
+            "input_wave_dir": _wave_dir(cfg, wave - 1) if wave else "seeds",
+            "partitions": cfg.partitions,
+            "metrics": metrics,
+            "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
+                       "budget_per_host": cfg.budget_per_host,
+                       "wave_cap": cfg.wave_cap},
+        }
+        with open(os.path.join(d, "_lineage.json"), "w") as fh:
+            json.dump(lineage, fh, indent=1)
+        all_metrics.append(metrics)
+    return {"start_wave": start, "metrics": all_metrics,
+            "checkpoint_dir": cfg.checkpoint_dir}
+
+
+def read_fetch_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    return spark.read.parquet(os.path.join(cfg.checkpoint_dir, "wave=*",
+                                           "fetch_log"))

@@ -1,0 +1,94 @@
+"""Deterministic synthetic web graph for the crawl pipeline.
+
+The sandbox has no network (and the driver brief forbids external
+data), so the "web" is a pure function of the url — identical at any
+parallelism level, in the Spark fetch simulator and in the
+single-process oracle (tests/oracle/crawl_oracle.py). Everything here
+is plain Python shared by both sides; the frontier LOGIC (ordering,
+seen-set, politeness) is what the oracle reimplements independently.
+
+Graph spec (universe U pages, ids 0..U-1):
+
+* host(i)   = 0 if i%3==0 else i%10          (skewed: host0 ~ 40%)
+* path(i)   = /private/doc/i if i%11==0 else /doc/i
+* url(i)    = https://host{host}.example{path}
+* links(i)  = (i*7+3) % 6 outlinks; target(i,k) = (i*31+k*17+7) % U
+* href form (exercises canonicalization):
+    k%3==0 -> relative  "{path(j)}#s{k}"
+    k%3==1 -> shouting  "HTTPS://HOST{h}.EXAMPLE:443{path(j)}#s{k}"
+    else   -> canonical "https://host{h}.example{path(j)}"
+  All three canonicalize to url(j).
+* robots: host h denies prefix /private/ iff h % 7 == 0 (hosts 0, 7).
+"""
+
+from __future__ import annotations
+
+import re
+
+N_HOSTS = 10
+DENY_PREFIX = "/private/"
+
+
+def host_of(i: int) -> int:
+    return 0 if i % 3 == 0 else i % N_HOSTS
+
+
+def path_of(i: int) -> str:
+    return f"/private/doc/{i}" if i % 11 == 0 else f"/doc/{i}"
+
+
+def url_of(i: int) -> str:
+    return f"https://host{host_of(i)}.example{path_of(i)}"
+
+
+def n_links(i: int) -> int:
+    return (i * 7 + 3) % 6
+
+
+def link_target(i: int, k: int, universe: int) -> int:
+    return (i * 31 + k * 17 + 7) % universe
+
+
+def href_of(i: int, k: int, universe: int) -> str:
+    j = link_target(i, k, universe)
+    h = host_of(j)
+    if k % 3 == 0:
+        return f"{path_of(j)}#s{k}"
+    if k % 3 == 1:
+        return f"HTTPS://HOST{h}.EXAMPLE:443{path_of(j)}#s{k}"
+    return url_of(j)
+
+
+_ID_RE = re.compile(r"/doc/(\d+)$")
+
+
+def id_of_url(url: str) -> int:
+    m = _ID_RE.search(url)
+    if not m:
+        raise ValueError(f"not a graph url: {url}")
+    return int(m.group(1))
+
+
+def gen_html(url: str, universe: int) -> str:
+    """Simulated fetch: the page body for ``url``. Pure function."""
+    i = id_of_url(url)
+    parts = [f'<doc><title>Doc {i}</title><p id="p{i}">body of page {i} '
+             f"on host {host_of(i)}</p>"]
+    for k in range(n_links(i)):
+        parts.append(f'<a href="{href_of(i, k, universe)}">L{i}-{k}</a>')
+    parts.append("</doc>")
+    return "".join(parts)
+
+
+def expected_canonical_links(i: int, universe: int) -> list[str]:
+    """Canonical outlink urls of page i (with duplicates, link order)."""
+    return [url_of(link_target(i, k, universe)) for k in range(n_links(i))]
+
+
+def robots_denied(url: str) -> bool:
+    """True if the graph's robots rules deny this url."""
+    m = re.match(r"https://host(\d+)\.example(/.*)$", url)
+    if not m:
+        return False
+    h, path = int(m.group(1)), m.group(2)
+    return h % 7 == 0 and path.startswith(DENY_PREFIX)

@@ -1,0 +1,120 @@
+"""Single-process crawl oracle — defines the expected crawl ordering
+and URL-seen membership (BASELINE.json north_rule: "matching the
+reference crawl ordering ... given the same seed list and politeness
+budget"; cuphic has no crawler, so this oracle IS the reference).
+
+Deliberately independent of the Spark implementation: plain Python
+sets/sorted lists, its own canonicalization (urllib), its own robots
+logic, its own link extraction (regex over the generated html). Only
+the web-graph spec (cuphic_spark.frontier.webgraph) is shared — it is
+the simulated *input*, not frontier logic.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+from cuphic_spark.frontier import webgraph
+
+_HREF_RE = re.compile(r'<a href="([^"]*)"')
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize(href: str, base: str) -> str:
+    absolute = urljoin(base, href)
+    parts = urlsplit(absolute)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host if port in (None, _DEFAULT_PORTS.get(scheme)) \
+        else f"{host}:{port}"
+    return urlunsplit((scheme, netloc, parts.path or "/", parts.query, ""))
+
+
+def score(url: str, depth: int, is_seed: bool) -> int:
+    url_id = int(re.search(r"(\d+)$", url).group(1))
+    return (10000 - 1000 * min(depth, 9)) + url_id % 7 \
+        + (5000 if is_seed else 0)
+
+
+def host_of_url(url: str) -> str:
+    return re.match(r"^[a-z]+://([^/:?#]+)", url).group(1)
+
+
+def path_of_url(url: str) -> str:
+    m = re.match(r"^[a-z]+://[^/]+(/[^#?]*)", url)
+    return m.group(1) if m else "/"
+
+
+def robots_deny(url: str) -> bool:
+    m = re.match(r"host(\d+)\.example$", host_of_url(url))
+    return (m is not None and int(m.group(1)) % 7 == 0
+            and path_of_url(url).startswith(webgraph.DENY_PREFIX))
+
+
+@dataclass
+class OracleState:
+    frontier: dict = field(default_factory=dict)  # url -> (depth, score, wave)
+    seen: dict = field(default_factory=dict)      # url -> added_wave
+    fetch_log: list = field(default_factory=list)
+    metrics: list = field(default_factory=list)
+
+
+def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
+        n_waves: int) -> OracleState:
+    st = OracleState()
+    for i in range(n_seeds):
+        url = webgraph.url_of(i)
+        st.frontier[url] = (0, score(url, 0, True), 0)
+        st.seen[url] = 0
+
+    for wave in range(n_waves):
+        denied = [u for u in st.frontier if robots_deny(u)]
+        for u in denied:
+            del st.frontier[u]  # stays in seen (added at discovery)
+        eligible = sorted(st.frontier.items(),
+                          key=lambda kv: (-kv[1][1], kv[0]))
+        # politeness: per-host budget in (score desc, url asc) order
+        per_host: dict[str, int] = {}
+        budgeted = []
+        for url, (depth, sc, dw) in eligible:
+            h = host_of_url(url)
+            if per_host.get(h, 0) < budget_per_host:
+                per_host[h] = per_host.get(h, 0) + 1
+                budgeted.append((url, depth, sc))
+        scheduled = budgeted[:wave_cap]
+
+        links: dict[str, int] = {}
+        total_links = 0
+        total_bytes = 0
+        for rank, (url, depth, sc) in enumerate(scheduled, start=1):
+            html = webgraph.gen_html(url, universe)
+            total_bytes += len(html.encode())
+            st.fetch_log.append({
+                "wave": wave, "rank_in_wave": rank, "url": url,
+                "host": host_of_url(url), "depth": depth, "score": sc,
+                "bytes": len(html.encode()),
+            })
+            for href in _HREF_RE.findall(html):
+                canon = canonicalize(href, url)
+                links[canon] = links.get(canon, 0) + 1
+                total_links += 1
+
+        new_urls = [u for u in links
+                    if u not in st.seen and u not in st.frontier]
+        for url, depth, sc in scheduled:
+            del st.frontier[url]
+        for u in new_urls:
+            st.frontier[u] = (wave + 1, score(u, wave + 1, False), wave + 1)
+            st.seen[u] = wave + 1
+
+        st.metrics.append({
+            "wave": wave, "scheduled": len(scheduled),
+            "fetched": len(scheduled), "denied": len(denied),
+            "links_total": total_links, "links_distinct": len(links),
+            "new_urls": len(new_urls),
+            "dupes": len(links) - len(new_urls), "bytes": total_bytes,
+        })
+    return st
