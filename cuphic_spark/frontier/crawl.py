@@ -62,6 +62,8 @@ class CrawlConfig:
     partitions: int = 8           # seen/frontier partition count
     bloom_bits: int = 1 << 20
     use_bloom: bool = True
+    bloom_min_seen: int = 50_000  # skip bloom build below this (the
+    # prefilter only pays once the seen table dwarfs the candidates)
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
     extra: dict = field(default_factory=dict)
 
@@ -108,24 +110,26 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
         F.lit(0).alias("discovered_wave"))
 
 
-def _fetch(pages: DataFrame, universe: int) -> DataFrame:
-    """Simulated fetch: url -> html bytes (Arrow-batched)."""
+def _fetch(scheduled: DataFrame, universe: int) -> DataFrame:
+    """Simulated fetch: adds html+bytes columns IN PLACE (Arrow-
+    batched, carries all scheduling columns through — no join back)."""
     import pandas as pd
 
-    schema = T.StructType([
-        T.StructField("url", T.StringType()),
+    schema = T.StructType(scheduled.schema.fields + [
         T.StructField("html", T.BinaryType()),
+        T.StructField("bytes", T.LongType()),
     ])
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame({
-                "url": pdf["url"],
-                "html": [webgraph.gen_html(u, universe).encode()
-                         for u in pdf["url"]],
-            })
+            pdf = pdf.copy()
+            html = [webgraph.gen_html(u, universe).encode()
+                    for u in pdf["url"]]
+            pdf["html"] = html
+            pdf["bytes"] = [len(h) for h in html]
+            yield pdf
 
-    return pages.select("url").mapInPandas(gen, schema)
+    return scheduled.mapInPandas(gen, schema)
 
 
 def _extract_links(fetched: DataFrame) -> DataFrame:
@@ -142,40 +146,54 @@ def _extract_links(fetched: DataFrame) -> DataFrame:
 
 
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
-             frontier: DataFrame, seen: DataFrame):
-    """Returns (frontier_next, seen_next, fetch_log, metrics_row)."""
+             frontier: DataFrame, seen: DataFrame,
+             n_seen_hint: int | None = None):
+    """Returns (frontier_next, seen_next, fetch_log, metrics_row).
+
+    Action budget per wave (Spark jobs are the crawl's fixed cost):
+    one count on the cached fetched set, one aggregate over the cached
+    distinct links, one count of new urls — everything else happens
+    inside the three checkpoint writes in crawl().
+    """
     robots = robots_rules(spark)
     fr = frontier.withColumn("path", path_col(F.col("url")))
 
     joined = fr.join(F.broadcast(robots), "host", "left")
-    denied = joined.where(
-        F.col("deny_prefix").isNotNull()
-        & F.col("path").startswith(F.col("deny_prefix")))
-    eligible = joined.where(
-        F.col("deny_prefix").isNull()
-        | ~F.col("path").startswith(F.col("deny_prefix"))
-    ).drop("deny_prefix", "path")
+    is_denied = (F.col("deny_prefix").isNotNull()
+                 & F.col("path").startswith(F.col("deny_prefix")))
+    denied = joined.where(is_denied)
+    eligible = joined.where(~is_denied).drop("deny_prefix", "path")
 
     w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
     budgeted = (eligible.withColumn("host_rank", F.row_number().over(w_host))
                 .where(F.col("host_rank") <= cfg.budget_per_host)
                 .drop("host_rank"))
-    # global top-W: TakeOrdered (sort + limit fuses; no full sort at scale)
+    # global top-W: sort+limit fuses to TakeOrdered (no full sort at scale)
     scheduled = (budgeted.orderBy(F.desc("score"), F.asc("url"))
                  .limit(cfg.wave_cap)
                  .withColumn("rank_in_wave", F.row_number().over(
-                     Window.orderBy(F.desc("score"), F.asc("url"))))
-                 .cache())
+                     Window.orderBy(F.desc("score"), F.asc("url")))))
 
-    fetched = _fetch(scheduled, cfg.universe)
-    fetched_pages = fetched.withColumn("bytes", F.length("html")).cache()
+    # fetch carries scheduling columns through — fetch_log needs no join
+    fetched = _fetch(scheduled, cfg.universe).cache()
+    agg = fetched.agg(F.count("*").alias("n"),
+                      F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
+                      ).collect()[0]
+    n_scheduled, total_bytes = agg.n, agg.b
 
-    links = _extract_links(fetched_pages)
+    links = _extract_links(fetched.select("url", "html"))
     canon = links.select(
         canonicalize_cols(F.col("href"), F.col("base_url")).alias("url"))
-    distinct_links = canon.groupBy("url").agg(F.count("*").alias("n_refs"))
+    distinct_links = canon.groupBy("url").agg(
+        F.count("*").alias("n_refs")).cache()
+    link_agg = distinct_links.agg(
+        F.count("*").alias("d"),
+        F.coalesce(F.sum("n_refs"), F.lit(0)).alias("t")).collect()[0]
+    n_links_distinct, n_links_total = link_agg.d, link_agg.t
 
-    bloom = build_bloom(seen, cfg.bloom_bits) if cfg.use_bloom else None
+    use_bloom = cfg.use_bloom and (
+        n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
+    bloom = build_bloom(seen, cfg.bloom_bits) if use_bloom else None
     new_urls = filter_new_urls(distinct_links, seen, bloom, cfg.bloom_bits)
     # also not already pending in the frontier
     new_urls = new_urls.join(frontier.select("url"), "url", "left_anti")
@@ -186,35 +204,33 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         F.lit(wave + 1).alias("depth"),
         score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
                    F.lit(wave + 1), False).alias("score"),
-        F.lit(wave + 1).alias("discovered_wave"))
+        F.lit(wave + 1).alias("discovered_wave")).cache()
+    n_new = new_rows.count()
+    n_denied = denied.count()
 
-    frontier_next = (eligible.join(scheduled.select("url"), "url", "left_anti")
-                     .select("url", "host", "depth", "score", "discovered_wave")
-                     .unionByName(new_rows))
+    frontier_next = (eligible.join(
+        fetched.select("url"), "url", "left_anti")
+        .select("url", "host", "depth", "score", "discovered_wave")
+        .unionByName(new_rows))
     # every frontier url is already in seen (added at discovery), so
     # denied rows need no re-insert; seen grows only by new discoveries
     seen_next = seen.unionByName(new_rows.select(
         "url", F.lit(wave + 1).alias("added_wave")))
 
-    fetch_log = (scheduled
-                 .join(fetched_pages.select("url", "bytes"), "url")
-                 .select(F.lit(wave).alias("wave"), "rank_in_wave", "url",
-                         "host", "depth", "score", "bytes"))
+    fetch_log = fetched.select(
+        F.lit(wave).alias("wave"), "rank_in_wave", "url",
+        "host", "depth", "score", "bytes")
 
-    n_scheduled = scheduled.count()
-    n_links_total = links.count()
-    n_links_distinct = distinct_links.count()
-    n_new = new_rows.count()
     metrics = {
         "wave": wave,
         "scheduled": n_scheduled,
         "fetched": n_scheduled,
-        "denied": denied.count(),
+        "denied": n_denied,
         "links_total": n_links_total,
         "links_distinct": n_links_distinct,
         "new_urls": n_new,
         "dupes": n_links_distinct - n_new,
-        "bytes": (fetched_pages.agg(F.sum("bytes")).collect()[0][0] or 0),
+        "bytes": total_bytes,
     }
     return frontier_next, seen_next, fetch_log, metrics
 
@@ -261,6 +277,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     if start == 0:
         frontier = seed_frontier(spark, cfg)
         seen = frontier.select("url", F.lit(0).alias("added_wave"))
+        n_seen = cfg.n_seeds
     else:
         prev = _wave_dir(cfg, start - 1)
         frontier = spark.read.schema(
@@ -268,13 +285,15 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 os.path.join(prev, "frontier")).drop("part")
         seen = spark.read.schema(SEEN_SCHEMA + ", part int").parquet(
             os.path.join(prev, "seen")).drop("part")
+        n_seen = seen.count()  # parquet footer count — cheap
 
     all_metrics = []
     for wave in range(start, cfg.n_waves):
         frontier.cache()
         seen.cache()
         fnext, snext, fetch_log, metrics = run_wave(
-            spark, cfg, wave, frontier, seen)
+            spark, cfg, wave, frontier, seen, n_seen_hint=n_seen)
+        n_seen += metrics["new_urls"]
         d = _wave_dir(cfg, wave)
         fetch_log.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, "fetch_log"))

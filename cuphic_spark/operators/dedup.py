@@ -133,7 +133,9 @@ def simhash64(docs: DataFrame) -> DataFrame:
                     b"".join(hashlib.md5(w.encode()).digest()[:8]
                              for w in words),
                     dtype=">u8")
-                bits = ((hs[:, None] >> np.arange(64)[None, :]) & 1)
+                shifts = np.arange(64, dtype=np.uint64)
+                bits = ((hs[:, None] >> shifts[None, :])
+                        & np.uint64(1)).astype(np.int64)
                 vote = bits.sum(axis=0) * 2 - len(words)
                 sim = int(((vote > 0).astype(np.uint64)
                            << np.arange(64, dtype=np.uint64)).sum())
