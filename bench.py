@@ -108,7 +108,9 @@ def main() -> None:
 
     # 6. crawl waves (schedule + fetch + extract + discover + checkpoint)
     crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
-    cfg = CrawlConfig(universe=1_000_000, n_seeds=256, budget_per_host=1024,
+    cfg = CrawlConfig(universe=1_000_000,
+                      n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS", "4096")),
+                      budget_per_host=2048,
                       wave_cap=wave_cap, n_waves=waves,
                       checkpoint_dir=crawl_dir, partitions=max(cpus, 8))
     t0 = time.perf_counter()

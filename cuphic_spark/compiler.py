@@ -183,14 +183,45 @@ def bindings_expr(cp: CompiledPattern) -> Column:
     return F.map_filter(m, lambda _k, v: v.isNotNull())
 
 
-def match_nodes(nodes: DataFrame, compiled: list[CompiledPattern]) -> DataFrame:
-    """Relational scrape: one shared scan of ``nodes``, per-pattern
-    filter+project, unioned long-format matches. Catalyst merges the
-    scans; each branch's head filter pushes into the parquet read."""
+def match_nodes(nodes: DataFrame,
+                compiled: list[CompiledPattern]) -> DataFrame:
+    """Relational scrape as ONE shared scan (the reference's
+    multi-pattern juxt, cuphic.cljc:401-405): every pattern's
+    head-check and bindings are evaluated per row into an array of
+    (pattern_key, bindings) entries, nulls filtered, then exploded to
+    long format. A union-of-branches plan would re-execute the
+    upstream parse once per pattern; this executes it exactly once
+    regardless of pattern count."""
+    for cp in compiled:
+        if cp.strategy != "relational":
+            raise ValueError(
+                f"pattern {cp.key} needs the kernel path: {cp.reason}")
+    entries = F.array(*[
+        F.when(head_filter(cp),
+               F.struct(F.lit(cp.key).alias("pattern_key"),
+                        bindings_expr(cp).alias("bindings")))
+        for cp in compiled
+    ])
+    hits = F.filter(entries, lambda e: e.isNotNull())
+    return (nodes
+            .select("url", "node_id", F.explode(hits).alias("m"))
+            .select("url",
+                    F.col("m.pattern_key").alias("pattern_key"),
+                    F.col("node_id"),
+                    F.col("m.bindings").alias("bindings")))
+
+
+def match_nodes_union(nodes: DataFrame,
+                      compiled: list[CompiledPattern]) -> DataFrame:
+    """Union-of-branches variant (kept for plan comparison in the
+    bench; prefer match_nodes). Each branch's head filter pushes into
+    a (materialized) parquet nodes scan independently — the right
+    shape when patterns run as SEPARATE queries over stored nodes."""
     outs = []
     for cp in compiled:
         if cp.strategy != "relational":
-            raise ValueError(f"pattern {cp.key} needs the kernel path: {cp.reason}")
+            raise ValueError(
+                f"pattern {cp.key} needs the kernel path: {cp.reason}")
         outs.append(
             nodes.where(head_filter(cp)).select(
                 F.col("url"),

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) over random Hiccup trees and
+patterns drawn from the working v1 grammar (SURVEY §5.2 layer 5)."""
+
+from hypothesis import given, settings, strategies as st
+
+from cuphic_spark.kernel.match import get_bindings, matches
+from cuphic_spark.kernel.reader import dumps, parse
+from cuphic_spark.kernel.scan import iterate_nodes, scan
+from cuphic_spark.kernel.template import apply_bindings
+from cuphic_spark.kernel.values import Keyword, Symbol
+
+TAGS = [Keyword(t) for t in ["p", "div", "span", "a", "li"]]
+ATTR_KEYS = [Keyword(k) for k in ["id", "ref", "type", "href"]]
+WORDS = ["alpha", "beta", "gamma", "", " x "]
+
+
+@st.composite
+def hiccup_trees(draw, depth=3):
+    tag = draw(st.sampled_from(TAGS))
+    attrs = draw(st.dictionaries(st.sampled_from(ATTR_KEYS),
+                                 st.sampled_from(WORDS), max_size=3))
+    n_children = draw(st.integers(0, 3)) if depth > 0 else 0
+    children = []
+    for _ in range(n_children):
+        if draw(st.booleans()) and depth > 0:
+            children.append(draw(hiccup_trees(depth=depth - 1)))
+        else:
+            children.append(draw(st.sampled_from(WORDS[:4])))
+    return [tag, attrs, *children]
+
+
+@given(hiccup_trees())
+@settings(max_examples=200, deadline=None)
+def test_catch_all_matches_every_element(tree):
+    # [_ ???] matches every element node; scan count == element count
+    pat = parse("[_ ???]")
+    n_elements = sum(1 for _ in iterate_nodes(tree))
+    rows = list(scan(tree, pat))
+    assert len(rows) == n_elements
+
+
+@given(hiccup_trees())
+@settings(max_examples=200, deadline=None)
+def test_matches_consistent_with_get_bindings(tree):
+    pat = parse("[tag {:id id} ???]")
+    b = get_bindings(pat, tree)
+    m = matches(pat, tree)
+    assert (b is None) == (m is None)
+    if b is not None:
+        assert b[Symbol("tag")] == tree[0]
+        assert b[Symbol("id")] == tree[1].get(Keyword("id"))
+
+
+@given(hiccup_trees())
+@settings(max_examples=200, deadline=None)
+def test_reader_roundtrip(tree):
+    assert parse(dumps(tree)) == tree
+
+
+@given(hiccup_trees(depth=2))
+@settings(max_examples=200, deadline=None)
+def test_identity_template_roundtrip(tree):
+    """Match a fully-variable head pattern, re-instantiate the same
+    pattern -> reconstructs the node (for nodes the pattern matches)."""
+    pat_from = parse("[tag {} x]")
+    b = get_bindings(pat_from, tree)
+    if b is not None and b.get(Symbol("x")) is not None and tree[1] == {}:
+        # (x binds nil on zero children — the nil-bind quirk — and nil
+        # bindings never substitute; {} attrs are OPEN-WORLD so identity
+        # additionally needs the node's attrs to actually be empty)
+        out = apply_bindings(b, parse("[tag {} x]"))
+        assert out == tree
+
+
+@given(st.lists(st.sampled_from(WORDS[:4]), min_size=0, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_repetition_capture_then_expand(children):
+    tree = [Keyword("l"), {}, *children]
+    b = get_bindings(parse("[:l (??? x)]"), tree)
+    assert b is not None
+    got = b.get(Symbol("x"), [])
+    assert list(got) == children
+    if children:  # expansion reproduces the children in order
+        out = apply_bindings(b, parse("[:l {} (??? x)]"))
+        assert out == tree
+
+
+@given(hiccup_trees())
+@settings(max_examples=100, deadline=None)
+def test_scan_equals_per_node_match(tree):
+    pat = parse("[:p {} ???]")
+    per_node = [nid for nid, node in iterate_nodes(tree)
+                if get_bindings(pat, node) is not None]
+    via_scan = [nid for nid, _n, res in scan(tree, pat)
+                if res[0] is not None]
+    assert per_node == via_scan

