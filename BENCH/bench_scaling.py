@@ -23,7 +23,16 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir)
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               # scaling needs compute to dominate fixed job overhead:
+               # 5x corpus and crawl waves big enough to amortize the
+               # per-wave scheduling cost
+               CUPHIC_BENCH_COPIES=os.environ.get(
+                   "CUPHIC_SCALING_COPIES", "100"),
+               CUPHIC_BENCH_SEEDS=os.environ.get(
+                   "CUPHIC_SCALING_SEEDS", "60000"),
+               CUPHIC_BENCH_WAVE_CAP=os.environ.get(
+                   "CUPHIC_SCALING_WAVE_CAP", "60000"))
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, check=True)

@@ -195,6 +195,41 @@ def q_minhash_signature(spark, sf_dir):
     return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=4)
 
 
+def q_crawl_fetch_log(spark, sf_dir):
+    """Deterministic 3-wave crawl; returns the full fetch log (the
+    'crawl ordering' artifact the oracle pins in tests/test_frontier).
+    Not SQL-expressible (iterative) -> driver records rows-only."""
+    import tempfile
+
+    from cuphic_spark.frontier.crawl import CrawlConfig, crawl, read_fetch_log
+
+    d = tempfile.mkdtemp(prefix="cuphic_gate_crawl_")
+    cfg = CrawlConfig(universe=5000, n_seeds=12, budget_per_host=4,
+                      wave_cap=24, n_waves=3, checkpoint_dir=d)
+    crawl(spark, cfg)
+    return (read_fetch_log(spark, cfg)
+            .select("wave", "rank_in_wave", "url", "depth", "score", "bytes")
+            .orderBy("wave", "rank_in_wave"))
+
+
+def q_tei_scrape_kernel(spark, sf_dir):
+    """The reference's own golden corpus through the KERNEL (Arrow)
+    path — per-pattern match counts (pytest pins exact values; the
+    gate records rows + schema)."""
+    from cuphic_spark.operators.parse import scrape_pages
+    from cuphic_spark.sources.tei import tei_pages
+
+    pats = {
+        "all-tags": "[tag ???]",
+        "p": "[:p {:xml/id ?id} ???]",
+        "persName": "[:persName {:ref ref :type ?type} full-name]",
+        "items": "[:item (... item-content)]",
+    }
+    return (scrape_pages(tei_pages(spark), pats)
+            .groupBy("pattern_key")
+            .agg(F.count("*").alias("n_matches")))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.where(F.col("vec_id") < 3)
@@ -223,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "ann_topk": q_ann_topk,
+        # rows-only (non-SQL-expressible: iterative / kernel-path)
+        "crawl_fetch_log": q_crawl_fetch_log,
+        "tei_scrape_kernel": q_tei_scrape_kernel,
     }
 
 

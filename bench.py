@@ -57,7 +57,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
-    pages = synth_pages(spark, sf_dir, copies)
+    # Materialize the corpus with a FIXED 64-way file layout so every
+    # parallelism level reads identical input with >= 64 scan tasks
+    # (a single parquet file would serialize the whole pipeline on one
+    # task and mask scaling entirely).
+    n_input_parts = int(os.environ.get("CUPHIC_BENCH_INPUT_PARTS", "64"))
+    pages = synth_pages(spark, sf_dir, copies).repartition(n_input_parts)
     pages.write.mode("overwrite").parquet("/tmp/cuphic_bench_pages")
     pages = spark.read.parquet("/tmp/cuphic_bench_pages")
     n_pages = pages.count()
@@ -110,7 +115,8 @@ def main() -> None:
     crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
     cfg = CrawlConfig(universe=1_000_000,
                       n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS", "4096")),
-                      budget_per_host=2048,
+                      budget_per_host=int(
+                          os.environ.get("CUPHIC_BENCH_BUDGET", "8192")),
                       wave_cap=wave_cap, n_waves=waves,
                       checkpoint_dir=crawl_dir, partitions=max(cpus, 8))
     t0 = time.perf_counter()

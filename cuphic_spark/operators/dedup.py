@@ -50,14 +50,20 @@ def minhash_signature(docs: DataFrame, k: int = 3,
                       n_hashes: int = 4) -> DataFrame:
     """MinHash over k-word shingles. Hash family h_j(s) =
     md5(j || ':' || s) (hex strings compare lexicographically =
-    numerically). Returns doc_id + minhash_0..n-1. Pure expressions."""
+    numerically). Returns doc_id + minhash_0..n-1.
+
+    Physical shape: explode shingles once, then group-min per doc —
+    the shingle array is built ONCE (an array_min-per-hash projection
+    would rebuild it n_hashes times), and the groupBy gets map-side
+    partial aggregation, so the shuffle carries only one row per
+    (doc, hash) pair worth of state."""
     sh = _shingles(F.col("text"), k)
-    cols = [F.col("doc_id")]
-    for j in range(n_hashes):
-        mh = F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
-        cols.append(mh.alias(f"minhash_{j}"))
-    return docs.where(F.size(F.split(F.col("text"), " ")) >= k).select(*cols)
+    exploded = (docs
+                .where(F.size(F.split(F.col("text"), " ")) >= k)
+                .select("doc_id", F.explode(sh).alias("s")))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))))
+            .alias(f"minhash_{j}") for j in range(n_hashes)]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
