@@ -195,6 +195,63 @@ def q_minhash_signature(spark, sf_dir):
     return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=4)
 
 
+def q_fingerprint(spark, sf_dir):
+    from cuphic_spark.operators.textstats import fingerprint
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact 3-gram Jaccard for consecutive doc pairs (the verify
+    stage of the near-dup pipeline, self-contained candidates)."""
+    from cuphic_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir)
+    cand = (docs.select(F.col("doc_id").alias("doc_a"),
+                        (F.col("doc_id") + 1).alias("doc_b"))
+            .join(docs.select(F.col("doc_id").alias("doc_b")), "doc_b"))
+    return ngram_jaccard_pairs(docs, cand.select("doc_a", "doc_b"))
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) — lag + running sum
+    windows; returns sessions per user."""
+    from pyspark.sql import Window
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap compare (unix_timestamp would truncate to
+    # seconds and disagree with the oracle at the boundary)
+    gap = (F.unix_micros("ts")
+           - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000).cast("int")
+    sess = events.withColumn(
+        "new_sess", F.coalesce(gap, F.lit(1)))
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    sess = sess.withColumn("session_id", F.sum("new_sess").over(wsum))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def q_quality_by_lang(spark, sf_dir):
+    """Quality gate joined back to documents, aggregated per lang —
+    the filter-chain shape of a training-data pipeline."""
+    from cuphic_spark.operators.textstats import quality_score
+    docs = _docs(spark, sf_dir)
+    qs = quality_score(docs)
+    return (docs.select("doc_id", "lang")
+            .join(qs.select("doc_id", "quality_pass"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("quality_pass").cast("long").alias("n_pass")))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash via the numpy Arrow kernel (rows-only check — the
+    bit-twiddling has no clean DuckDB twin; near-dup behaviour is
+    pinned by pytest)."""
+    from cuphic_spark.operators.dedup import simhash64
+    return simhash64(_docs(spark, sf_dir))
+
+
 def q_crawl_fetch_log(spark, sf_dir):
     """Deterministic 3-wave crawl; returns the full fetch log (the
     'crawl ordering' artifact the oracle pins in tests/test_frontier).
@@ -258,7 +315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "ann_topk": q_ann_topk,
-        # rows-only (non-SQL-expressible: iterative / kernel-path)
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "event_sessions": q_event_sessions,
+        "quality_by_lang": q_quality_by_lang,
+        # rows-only (non-SQL-expressible: iterative / kernel-path / numpy)
+        "simhash": q_simhash,
         "crawl_fetch_log": q_crawl_fetch_log,
         "tei_scrape_kernel": q_tei_scrape_kernel,
     }
@@ -383,6 +445,61 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "lang_id": lang_id_oracle_sql(),
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   list_reduce(
+                     list_transform(string_split(substr(text, 1, 32), ''),
+                                    c -> ascii(c)::BIGINT),
+                     (a, b) -> (a * 31 + b) % 2147483648)::BIGINT
+                     AS rolling_hash
+            FROM documents
+        """,
+        "ngram_jaccard_adjacent": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[(i+1):(i+3)], ' '))) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ((len(list_intersect(a.s, b.s)) * 1000)
+                    // len(list_distinct(list_concat(a.s, b.s))))::INTEGER
+                     AS jaccard_milli
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "event_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+              FROM s
+            )
+            SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM numbered GROUP BY user_id
+        """,
+        "quality_by_lang": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN n_words >= 20 AND n_words <= 80
+                            AND floor((n_chars - (n_words - 1)) * 10.0
+                                      / n_words) <= 80
+                            THEN 1 ELSE 0 END)::BIGINT AS n_pass
+            FROM (SELECT lang, len(string_split(text, ' ')) AS n_words,
+                         length(text) AS n_chars FROM documents)
+            GROUP BY lang
+        """,
         "minhash_signature": """
             SELECT doc_id,
                    list_aggregate(list_transform(sh, s -> md5('0:' || s)),

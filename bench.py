@@ -54,6 +54,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark(app_name="cuphic-bench", cores=cpus)
+    # The miniature corpus compresses to ~tens of MB; default 128MB
+    # maxPartitionBytes would bin it into ~8 scan partitions and cap
+    # parallelism regardless of cores (at 100TB real row groups give
+    # this granularity for free — here we size it explicitly).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
@@ -67,7 +73,10 @@ def main() -> None:
     pages = spark.read.parquet("/tmp/cuphic_bench_pages")
     n_pages = pages.count()
 
-    def timed(name, fn, warm: bool = False):
+    # every section runs once discarded (codegen compile, classload,
+    # python-worker spawn) then once timed — the BASELINE.md protocol;
+    # one-time JVM warmup would otherwise dominate and mask scaling
+    def timed(name, fn, warm: bool = True):
         if warm:
             fn()
         t0 = time.perf_counter()
@@ -112,6 +121,12 @@ def main() -> None:
           lambda: inner_product_topk_quantized(emb, queries, k=10).collect())
 
     # 6. crawl waves (schedule + fetch + extract + discover + checkpoint)
+    # discarded mini-crawl first: warms the wave machinery end-to-end
+    warm_dir = tempfile.mkdtemp(prefix="cuphic_bench_warm_")
+    crawl(spark, CrawlConfig(universe=10_000, n_seeds=64, budget_per_host=64,
+                             wave_cap=64, n_waves=1, checkpoint_dir=warm_dir))
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
     cfg = CrawlConfig(universe=1_000_000,
                       n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS", "4096")),

@@ -174,6 +174,11 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                  .withColumn("rank_in_wave", F.row_number().over(
                      Window.orderBy(F.desc("score"), F.asc("url")))))
 
+    # the global rank window collapses to one partition; fan back out
+    # so fetch+parse of the wave runs partition-parallel (rank is
+    # already assigned, so redistribution cannot change any output)
+    scheduled = scheduled.repartition(cfg.partitions, "url")
+
     # fetch carries scheduling columns through — fetch_log needs no join
     fetched = _fetch(scheduled, cfg.universe).cache()
     agg = fetched.agg(F.count("*").alias("n"),

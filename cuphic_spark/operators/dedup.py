@@ -105,9 +105,11 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
                 .withColumnRenamed("sh", "sh_b"), "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # explicit floor: integer-exact across engines (double->int casts
+    # truncate in Spark but round in DuckDB)
     return ab.select(
         "doc_a", "doc_b",
-        (inter * 1000 / union).cast("int").alias("jaccard_milli"),
+        F.floor(inter * 1000 / union).cast("int").alias("jaccard_milli"),
     )
 
 
