@@ -76,12 +76,19 @@ def main() -> None:
     # every section runs once discarded (codegen compile, classload,
     # python-worker spawn) then once timed — the BASELINE.md protocol;
     # one-time JVM warmup would otherwise dominate and mask scaling
+    reps = int(os.environ.get("CUPHIC_BENCH_REPS", "1"))
+
     def timed(name, fn, warm: bool = True):
         if warm:
             fn()
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        out = None
+        for _ in range(reps):  # min-of-N: the box has noisy neighbors
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # 1. extraction (byte-identity op over every page)

@@ -167,12 +167,38 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
     budgeted = (eligible.withColumn("host_rank", F.row_number().over(w_host))
                 .where(F.col("host_rank") <= cfg.budget_per_host)
-                .drop("host_rank"))
-    # global top-W: sort+limit fuses to TakeOrdered (no full sort at scale)
-    scheduled = (budgeted.orderBy(F.desc("score"), F.asc("url"))
-                 .limit(cfg.wave_cap)
-                 .withColumn("rank_in_wave", F.row_number().over(
-                     Window.orderBy(F.desc("score"), F.asc("url")))))
+                .drop("host_rank")).cache()
+
+    # Global top-W WITHOUT TakeOrdered (orderBy+limit would merge
+    # W rows x partitions single-threaded on the driver — at W=10^5+
+    # that serializes the wave). Scores are coarse by construction, so:
+    # tiny score histogram to the driver -> cumulative offsets ->
+    # per-score windows ordered by url (distributed across score
+    # groups) -> global rank = offset + in-group rank. Identical total
+    # order (score desc, url asc), no driver merge.
+    hist = sorted(((r["score"], r["cnt"]) for r in
+                   budgeted.groupBy("score").agg(
+                       F.count("*").alias("cnt")).collect()),
+                  key=lambda x: -x[0])
+    offsets = {}
+    cum = 0
+    for s, c in hist:
+        if cum >= cfg.wave_cap:
+            break
+        offsets[s] = cum
+        cum += c
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv])
+        w_score = Window.partitionBy("score").orderBy(F.asc("url"))
+        scheduled = (budgeted
+                     .where(F.col("score").isin(list(offsets)))
+                     .withColumn("rank_in_wave",
+                                 (F.element_at(offset_map, F.col("score"))
+                                  + F.row_number().over(w_score)).cast("int"))
+                     .where(F.col("rank_in_wave") <= cfg.wave_cap))
+    else:
+        scheduled = budgeted.withColumn("rank_in_wave", F.lit(0)).limit(0)
 
     # the global rank window collapses to one partition; fan back out
     # so fetch+parse of the wave runs partition-parallel (rank is
@@ -219,8 +245,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         .unionByName(new_rows))
     # every frontier url is already in seen (added at discovery), so
     # denied rows need no re-insert; seen grows only by new discoveries
-    seen_next = seen.unionByName(new_rows.select(
-        "url", F.lit(wave + 1).alias("added_wave")))
+    # -> the wave emits a DELTA, never a rewritten snapshot (rewriting
+    # a 10^10-row seen table every wave is the scale killer)
+    seen_delta = new_rows.select("url",
+                                 F.lit(wave + 1).alias("added_wave"))
 
     fetch_log = fetched.select(
         F.lit(wave).alias("wave"), "rank_in_wave", "url",
@@ -237,7 +265,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         "dupes": n_links_distinct - n_new,
         "bytes": total_bytes,
     }
-    return frontier_next, seen_next, fetch_log, metrics
+    return frontier_next, seen_delta, fetch_log, metrics
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -245,11 +273,16 @@ def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
 
 
 def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
-                       salt: bool = False):
+                       salt: bool = False, dir_partitioned: bool = True):
     """Frontier/seen snapshots: partitioned by pmod(xxhash64(host),P)
     (+ optional intra-host salt for skewed hosts), score-sorted within
     partitions — the 'priority queue as host-salted, score-sorted
-    partitions' of the north rule."""
+    partitions' of the north rule.
+
+    dir_partitioned=False keeps `part` as a data column (flat layout)
+    — required for the seen DELTA dirs, which are read as a multi-root
+    union (partition-directory inference would see conflicting
+    structures across roots)."""
     part = F.pmod(F.xxhash64("host"), F.lit(cfg.partitions)).cast("int")
     df = df.withColumn("part", part)
     if salt:
@@ -258,9 +291,12 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
             F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int"))
     sort_keys = ([F.desc("score"), F.asc("url")]
                  if "score" in df.columns else [F.asc("url")])
-    (df.repartition(cfg.partitions, "part")
-       .sortWithinPartitions(*sort_keys)
-       .write.mode("overwrite").partitionBy("part").parquet(path))
+    writer = (df.repartition(cfg.partitions, "part")
+              .sortWithinPartitions(*sort_keys)
+              .write.mode("overwrite"))
+    if dir_partitioned:
+        writer = writer.partitionBy("part")
+    writer.parquet(path)
 
 
 def last_complete_wave(cfg: CrawlConfig) -> int:
@@ -276,46 +312,69 @@ def last_complete_wave(cfg: CrawlConfig) -> int:
     return w
 
 
+def _seen_delta_paths(cfg: CrawlConfig, upto_wave: int) -> list[str]:
+    """Seed delta + per-wave discovery deltas — the seen table is the
+    UNION of immutable delta snapshots (append-only; a snapshot
+    rewrite per wave would be O(|seen|) and unsustainable at 10^10).
+    Compaction of old deltas is an offline maintenance job (knob, not
+    needed at sandbox scale)."""
+    paths = [os.path.join(cfg.checkpoint_dir, "seen_seed")]
+    for w in range(0, upto_wave + 1):
+        p = os.path.join(_wave_dir(cfg, w), "seen_delta")
+        if os.path.isdir(p):
+            paths.append(p)
+    return paths
+
+
+def _read_seen(spark: SparkSession, cfg: CrawlConfig,
+               upto_wave: int) -> DataFrame:
+    return (spark.read.parquet(*_seen_delta_paths(cfg, upto_wave))
+            .select("url", "added_wave"))
+
+
 def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     """Run (or resume) the crawl up to cfg.n_waves. Returns summary."""
     start = last_complete_wave(cfg) + 1
+    seed_path = os.path.join(cfg.checkpoint_dir, "seen_seed")
     if start == 0:
         frontier = seed_frontier(spark, cfg)
-        seen = frontier.select("url", F.lit(0).alias("added_wave"))
+        _partitioned_write(
+            frontier.select("url", F.lit(0).alias("added_wave"),
+                            F.col("host")), seed_path, cfg,
+            dir_partitioned=False)
+        seen = _read_seen(spark, cfg, -1)
         n_seen = cfg.n_seeds
     else:
         prev = _wave_dir(cfg, start - 1)
         frontier = spark.read.schema(
             FRONTIER_SCHEMA + ", part int").parquet(
                 os.path.join(prev, "frontier")).drop("part")
-        seen = spark.read.schema(SEEN_SCHEMA + ", part int").parquet(
-            os.path.join(prev, "seen")).drop("part")
+        seen = _read_seen(spark, cfg, start - 1)
         n_seen = seen.count()  # parquet footer count — cheap
 
     all_metrics = []
     for wave in range(start, cfg.n_waves):
         frontier.cache()
-        seen.cache()
-        fnext, snext, fetch_log, metrics = run_wave(
+        fnext, seen_delta, fetch_log, metrics = run_wave(
             spark, cfg, wave, frontier, seen, n_seen_hint=n_seen)
         n_seen += metrics["new_urls"]
         d = _wave_dir(cfg, wave)
         fetch_log.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, "fetch_log"))
         _partitioned_write(fnext, os.path.join(d, "frontier"), cfg, salt=True)
-        snext_h = snext.withColumn("host", host_col(F.col("url")))
         _partitioned_write(
-            snext_h.select("url", "added_wave", F.col("host")),
-            os.path.join(d, "seen"), cfg)
-        # re-read the committed snapshots (truncates lineage, frees cache)
+            seen_delta.withColumn("host", host_col(F.col("url")))
+            .select("url", "added_wave", "host"),
+            os.path.join(d, "seen_delta"), cfg, dir_partitioned=False)
+        # re-read committed state (truncates lineage, frees cache)
         frontier = spark.read.parquet(os.path.join(d, "frontier")) \
             .select("url", "host", "depth", "score", "discovered_wave")
-        seen = spark.read.parquet(os.path.join(d, "seen")) \
-            .select("url", "added_wave")
+        seen = _read_seen(spark, cfg, wave)
         lineage = {
             "wave": wave,
             "input_wave_dir": _wave_dir(cfg, wave - 1) if wave else "seeds",
             "partitions": cfg.partitions,
+            "seen_deltas": _seen_delta_paths(cfg, wave),
             "metrics": metrics,
             "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
                        "budget_per_host": cfg.budget_per_host,

@@ -51,11 +51,11 @@ def test_metrics_match_oracle(spark_crawl, oracle_state):
 
 
 def test_seen_set_matches_oracle(spark, spark_crawl, oracle_state):
+    from cuphic_spark.frontier.crawl import _read_seen
+
     cfg, _ = spark_crawl
-    import os
     last = last_complete_wave(cfg)
-    seen = spark.read.parquet(
-        os.path.join(cfg.checkpoint_dir, f"wave={last:05d}", "seen"))
+    seen = _read_seen(spark, cfg, last)
     rows = {r.url: r.added_wave for r in seen.collect()}
     assert rows == oracle_state.seen
 
