@@ -218,9 +218,11 @@ def q_event_sessions(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap compare (unix_timestamp would truncate to
-    # seconds and disagree with the oracle at the boundary)
-    gap = (F.unix_micros("ts")
-           - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000).cast("int")
+    # seconds and disagree with the oracle at the boundary); events.ts
+    # is TIMESTAMP_NTZ — cast under the UTC session tz is value-exact
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = (us(F.col("ts"))
+           - us(F.lag("ts").over(w)) > 1800 * 1_000_000).cast("int")
     sess = events.withColumn(
         "new_sess", F.coalesce(gap, F.lit(1)))
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
