@@ -64,6 +64,8 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_min_seen: int = 50_000  # skip bloom build below this (the
     # prefilter only pays once the seen table dwarfs the candidates)
+    use_cuckoo: bool = True       # partition-local cuckoo shard prune
+    cuckoo_min_seen: int = 50_000
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
     extra: dict = field(default_factory=dict)
 
@@ -147,7 +149,8 @@ def _extract_links(fetched: DataFrame) -> DataFrame:
 
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              frontier: DataFrame, seen: DataFrame,
-             n_seen_hint: int | None = None):
+             n_seen_hint: int | None = None,
+             cuckoo_shards: DataFrame | None = None):
     """Returns (frontier_next, seen_next, fetch_log, metrics_row).
 
     Action budget per wave (Spark jobs are the crawl's fixed cost):
@@ -225,7 +228,25 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     use_bloom = cfg.use_bloom and (
         n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
     bloom = build_bloom(seen, cfg.bloom_bits) if use_bloom else None
-    new_urls = filter_new_urls(distinct_links, seen, bloom, cfg.bloom_bits)
+
+    candidates = distinct_links
+    use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
+                  and (n_seen_hint is None
+                       or n_seen_hint >= cfg.cuckoo_min_seen))
+    if use_cuckoo:
+        # partition-local prune: candidates flagged definitely-new by
+        # their host partition's cuckoo shard skip the anti-join
+        from .seen import cuckoo_prune
+
+        flagged = cuckoo_prune(candidates, cuckoo_shards, cfg.partitions)
+        fresh = (flagged.where(~F.col("maybe_seen_cuckoo"))
+                 .drop("maybe_seen_cuckoo", "partition"))
+        to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
+                    .drop("maybe_seen_cuckoo", "partition"))
+        confirmed = filter_new_urls(to_check, seen, bloom, cfg.bloom_bits)
+        new_urls = fresh.unionByName(confirmed)
+    else:
+        new_urls = filter_new_urls(candidates, seen, bloom, cfg.bloom_bits)
     # also not already pending in the frontier
     new_urls = new_urls.join(frontier.select("url"), "url", "left_anti")
 
@@ -352,11 +373,18 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         seen = _read_seen(spark, cfg, start - 1)
         n_seen = seen.count()  # parquet footer count — cheap
 
+    cuckoo_shards = None
+    if cfg.use_cuckoo and start > 0:
+        prev_cuckoo = os.path.join(_wave_dir(cfg, start - 1), "cuckoo")
+        if os.path.isdir(prev_cuckoo):
+            cuckoo_shards = spark.read.parquet(prev_cuckoo)
+
     all_metrics = []
     for wave in range(start, cfg.n_waves):
         frontier.cache()
         fnext, seen_delta, fetch_log, metrics = run_wave(
-            spark, cfg, wave, frontier, seen, n_seen_hint=n_seen)
+            spark, cfg, wave, frontier, seen, n_seen_hint=n_seen,
+            cuckoo_shards=cuckoo_shards)
         n_seen += metrics["new_urls"]
         d = _wave_dir(cfg, wave)
         fetch_log.coalesce(1).write.mode("overwrite").parquet(
@@ -366,6 +394,19 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             seen_delta.withColumn("host", host_col(F.col("url")))
             .select("url", "added_wave", "host"),
             os.path.join(d, "seen_delta"), cfg, dir_partitioned=False)
+        # maintain partition-local cuckoo shards: one-time build when
+        # the seen set crosses the threshold, incremental fold of the
+        # wave's delta afterwards (O(new), never a full-rebuild)
+        if cfg.use_cuckoo and n_seen >= cfg.cuckoo_min_seen:
+            from .seen import maintain_cuckoo_shards
+
+            cuckoo_path = os.path.join(d, "cuckoo")
+            shards_next = maintain_cuckoo_shards(
+                cuckoo_shards, seen_delta.select("url"),
+                _read_seen(spark, cfg, wave), cfg.partitions)
+            shards_next.write.mode("overwrite").parquet(cuckoo_path)
+            cuckoo_shards = spark.read.parquet(cuckoo_path)
+
         # re-read committed state (truncates lineage, frees cache)
         frontier = spark.read.parquet(os.path.join(d, "frontier")) \
             .select("url", "host", "depth", "score", "discovered_wave")

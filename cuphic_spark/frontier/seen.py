@@ -188,6 +188,105 @@ CUCKOO_SHARD_SCHEMA = T.StructType([
 ])
 
 
+def _partition_of(url_col, n_partitions: int):
+    return F.pmod(
+        F.xxhash64(F.regexp_extract(url_col, r"^[a-z]+://([^/:?#]+)", 1)),
+        F.lit(n_partitions)).cast("int")
+
+
+def update_cuckoo_shards(shards: DataFrame | None, new_urls: DataFrame,
+                         n_partitions: int,
+                         load_factor: float = 0.5) -> DataFrame:
+    """Incrementally fold newly-seen urls into the per-partition
+    cuckoo shards (cogroup — each shard is touched once, O(new) work,
+    never a rebuild over the full seen set). Insertion order is
+    sorted-by-url within partition -> byte-deterministic shards at
+    any parallelism."""
+    spark = new_urls.sparkSession
+    keyed = new_urls.select(
+        "url", _partition_of(F.col("url"), n_partitions).alias("partition"),
+        F.xxhash64("url").alias("h"))
+    if shards is None:
+        shards = spark.createDataFrame([], CUCKOO_SHARD_SCHEMA)
+
+    def merge(key, new_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        part = int(key[0])
+        hashes = [np.uint64(np.int64(h))
+                  for h in new_pdf.sort_values("url")["h"].astype("int64")]
+        if len(shard_pdf):
+            cf = CuckooFilter.from_bytes(bytes(shard_pdf["blob"].iloc[0]),
+                                         int(shard_pdf["n_buckets"].iloc[0]))
+        else:
+            n = max(4, int(len(hashes) / (CuckooFilter.SLOTS * load_factor)) + 1)
+            cf = CuckooFilter(n)
+        overflow = not all(cf.insert_hash(h) for h in hashes)
+        # On overflow the shard is INCOMPLETE for this delta (cuckoo
+        # fingerprints cannot be re-keyed for a resize). A false
+        # negative here is a CORRECTNESS bug downstream (the
+        # definitely-new bypass would re-crawl a seen url), so the
+        # caller MUST rebuild flagged partitions from the seen table
+        # (maintain_cuckoo_shards does; amortized-geometric cost).
+        return pd.DataFrame({"partition": [part],
+                             "n_buckets": [cf.n_buckets],
+                             "blob": [cf.to_bytes()],
+                             "overflow": [overflow]})
+
+    out_schema = T.StructType(CUCKOO_SHARD_SCHEMA.fields
+                              + [T.StructField("overflow", T.BooleanType())])
+    return (keyed.groupBy("partition")
+            .cogroup(shards.groupBy("partition"))
+            .applyInPandas(merge, out_schema))
+
+
+def maintain_cuckoo_shards(shards: DataFrame | None, delta_urls: DataFrame,
+                           full_seen: DataFrame,
+                           n_partitions: int) -> DataFrame:
+    """The safe maintenance protocol: incremental fold of the delta;
+    if ANY partition overflowed, rebuild all shards from the seen
+    table (source of truth) with extra headroom — restoring the
+    no-false-negative invariant the definitely-new bypass relies on.
+    Geometric headroom makes full rebuilds amortized-rare."""
+    if shards is None:
+        return build_cuckoo_shards(full_seen, n_partitions,
+                                   load_factor=0.25)
+    updated = update_cuckoo_shards(shards, delta_urls, n_partitions).cache()
+    if updated.where(F.col("overflow")).limit(1).count() > 0:
+        return build_cuckoo_shards(full_seen, n_partitions,
+                                   load_factor=0.25)
+    return updated.drop("overflow")
+
+
+def cuckoo_prune(candidates: DataFrame, shards: DataFrame,
+                 n_partitions: int) -> DataFrame:
+    """Adds boolean ``maybe_seen_cuckoo`` via a partition-local
+    cogroup probe: False = definitely new (cuckoo filters never
+    false-negative), True = confirm via anti-join."""
+    keyed = (candidates
+             .withColumn("partition",
+                         _partition_of(F.col("url"), n_partitions))
+             .withColumn("h", F.xxhash64("url")))
+    out_schema = T.StructType(
+        keyed.schema.fields
+        + [T.StructField("maybe_seen_cuckoo", T.BooleanType())])
+
+    def probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        cand_pdf = cand_pdf.copy()
+        if not len(shard_pdf):
+            cand_pdf["maybe_seen_cuckoo"] = False
+            return cand_pdf
+        cf = CuckooFilter.from_bytes(bytes(shard_pdf["blob"].iloc[0]),
+                                     int(shard_pdf["n_buckets"].iloc[0]))
+        cand_pdf["maybe_seen_cuckoo"] = [
+            cf.contains_hash(np.uint64(np.int64(h)))
+            for h in cand_pdf["h"].astype("int64")]
+        return cand_pdf
+
+    return (keyed.groupBy("partition")
+            .cogroup(shards.groupBy("partition"))
+            .applyInPandas(probe, out_schema)
+            .drop("h"))
+
+
 def build_cuckoo_shards(seen: DataFrame, n_partitions: int,
                         load_factor: float = 0.5) -> DataFrame:
     """One cuckoo filter per seen partition, built executor-side with

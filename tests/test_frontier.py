@@ -101,6 +101,52 @@ def test_bloom_disabled_same_result(spark, tmp_path, oracle_state):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_cuckoo_prune_path_same_result(spark, tmp_path, oracle_state):
+    """Wave-loop cuckoo pruning must be pruning-only: forcing it on
+    from wave 1 (threshold 0) cannot change any output."""
+    d = str(tmp_path / "cuckoo_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, use_cuckoo=True, cuckoo_min_seen=0,
+                      use_bloom=False, **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    import os
+    assert os.path.isdir(os.path.join(d, "wave=00000", "cuckoo"))
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cuckoo_incremental_update_and_prune(spark):
+    from cuphic_spark.frontier import webgraph
+    from cuphic_spark.frontier.seen import (
+        cuckoo_prune,
+        maintain_cuckoo_shards,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(webgraph.url_of(i),) for i in range(150)], "url string")
+    batch2 = spark.createDataFrame(
+        [(webgraph.url_of(i),) for i in range(150, 300)], "url string")
+    all_urls = batch1.unionByName(batch2)
+    # maintenance protocol: incremental fold, rebuild-from-truth on
+    # overflow — across both batches no false negative may survive
+    shards = maintain_cuckoo_shards(None, batch1, batch1, 4)
+    shards = maintain_cuckoo_shards(shards, batch2, all_urls, 4)
+
+    probe = spark.createDataFrame(
+        [(webgraph.url_of(i),) for i in range(0, 400)], "url string")
+    flags = {r.url: r.maybe_seen_cuckoo
+             for r in cuckoo_prune(probe, shards, 4).collect()}
+    # every inserted url MUST flag maybe-seen (no false negatives)
+    for i in range(300):
+        assert flags[webgraph.url_of(i)], i
+    # most never-inserted urls should prune clean
+    fresh = [flags[webgraph.url_of(i)] for i in range(300, 400)]
+    assert sum(fresh) < 40
+
+
 def test_canonicalization_paths_agree(spark):
     """Column-expression canonicalization == urllib reference on the
     full synthetic href space."""

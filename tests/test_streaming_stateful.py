@@ -1,0 +1,37 @@
+"""applyInPandasWithState operator: running per-lang accounting over
+a paged stream, state carried across micro-batches."""
+
+
+def test_stateful_lang_accounting(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cuphic_spark.sources.tei import tei_pages
+    from cuphic_spark.streaming.pages_stream import read_pages_stream
+    from cuphic_spark.streaming.stateful import lang_ingest_accounting
+
+    src = str(tmp_path / "in")
+    pages = tei_pages(spark)
+    # two langs so two state groups; 4 files -> multiple micro-batches
+    pages = pages.withColumn(
+        "lang", F.when(F.length("html") % 2 == 0, "da").otherwise("en"))
+    pages.repartition(4).write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    out = lang_ingest_accounting(stream)
+    q = (out.writeStream.format("memory").queryName("acct")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # last update per lang == full batch totals (state accumulated
+    # correctly across micro-batches)
+    rows = spark.sql("""
+        SELECT lang, max(n_pages) n_pages, max(total_bytes) total_bytes
+        FROM acct GROUP BY lang""").collect()
+    got = {r.lang: (r.n_pages, r.total_bytes) for r in rows}
+    expected = {r.lang: (r.n, r.b) for r in
+                pages.groupBy("lang")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.length("html")).alias("b")).collect()}
+    assert got == expected
