@@ -1,0 +1,93 @@
+"""Dump formatted physical plans for the engine's key operators into
+BENCH/PLANS.md — the `.explain` audit trail (pushdown, codegen spans,
+join strategies, no stray Python stages).
+
+Run: python BENCH/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import pathlib
+from contextlib import redirect_stdout
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from cuphic_spark.compiler import (
+        compile_pattern,
+        match_nodes,
+        match_nodes_union,
+    )
+    from cuphic_spark.operators.dedup import minhash_signature
+    from cuphic_spark.operators.parse import pages_to_nodes
+    from cuphic_spark.operators.similarity import inner_product_topk_quantized
+    from cuphic_spark.session import get_spark
+    from cuphic_spark.sources.pagegen import synth_pages
+
+    spark = get_spark(cores=8)
+    sf = "/root/testdata/sf0.001"
+    pages = synth_pages(spark, sf)
+    nodes_mem = pages_to_nodes(pages)
+    nodes_path = "/tmp/cuphic_plan_nodes"
+    nodes_mem.write.mode("overwrite").parquet(nodes_path)
+    nodes = spark.read.parquet(nodes_path)
+
+    compiled = [compile_pattern(k, v) for k, v in {
+        "links": "[:a {:href href} ???]",
+        "term": "[:term {:type term/type} term/name]",
+    }.items()]
+
+    sections = []
+
+    def add(title, df, note):
+        sections.append(f"## {title}\n\n{note}\n\n```\n{plan_of(df)}```\n")
+
+    add("One-pass multi-pattern scrape (in-memory nodes)",
+        match_nodes(nodes_mem, compiled),
+        "All patterns share ONE MapInPandas parse; matches emitted via "
+        "array+explode (the reference's juxt as a physical plan). "
+        "Check: exactly one MapInPandas node.")
+
+    add("Head-filter pushdown (materialized nodes parquet)",
+        match_nodes_union(nodes, compiled[:1]),
+        "Pattern head-check compiled to a filter that reaches the "
+        "parquet scan. Check: PushedFilters on `tag`, ReadSchema "
+        "pruned to the consumed columns.")
+
+    add("MinHash signatures",
+        minhash_signature(spark.read.parquet(f"{sf}/documents.parquet")),
+        "Explode once -> partial aggregation before the shuffle. "
+        "Check: HashAggregate(partial) below Exchange.")
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding")))
+    add("ANN quantized top-k",
+        inner_product_topk_quantized(emb, q),
+        "Query side broadcast (corpus never shuffles for the join); "
+        "per-query window for rank. Check: BroadcastNestedLoopJoin/"
+        "BroadcastExchange on the small side only.")
+
+    (REPO / "BENCH" / "PLANS.md").write_text(
+        "# Physical plans of the key operators (captured, sf0.001)\n\n"
+        + "\n".join(sections))
+    print("BENCH/PLANS.md written,", len(sections), "plans")
+
+
+if __name__ == "__main__":
+    main()
