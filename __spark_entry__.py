@@ -195,6 +195,23 @@ def q_minhash_signature(spark, sf_dir):
     return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=4)
 
 
+def q_term_join_nodes(spark, sf_dir):
+    """matches ⋈ nodes equi-join on (url, node_id): term matches
+    joined back to their node rows for structural columns. The node
+    preorder id has a closed form in the synthetic corpus
+    (doc=0, title=1, p=2, links 3..3+L-1, term=3+L)."""
+    nodes = _nodes(spark, sf_dir).cache()
+    cp = [compile_pattern("term", GOLDEN_PATTERNS["term"])]
+    m = match_nodes(nodes, cp)
+    j = m.join(nodes.select("url", "node_id", "depth", "child_pos"),
+               ["url", "node_id"])
+    return j.select(
+        "url",
+        F.element_at("bindings", "term/name").alias("term_name"),
+        F.col("node_id").alias("term_node_id"),
+        "depth")
+
+
 def q_fingerprint(spark, sf_dir):
     from cuphic_spark.operators.textstats import fingerprint
     return fingerprint(_docs(spark, sf_dir))
@@ -317,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "ann_topk": q_ann_topk,
+        "term_join_nodes": q_term_join_nodes,
         "fingerprint": q_fingerprint,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "event_sessions": q_event_sessions,
@@ -447,6 +465,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "lang_id": lang_id_oracle_sql(),
+        "term_join_nodes": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url, term_word AS term_name,
+                   (3 + n_links)::BIGINT AS term_node_id,
+                   1 AS depth
+            FROM pages WHERE has_term
+        """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS text_md5,
                    list_reduce(
