@@ -34,6 +34,8 @@ def get_spark(app_name: str = "cuphic-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("CUPHIC_WAREHOUSE", "/tmp/cuphic-warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
