@@ -50,7 +50,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     copies = int(os.environ.get("CUPHIC_BENCH_COPIES", "20"))
     waves = int(os.environ.get("CUPHIC_BENCH_WAVES", "2"))
-    wave_cap = int(os.environ.get("CUPHIC_BENCH_WAVE_CAP", "4000"))
+    # crawl waves sized so per-wave scheduling overhead amortizes
+    # (tiny waves measure job latency, not throughput)
+    wave_cap = int(os.environ.get("CUPHIC_BENCH_WAVE_CAP", "50000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark(app_name="cuphic-bench", cores=cpus)
@@ -136,9 +138,9 @@ def main() -> None:
 
     crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
     cfg = CrawlConfig(universe=1_000_000,
-                      n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS", "4096")),
+                      n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS", "50000")),
                       budget_per_host=int(
-                          os.environ.get("CUPHIC_BENCH_BUDGET", "8192")),
+                          os.environ.get("CUPHIC_BENCH_BUDGET", "32768")),
                       wave_cap=wave_cap, n_waves=waves,
                       checkpoint_dir=crawl_dir, partitions=max(cpus, 8))
     t0 = time.perf_counter()
