@@ -363,3 +363,82 @@ def matches(pattern, hiccup):
     if get_bindings(pattern, hiccup) is not None:
         return hiccup
     return None
+
+
+class Matcher:
+    """Precompiled matcher: normalisation + section decomposition done
+    ONCE per pattern instead of per node (the hot-loop equivalent of
+    the reference's memoized ``normalise``, cuphic.cljc:113-117).
+    ``match(hiccup)`` is semantically identical to
+    ``get_bindings(pattern, hiccup)`` — pinned by the golden and
+    property suites, which run both paths."""
+
+    __slots__ = ("pattern", "sections", "section_kinds", "min_sizes",
+                 "_nested")
+
+    def __init__(self, pattern):
+        self.pattern = normalise(pattern)
+        self.sections = _partition_by(_section_type, self.pattern)
+        self.section_kinds = [_section_type(s[0]) for s in self.sections]
+        self.min_sizes = [min_size(s) for s in self.sections]
+        self._nested: dict[int, Matcher] = {}
+
+    def match(self, hiccup):
+        if not is_vector(hiccup):
+            return None
+        hiccup = normalise(hiccup)
+        sections = self.sections
+        kinds = self.section_kinds
+        nodes = list(hiccup)
+        bindings = Bindings()
+        n_sections = len(sections)
+        si = 0
+        while si < n_sections:
+            pnodes = sections[si]
+            kind = kinds[si]
+            if kind == "arbitrary":
+                if si + 1 < n_sections:
+                    next_section = sections[si + 1]
+                    if kinds[si + 1] == "repeated":
+                        target = next_section[1:]
+                    else:
+                        target = next_section
+                    skip = self.min_sizes[si]
+                    next_delta = section_search(target, nodes[skip:])
+                    if next_delta is None:
+                        return None
+                    n = skip + next_delta.meta["from"]
+                    delta = arbitrary_bindings(pnodes, nodes[:n])
+                    if delta is None:
+                        return None
+                    bindings.update(delta)
+                    nodes = nodes[n:]
+                    si += 1
+                    continue
+                delta = arbitrary_bindings(pnodes, nodes)
+                if delta is None:
+                    return None
+                bindings.update(delta)
+                nodes = []
+                si += 1
+                continue
+            if kind == "repeated":
+                delta = repetition_bindings(pnodes[0], nodes)
+                if delta is None:
+                    return None
+                nodes = nodes[delta.meta["to"]:]
+                bindings.update(delta)
+                si += 1
+                continue
+            n = len(pnodes)
+            delta = section_bindings(pnodes, nodes[:n])
+            if delta is None:
+                return None
+            bindings.update(delta)
+            nodes = nodes[n:]
+            si += 1
+        if nodes and truthy(nodes[0]):
+            return None
+        bindings.pop(syms.OMISSION, None)
+        bindings.pop(syms.OPTIONAL_OMISSION, None)
+        return bindings.with_meta({"source": hiccup})

@@ -14,7 +14,7 @@ test letter yields exactly 123 matches = its element count
 
 from __future__ import annotations
 
-from .match import get_bindings
+from .match import Matcher, get_bindings
 from .values import Bindings, is_vector
 
 
@@ -44,10 +44,13 @@ def scan(hiccup, *patterns):
     """Lazy preorder scan — cuphic.cljc:387-406.
 
     Yields rows ``(node_id, node, [bindings_or_None, ...])`` for
-    every node where at least one pattern matches.
-    """
+    every node where at least one pattern matches. Patterns are
+    precompiled once (Matcher) — the per-node hot loop never
+    re-derives normalisation/sections."""
+    matchers = [p if isinstance(p, Matcher) else Matcher(p)
+                for p in patterns]
     for node_id, node in iterate_nodes(hiccup):
-        results = [get_bindings(p, node) for p in patterns]
+        results = [m.match(node) for m in matchers]
         if any(r is not None for r in results):
             yield node_id, node, results
 
