@@ -212,6 +212,35 @@ def q_term_join_nodes(spark, sf_dir):
         "depth")
 
 
+def q_first_link_per_url(spark, sf_dir):
+    """select-one relationally: first link match per url in document
+    order = min node_id (preorder). The first link is k=0, so its
+    href has a closed form."""
+    from cuphic_spark.operators.rewrite import select_one_df
+    cp = [compile_pattern("links", GOLDEN_PATTERNS["links"])]
+    m = match_nodes(_nodes(spark, sf_dir), cp)
+    first = select_one_df(m, "links")
+    return first.select(
+        "url", F.col("node_id").alias("first_link_node_id"),
+        F.element_at("bindings", "href").alias("first_href"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """The urlnorm operator gated directly: messy synthetic urls
+    (shouting scheme/host, default port, fragment) canonicalized by
+    the column-expression path; the oracle lowercases/strips with
+    plain SQL."""
+    from cuphic_spark.frontier.urlnorm import canonicalize_cols
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(F.lit("HTTPS://HOST"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".EXAMPLE:443/doc/"), F.col("doc_id").cast("string"),
+                   F.lit("#frag"))
+    base = F.lit("https://base.example/")
+    return docs.select(
+        "doc_id",
+        canonicalize_cols(raw, base).alias("canonical_url"))
+
+
 def q_fingerprint(spark, sf_dir):
     from cuphic_spark.operators.textstats import fingerprint
     return fingerprint(_docs(spark, sf_dir))
@@ -335,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "ann_topk": q_ann_topk,
         "term_join_nodes": q_term_join_nodes,
+        "first_link_per_url": q_first_link_per_url,
+        "url_canonicalize": q_url_canonicalize,
         "fingerprint": q_fingerprint,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "event_sessions": q_event_sessions,
@@ -465,6 +496,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "lang_id": lang_id_oracle_sql(),
+        "first_link_per_url": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url, 3::BIGINT AS first_link_node_id,
+                   'https://host' || (uid % 10) || '.example/doc/' ||
+                   ((uid * 31) % (SELECT count(*) * {DEFAULT_COPIES}
+                                  FROM documents)) AS first_href
+            FROM pages WHERE n_links > 0
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'https://host' || (doc_id % 10) || '.example/doc/'
+                   || doc_id AS canonical_url
+            FROM documents
+        """,
         "term_join_nodes": f"""
             WITH pages AS ({_PAGES_CTE})
             SELECT url, term_word AS term_name,
