@@ -292,6 +292,27 @@ def q_quality_by_lang(spark, sf_dir):
                  F.sum("quality_pass").cast("long").alias("n_pass")))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style pruned ANN (rows-only: float cosine ranks aren't
+    bit-stable across engines; recall vs brute force is pinned by
+    pytest)."""
+    from cuphic_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    return ivf_topk(emb, queries, k=5, bits=4)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-bucket LSH
+    (rows-only; typically empty on random embeddings — the plumbing
+    and threshold logic are what the gate records)."""
+    from cuphic_spark.operators.dedup import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold_milli=900)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash via the numpy Arrow kernel (rows-only check — the
     bit-twiddling has no clean DuckDB twin; near-dup behaviour is
@@ -370,7 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "event_sessions": q_event_sessions,
         "quality_by_lang": q_quality_by_lang,
-        # rows-only (non-SQL-expressible: iterative / kernel-path / numpy)
+        # rows-only (non-SQL-expressible: iterative / kernel-path /
+        # numpy bit ops / float-rank instability)
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
         "simhash": q_simhash,
         "crawl_fetch_log": q_crawl_fetch_log,
         "tei_scrape_kernel": q_tei_scrape_kernel,
