@@ -86,6 +86,19 @@ def test_repetition_capture_then_expand(children):
 
 
 @given(hiccup_trees())
+@settings(max_examples=200, deadline=None)
+def test_matcher_equals_get_bindings(tree):
+    """The precompiled Matcher must be extensionally identical to
+    get_bindings on every pattern shape x random tree."""
+    from cuphic_spark.kernel.match import Matcher
+
+    for src in ("[_ ???]", "[tag {:id id} ???]", "[:p {} ???]",
+                "[:div {} x]", "[tag (??? c)]", "[:span {:ref ?r} a b]"):
+        pat = parse(src)
+        assert Matcher(pat).match(tree) == get_bindings(pat, tree), src
+
+
+@given(hiccup_trees())
 @settings(max_examples=100, deadline=None)
 def test_scan_equals_per_node_match(tree):
     pat = parse("[:p {} ???]")
