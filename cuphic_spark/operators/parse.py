@@ -169,11 +169,13 @@ def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str]) -> DataFrame:
     pattern_src = dict(key_to_pattern)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.match import Matcher
         from ..kernel.scan import scan as kernel_scan
 
-        patterns = {k: reader.parse(v) for k, v in pattern_src.items()}
-        keys = list(patterns)
-        plist = [patterns[k] for k in keys]
+        # compile ONCE per partition; scan reuses Matcher instances
+        # (building them per page would re-derive sections each time)
+        keys = list(pattern_src)
+        plist = [Matcher(reader.parse(pattern_src[k])) for k in keys]
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
