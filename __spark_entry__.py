@@ -263,12 +263,11 @@ def q_event_sessions(spark, sf_dir):
     from pyspark.sql import Window
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap compare (unix_timestamp would truncate to
-    # seconds and disagree with the oracle at the boundary); events.ts
-    # is TIMESTAMP_NTZ — cast under the UTC session tz is value-exact
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    gap = (us(F.col("ts"))
-           - us(F.lag("ts").over(w)) > 1800 * 1_000_000).cast("int")
+    # microsecond-exact AND session-timezone-proof: NTZ subtraction
+    # yields a day-time interval directly (no epoch conversion, so the
+    # caller's session tz cannot shift the comparison)
+    gap = ((F.col("ts") - F.lag("ts").over(w))
+           > F.expr("INTERVAL '30' MINUTE")).cast("int")
     sess = events.withColumn(
         "new_sess", F.coalesce(gap, F.lit(1)))
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
@@ -568,8 +567,8 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                          WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                               > 1800 * 1000000 THEN 1
+                          WHEN ts - lag(ts) OVER w
+                               > INTERVAL 30 MINUTE THEN 1
                           ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
