@@ -147,6 +147,34 @@ def test_cuckoo_incremental_update_and_prune(spark):
     assert sum(fresh) < 40
 
 
+def test_rollback_and_lineage(spark, tmp_path, oracle_state):
+    """Rollback to wave 0 then re-crawl -> identical final fetch log;
+    lineage stays consistent throughout."""
+    from cuphic_spark.frontier.snapshots import (
+        list_snapshots,
+        rollback_to_wave,
+        verify_lineage,
+    )
+
+    d = str(tmp_path / "rb")
+    cfg = CrawlConfig(checkpoint_dir=d, **CFG)
+    crawl(spark, cfg)
+    assert verify_lineage(cfg) == []
+    assert [s["wave"] for s in list_snapshots(cfg)] == [0, 1, 2]
+
+    assert rollback_to_wave(cfg, 0) == 2
+    assert last_complete_wave(cfg) == 0
+    assert verify_lineage(cfg) == []
+
+    summary = crawl(spark, cfg)  # replay waves 1..2
+    assert summary["start_wave"] == 1
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_canonicalization_paths_agree(spark):
     """Column-expression canonicalization == urllib reference on the
     full synthetic href space."""
