@@ -431,3 +431,35 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
 def read_fetch_log(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     return spark.read.parquet(os.path.join(cfg.checkpoint_dir, "wave=*",
                                            "fetch_log"))
+
+
+def _main() -> None:
+    """CLI: python -m cuphic_spark.frontier.crawl [options]"""
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(
+        description="Run the deterministic crawl wave loop.")
+    ap.add_argument("--universe", type=int, default=100_000)
+    ap.add_argument("--seeds", type=int, default=64)
+    ap.add_argument("--budget", type=int, default=8)
+    ap.add_argument("--wave-cap", type=int, default=256)
+    ap.add_argument("--waves", type=int, default=3)
+    ap.add_argument("--checkpoint-dir", default="/tmp/cuphic_crawl_cli")
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="cuphic-crawl", cores=args.cores)
+    cfg = CrawlConfig(universe=args.universe, n_seeds=args.seeds,
+                      budget_per_host=args.budget, wave_cap=args.wave_cap,
+                      n_waves=args.waves,
+                      checkpoint_dir=args.checkpoint_dir,
+                      partitions=args.partitions)
+    summary = crawl(spark, cfg)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    _main()
