@@ -367,6 +367,18 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         n_seen = cfg.n_seeds
     else:
         prev = _wave_dir(cfg, start - 1)
+        # cuckoo shards bake the partition id they were built for;
+        # resuming with a different cfg.partitions would silently
+        # probe candidates against the wrong shard (false negatives
+        # through the definitely-new bypass) — refuse loudly.
+        with open(os.path.join(prev, "_lineage.json")) as fh:
+            prev_lineage = json.load(fh)
+        if prev_lineage.get("partitions") != cfg.partitions:
+            raise ValueError(
+                f"resume partitions mismatch: checkpoint {prev} was "
+                f"written with partitions={prev_lineage.get('partitions')} "
+                f"but cfg.partitions={cfg.partitions}; resume with the "
+                "recorded value (shard/candidate partition ids must agree)")
         frontier = spark.read.schema(
             FRONTIER_SCHEMA + ", part int").parquet(
                 os.path.join(prev, "frontier")).drop("part")

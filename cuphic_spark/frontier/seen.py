@@ -112,7 +112,14 @@ class CuckooFilter:
     MAX_KICKS = 256
 
     def __init__(self, n_buckets: int):
-        self.n_buckets = max(2, n_buckets)
+        # POWER OF TWO is load-bearing: the alternate-bucket map
+        # i2 = (i ^ fp*M) & (n-1) is an involution only under a
+        # power-of-two mask. With a plain modulus, evicted
+        # fingerprints can land in buckets contains_hash never
+        # probes — a false negative, which the crawl's
+        # definitely-new bypass turns into a re-crawl (correctness
+        # bug, found by the round-1 advisor).
+        self.n_buckets = 1 << (max(2, n_buckets) - 1).bit_length()
         self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
 
     @staticmethod
@@ -124,7 +131,8 @@ class CuckooFilter:
         return int(h % np.uint64(self.n_buckets))
 
     def _i2(self, i1, fp):
-        return int((i1 ^ (int(fp) * 0x5BD1E995)) % self.n_buckets)
+        # xor-then-mask: involutive because n_buckets is a power of two
+        return (i1 ^ (int(fp) * 0x5BD1E995)) & (self.n_buckets - 1)
 
     def insert_hash(self, h: int) -> bool:
         h = np.uint64(h)
@@ -175,6 +183,11 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+        if n_buckets & (n_buckets - 1):
+            raise ValueError(
+                f"cuckoo shard n_buckets={n_buckets} is not a power of "
+                "two — shard written by a pre-fix build; rebuild from "
+                "the seen table (maintain_cuckoo_shards)")
         cf = cls(n_buckets)
         cf.table = np.frombuffer(data, dtype=np.uint16).reshape(
             (n_buckets, cls.SLOTS)).copy()

@@ -33,13 +33,23 @@ def base_origin(base: Column) -> Column:
 def canonicalize_cols(href: Column, base: Column) -> Column:
     """Canonical absolute url for ``href`` found on page ``base``."""
     no_frag = F.regexp_replace(href, r"#.*$", "")
+    base_nf = F.regexp_replace(base, r"#.*$", "")
+    # base directory for relative resolution: directory-truncate ONLY
+    # when the base has a path after the origin; for a path-less base
+    # ('https://host.example') the truncate regex would eat
+    # '/host.example' and splice the href into the authority — guard
+    # with origin + '/' instead (advisor round-1 finding).
+    base_has_path = base_nf.rlike(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*/")
+    base_dir = (
+        F.when(base_has_path,
+               F.regexp_replace(base_nf, r"/[^/]*$", "/"))
+        .otherwise(F.concat(base_origin(base), F.lit("/"))))
     absolute = (
         F.when(no_frag.rlike(_SCHEME_RE), no_frag)
         .when(no_frag.startswith("/"), F.concat(base_origin(base), no_frag))
         .otherwise(  # relative path: resolve against base directory
-            F.concat(F.regexp_replace(
-                F.regexp_replace(base, r"#.*$", ""), r"/[^/]*$", "/"),
-                no_frag))
+            F.concat(base_dir, no_frag))
     )
     scheme = F.lower(F.regexp_extract(absolute, _SCHEME_RE, 1))
     rest = F.regexp_replace(absolute, _SCHEME_RE, "")

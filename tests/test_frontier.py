@@ -244,3 +244,76 @@ def test_cuckoo_shards_roundtrip(spark):
         if not cf.contains_hash(np.uint64(np.int64(r.h))):
             misses += 1
     assert misses == 0  # cuckoo filters never false-negative
+
+
+def test_cuckoo_eviction_no_false_negatives():
+    """Advisor round-1 (high): with non-power-of-two bucket counts the
+    xor-fold alternate bucket was not involutive, so evicted
+    fingerprints became invisible to contains_hash. Eviction-heavy
+    randomized load at several awkward sizes must show ZERO false
+    negatives among accepted inserts."""
+    import random
+
+    import numpy as np
+
+    from cuphic_spark.frontier.seen import CuckooFilter
+
+    rng = random.Random(7)
+    for requested in (3, 50, 100, 1000, 1531):  # none a power of two
+        cf = CuckooFilter(requested)
+        assert cf.n_buckets & (cf.n_buckets - 1) == 0
+        capacity = cf.n_buckets * CuckooFilter.SLOTS
+        accepted = []
+        # push to ~95% load: forces long eviction chains
+        for _ in range(int(capacity * 0.95)):
+            h = np.uint64(rng.getrandbits(64))
+            if cf.insert_hash(h):
+                accepted.append(h)
+        misses = [h for h in accepted if not cf.contains_hash(h)]
+        assert misses == [], (requested, cf.n_buckets, len(misses))
+
+
+def test_canonicalize_pathless_base(spark):
+    """Advisor round-1 (low): relative hrefs against a path-less base
+    must resolve under origin + '/', not splice into the authority."""
+    from cuphic_spark.frontier.urlnorm import canonicalize_cols
+    from cuphic_spark.frontier.urlnorm_py import canonicalize_py
+
+    rows = [
+        ("page.html", "https://base.example"),
+        ("a/b.html", "https://base.example"),
+        ("page.html", "https://base.example/"),
+        ("page.html", "HTTP://Base.Example:80"),
+        ("/abs.html", "https://base.example"),
+        ("page.html#frag", "https://base.example"),
+    ]
+    df = spark.createDataFrame(rows, "href string, base string")
+    got = df.select(
+        canonicalize_cols(F.col("href"), F.col("base")).alias("c"),
+        "href", "base").collect()
+    for r in got:
+        assert r.c == canonicalize_py(r.href, r.base), (r.href, r.base)
+    by_pair = {(r.href, r.base): r.c for r in got}
+    assert by_pair[("page.html", "https://base.example")] == \
+        "https://base.example/page.html"
+
+
+def test_resume_partitions_mismatch_raises(spark, tmp_path):
+    """Advisor round-1 (low): cuckoo shards bake partition ids at
+    write time; resuming with a different cfg.partitions must fail
+    loudly instead of silently probing the wrong shards."""
+    d = str(tmp_path / "resume_parts")
+    cfg = CrawlConfig(checkpoint_dir=d, partitions=4, **CFG)
+    crawl(spark, cfg)
+
+    from cuphic_spark.frontier.snapshots import rollback_to_wave
+    rollback_to_wave(cfg, 1)
+
+    bad = CrawlConfig(checkpoint_dir=d, partitions=8, **CFG)
+    with pytest.raises(ValueError, match="partitions mismatch"):
+        crawl(spark, bad)
+
+    good = CrawlConfig(checkpoint_dir=d, partitions=4, **CFG)
+    summary = crawl(spark, good)
+    assert summary["start_wave"] == 2
+    shutil.rmtree(d, ignore_errors=True)
