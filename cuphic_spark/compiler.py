@@ -31,9 +31,12 @@ Reference semantics preserved in the relational translation
 * tag variable binds the keyword (encoded ":tag");
 * child ``[var]`` is a terminal arbitrary section: matches 0 or 1
   children (nil-binding quirk on 0 — test_match.py pins this), fails
-  on 2+; value is the text child, or the subtree for element children
-  (element-child rows are delegated to the kernel path at compile
-  time when the pattern allows them — see ``needs_subtree``).
+  on 2+; value is the text child, or the SUBTREE for an element
+  child. Text/absent children stay pure-Catalyst; element children
+  are completed by a subtree-reconstruction assist (``subtree_edn``)
+  joined back in ``match_nodes`` — see its docstring for the cost
+  model. Parity with the kernel path on element children is pinned
+  by tests/test_spark_extract.py.
 """
 
 from __future__ import annotations
@@ -124,8 +127,8 @@ def compile_pattern(key: str, source: str) -> CompiledPattern:
     return CompiledPattern(key, source, pattern, "relational", head)
 
 
-def head_filter(cp: CompiledPattern) -> Column:
-    """The pushdown-able filter expression for a relational pattern."""
+def _head_common(cp: CompiledPattern) -> Column:
+    """Tag + attr conditions shared by all child modes."""
     head = cp.head
     cond = F.lit(True)
     if head.tag_literal is not None:
@@ -136,23 +139,40 @@ def head_filter(cp: CompiledPattern) -> Column:
         cond = cond & F.element_at("attrs", F.lit(k)).isNotNull()
     for k in head.attr_present:
         cond = cond & F.element_at("attrs", F.lit(k)).isNotNull()
+    return cond
+
+
+def head_filter(cp: CompiledPattern) -> Column:
+    """The pushdown-able filter expression for a relational pattern —
+    the TEXT branch: for single_var child sections this accepts only
+    text-or-absent children (a pure column expression); element
+    children are matched by ``elem_child_filter`` + the subtree
+    assist in ``match_nodes``."""
+    head = cp.head
+    cond = _head_common(cp)
     if head.child_mode == "empty":
         cond = cond & (F.size("children") == 0)
     elif head.child_mode == "single_var":
         # terminal arbitrary [var]: 0 children (nil bind) or exactly 1
         cond = cond & (F.size("children") <= 1)
-        # element children would bind a subtree we don't materialize
-        # relationally; keep exact parity with the kernel by accepting
-        # only text-or-absent children here (the corpus never binds an
-        # element child; kernel path handles patterns that need it).
         cond = cond & ((F.size("children") == 0)
                        | (F.col("children")[0]["kind"] == "text"))
     return cond
 
 
-def bindings_expr(cp: CompiledPattern) -> Column:
+def elem_child_filter(cp: CompiledPattern) -> Column:
+    """single_var patterns whose one child is an ELEMENT: the binding
+    is the child's whole subtree (kernel semantics, cuphic.cljc
+    terminal arbitrary section). These rows need the subtree assist."""
+    return (_head_common(cp)
+            & (F.size("children") == 1)
+            & (F.col("children")[0]["kind"] == "elem"))
+
+
+def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
     """map<string,string> column with the same encoding as the kernel
-    path (operators/parse.py encode_value)."""
+    path (operators/parse.py encode_value). ``include_child=False``
+    omits the single_var child pair (the subtree assist fills it)."""
     head = cp.head
     pairs: list[tuple[Column, Column]] = []
     if head.tag_binding:
@@ -162,7 +182,7 @@ def bindings_expr(cp: CompiledPattern) -> Column:
         pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k))))
     for k, sym in head.attr_optional:
         pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k))))
-    if head.child_mode == "single_var":
+    if head.child_mode == "single_var" and include_child:
         # 0 children -> the nil-bind quirk: key present, value "nil"
         # (same encoding as the kernel path's encode_value(None))
         pairs.append((F.lit(head.child_binding),
@@ -183,6 +203,69 @@ def bindings_expr(cp: CompiledPattern) -> Column:
     return F.map_filter(m, lambda _k, v: v.isNotNull())
 
 
+def subtree_edn(nodes: DataFrame, targets: DataFrame) -> DataFrame:
+    """Reconstruct the EDN text form of whole subtrees from the
+    relational nodes encoding.
+
+    ``targets``: (url, target_id) — the node_ids whose subtrees are
+    needed. Returns (url, target_id, edn) with ``edn`` byte-identical
+    to ``reader.dumps`` of the original Hiccup subtree (the kernel
+    path's encode_value), provided attr values are strings — always
+    true for XML/HTML-sourced nodes (XML attribute values are strings
+    by construction; nodes built from hand-made trees with non-string
+    attrs would round-trip through their encoded string form).
+
+    Scale shape: the nodes scan is pruned to target urls by a
+    broadcast semi-join (the target set is tiny — only pages where a
+    single_var pattern matched an element child), then ONE cogroup
+    shuffle keyed by url rebuilds each requested subtree executor-side
+    in Arrow batches.
+    """
+    import pandas as pd
+
+    from .kernel import reader as _reader
+    from .kernel.values import Keyword as _Keyword
+
+    # rename the target side: its plan may share lineage with `nodes`
+    # (targets are derived from a match scan over the same table), and
+    # a bare same-name join would be flagged as an ambiguous self-join
+    targets = targets.toDF("t_url", "t_id")
+    target_urls = targets.select("t_url").distinct()
+    pruned = (nodes
+              .join(F.broadcast(target_urls),
+                    F.col("url") == F.col("t_url"), "left_semi")
+              .select("url", "node_id", "tag", "attrs", "children"))
+
+    def rebuild(key, node_pdf: "pd.DataFrame", tgt_pdf: "pd.DataFrame"):
+        if not len(tgt_pdf) or not len(node_pdf):
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "target_id": pd.Series([], dtype="int64"),
+                                 "edn": pd.Series([], dtype="object")})
+        by_id = {int(nid): (tag, attrs, children) for nid, tag, attrs, children
+                 in zip(node_pdf["node_id"], node_pdf["tag"],
+                        node_pdf["attrs"], node_pdf["children"])}
+
+        def build(nid: int):
+            tag, attrs, children = by_id[nid]
+            node = [_Keyword(tag),
+                    {_Keyword(k): v for k, v in (attrs or {}).items()}]
+            for ch in (children if children is not None else []):
+                if ch["kind"] == "text":
+                    node.append(ch["text"])
+                else:
+                    node.append(build(int(ch["child_id"])))
+            return node
+
+        tids = [int(t) for t in tgt_pdf["t_id"]]
+        return pd.DataFrame({"url": [key[0]] * len(tids),
+                             "target_id": tids,
+                             "edn": [_reader.dumps(build(t)) for t in tids]})
+
+    return (pruned.groupBy("url")
+            .cogroup(targets.groupBy("t_url"))
+            .applyInPandas(rebuild, "url string, target_id long, edn string"))
+
+
 def match_nodes(nodes: DataFrame,
                 compiled: list[CompiledPattern]) -> DataFrame:
     """Relational scrape as ONE shared scan (the reference's
@@ -191,24 +274,73 @@ def match_nodes(nodes: DataFrame,
     (pattern_key, bindings) entries, nulls filtered, then exploded to
     long format. A union-of-branches plan would re-execute the
     upstream parse once per pattern; this executes it exactly once
-    regardless of pattern count."""
+    regardless of pattern count.
+
+    single_var patterns whose matched child is an ELEMENT bind the
+    child's whole subtree (kernel semantics). Those rows are emitted
+    from the SAME scan with a ``target_id`` and completed by joining
+    ``subtree_edn``. Cost model: the assist re-references ``nodes``
+    (semi-join prune + reconstruction), so over an EPHEMERAL parse
+    plan (pages_to_nodes piped straight in) the parse re-executes;
+    for multi-query workloads materialize the nodes table first
+    (parse once, store, query many — the intended 100 TB shape,
+    where the extra references are column-pruned parquet scans)."""
     for cp in compiled:
         if cp.strategy != "relational":
             raise ValueError(
                 f"pattern {cp.key} needs the kernel path: {cp.reason}")
-    entries = F.array(*[
-        F.when(head_filter(cp),
-               F.struct(F.lit(cp.key).alias("pattern_key"),
-                        bindings_expr(cp).alias("bindings")))
-        for cp in compiled
-    ])
+
+    single_vars = [cp for cp in compiled
+                   if cp.head.child_mode == "single_var"]
+    entry_structs = []
+    for cp in compiled:
+        text_struct = F.struct(
+            F.lit(cp.key).alias("pattern_key"),
+            bindings_expr(cp).alias("bindings"),
+            F.lit(None).cast("long").alias("target_id"),
+            F.lit(None).cast("string").alias("binding_key"))
+        e = F.when(head_filter(cp), text_struct)
+        if cp.head.child_mode == "single_var":
+            elem_struct = F.struct(
+                F.lit(cp.key).alias("pattern_key"),
+                bindings_expr(cp, include_child=False).alias("bindings"),
+                F.col("children")[0]["child_id"].alias("target_id"),
+                F.lit(cp.head.child_binding).alias("binding_key"))
+            e = e.when(elem_child_filter(cp), elem_struct)
+        entry_structs.append(e)
+    entries = F.array(*entry_structs)
     hits = F.filter(entries, lambda e: e.isNotNull())
-    return (nodes
-            .select("url", "node_id", F.explode(hits).alias("m"))
-            .select("url",
-                    F.col("m.pattern_key").alias("pattern_key"),
-                    F.col("node_id"),
-                    F.col("m.bindings").alias("bindings")))
+    m = (nodes
+         .select("url", "node_id", F.explode(hits).alias("m"))
+         .select("url",
+                 F.col("m.pattern_key").alias("pattern_key"),
+                 F.col("node_id"),
+                 F.col("m.bindings").alias("bindings"),
+                 F.col("m.target_id").alias("target_id"),
+                 F.col("m.binding_key").alias("binding_key")))
+    if not single_vars:
+        return m.select("url", "pattern_key", "node_id", "bindings")
+
+    # complete elem-child rows with their reconstructed subtree; a
+    # LEFT join keeps text rows (null target_id never matches) in the
+    # same flow — no base/elem split, so `nodes` is referenced 3x
+    # total (match scan, target derivation, pruned reconstruction)
+    # instead of 4x.
+    targets = (m.where(F.col("target_id").isNotNull())
+               .select("url", "target_id").distinct())
+    # fresh column names on the assist side: its plan embeds `m`
+    # (target derivation), so a bare self-join would be ambiguous
+    sub = subtree_edn(nodes, targets).toDF("s_url", "s_target_id", "edn")
+    return (m.join(sub, (F.col("url") == F.col("s_url"))
+                   & (F.col("target_id") == F.col("s_target_id")), "left")
+            .select("url", "pattern_key", "node_id",
+                    F.when(F.col("edn").isNotNull(),
+                           F.map_concat(
+                               "bindings",
+                               F.map_from_arrays(
+                                   F.array(F.col("binding_key")),
+                                   F.array(F.col("edn")))))
+                    .otherwise(F.col("bindings")).alias("bindings")))
 
 
 def match_nodes_union(nodes: DataFrame,
@@ -217,19 +349,7 @@ def match_nodes_union(nodes: DataFrame,
     bench; prefer match_nodes). Each branch's head filter pushes into
     a (materialized) parquet nodes scan independently — the right
     shape when patterns run as SEPARATE queries over stored nodes."""
-    outs = []
-    for cp in compiled:
-        if cp.strategy != "relational":
-            raise ValueError(
-                f"pattern {cp.key} needs the kernel path: {cp.reason}")
-        outs.append(
-            nodes.where(head_filter(cp)).select(
-                F.col("url"),
-                F.lit(cp.key).alias("pattern_key"),
-                F.col("node_id"),
-                bindings_expr(cp).alias("bindings"),
-            )
-        )
+    outs = [match_nodes(nodes, [cp]) for cp in compiled]
     df = outs[0]
     for o in outs[1:]:
         df = df.unionByName(o)

@@ -70,11 +70,50 @@ def test_golden_counts_via_spark(spark, pages):
 
 def test_one_pass_multi_pattern_single_parse(spark, pages):
     """N patterns must share ONE parse pass (the reference's juxt,
-    cuphic.cljc:401-405) — no per-pattern re-execution."""
-    compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
+    cuphic.cljc:401-405) — no per-pattern re-execution. Patterns with
+    a single_var child add the subtree assist, which references the
+    nodes plan two more times (target derivation + pruned
+    reconstruction) — materialize nodes for those (cost model in
+    match_nodes docstring)."""
+    no_single_var = {k: v for k, v in PATTERNS.items()
+                     if k in ("all-tags", "p", "rs", "ref", "glen")}
+    compiled = [compile_pattern(k, v) for k, v in no_single_var.items()]
     plan = match_nodes(pages_to_nodes(pages), compiled)._jdf \
         .queryExecution().optimizedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+    all_compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
+    plan_all = match_nodes(pages_to_nodes(pages), all_compiled)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    # match scan + assist references (cogroup targets, semi-join
+    # targets, pruned reconstruction) — each re-parses when nodes is
+    # ephemeral; over a materialized nodes table they are pruned
+    # parquet scans instead
+    assert plan_all.count("MapInPandas") == 4
+
+
+def test_single_var_element_child_binds_subtree(spark):
+    """Advisor round-1 (medium): [:persName {:ref ref} full-name]
+    over an ELEMENT child must bind the whole subtree on the
+    relational path, exactly like the kernel (which follows
+    cuphic's terminal-arbitrary-section semantics)."""
+    html = (b"<doc>"
+            b"<persName ref='#p1'><hi rend='b'>Jens</hi></persName>"
+            b"<persName ref='#p2'>plain text</persName>"
+            b"<persName ref='#p3'><a x='1'>J</a><a x='2'>K</a></persName>"
+            b"</doc>")
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    pats = {"pn": "[:persName {:ref ref} full-name]"}
+    compiled = [compile_pattern("pn", pats["pn"])]
+    assert compiled[0].strategy == "relational"
+    rel = _canon(match_nodes(pages_to_nodes(pages), compiled)).collect()
+    ker = _canon(scrape_pages(pages, pats)).collect()
+    assert sorted(map(str, rel)) == sorted(map(str, ker))
+    by_ref = {dict(r.b)["ref"]: dict(r.b)["full-name"] for r in rel}
+    # element child -> EDN subtree; text child -> verbatim; 2+ -> fail
+    assert by_ref["#p1"] == '[:hi {:rend "b"} "Jens"]'
+    assert by_ref["#p2"] == "plain text"
+    assert "#p3" not in by_ref and len(by_ref) == 2
 
 
 def test_head_filter_pushdown_on_materialized_nodes(spark, pages, tmp_path):
