@@ -39,12 +39,12 @@ import json
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import webgraph
-from .seen import build_bloom, filter_new_urls
+from .seen import bloom_merge_urls, build_bloom, filter_new_urls
 from .urlnorm import canonicalize_cols, host_col, path_col
 
 FRONTIER_SCHEMA = "url string, host string, depth int, score long, discovered_wave int"
@@ -150,13 +150,22 @@ def _extract_links(fetched: DataFrame) -> DataFrame:
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              frontier: DataFrame, seen: DataFrame,
              n_seen_hint: int | None = None,
-             cuckoo_shards: DataFrame | None = None):
-    """Returns (frontier_next, seen_next, fetch_log, metrics_row).
+             cuckoo_shards: DataFrame | None = None,
+             bloom: bytes | None = None):
+    """Returns (frontier_next, seen_delta, fetch_log, finish, caches).
 
-    Action budget per wave (Spark jobs are the crawl's fixed cost):
-    one count on the cached fetched set, one aggregate over the cached
-    distinct links, one count of new urls — everything else happens
-    inside the three checkpoint writes in crawl().
+    Spark-job budget per wave — the crawl's FIXED cost, which is what
+    bounds throughput once waves are large enough to saturate cores:
+
+    * ONE aggregation job over the ranked frontier (score histogram
+      for the distributed top-W *and* the denied count, same pass);
+    * the checkpoint writes issued by crawl() — every remaining
+      metric (scheduled, bytes, links, new urls) rides on those
+      writes via ``observe()``: zero additional actions.
+
+    ``finish()`` must be called AFTER the checkpoint writes ran; it
+    reads the observations and returns the metrics row. ``caches``
+    are the DataFrames to unpersist once the wave is committed.
     """
     robots = robots_rules(spark)
     fr = frontier.withColumn("path", path_col(F.col("url")))
@@ -164,13 +173,26 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     joined = fr.join(F.broadcast(robots), "host", "left")
     is_denied = (F.col("deny_prefix").isNotNull()
                  & F.col("path").startswith(F.col("deny_prefix")))
-    denied = joined.where(is_denied)
-    eligible = joined.where(~is_denied).drop("deny_prefix", "path")
 
-    w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
-    budgeted = (eligible.withColumn("host_rank", F.row_number().over(w_host))
-                .where(F.col("host_rank") <= cfg.budget_per_host)
-                .drop("host_rank")).cache()
+    # ONE window ranks eligible rows per host; denied rows rank inside
+    # their own (host, den) group so eligible ranks are unaffected —
+    # this lets a single aggregation job return the score histogram
+    # AND the denied count (previously two frontier scans).
+    w_host = Window.partitionBy("host", "den").orderBy(
+        F.desc("score"), F.asc("url"))
+    ranked = (joined.withColumn("den", is_denied)
+              .withColumn("host_rank", F.row_number().over(w_host))
+              .drop("deny_prefix", "path")).cache()
+    stats = (ranked
+             .where(F.col("den") | (F.col("host_rank") <= cfg.budget_per_host))
+             .groupBy("den", "score").agg(F.count("*").alias("cnt"))
+             .collect())
+    n_denied = sum(r.cnt for r in stats if r.den)
+    eligible = ranked.where(~F.col("den")).drop("den", "host_rank")
+    budgeted = (ranked
+                .where(~F.col("den")
+                       & (F.col("host_rank") <= cfg.budget_per_host))
+                .drop("den", "host_rank"))
 
     # Global top-W WITHOUT TakeOrdered (orderBy+limit would merge
     # W rows x partitions single-threaded on the driver — at W=10^5+
@@ -179,9 +201,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     # per-score windows ordered by url (distributed across score
     # groups) -> global rank = offset + in-group rank. Identical total
     # order (score desc, url asc), no driver merge.
-    hist = sorted(((r["score"], r["cnt"]) for r in
-                   budgeted.groupBy("score").agg(
-                       F.count("*").alias("cnt")).collect()),
+    hist = sorted(((r.score, r.cnt) for r in stats if not r.den),
                   key=lambda x: -x[0])
     offsets = {}
     cum = 0
@@ -208,26 +228,33 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     # already assigned, so redistribution cannot change any output)
     scheduled = scheduled.repartition(cfg.partitions, "url")
 
-    # fetch carries scheduling columns through — fetch_log needs no join
-    fetched = _fetch(scheduled, cfg.universe).cache()
-    agg = fetched.agg(F.count("*").alias("n"),
-                      F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
-                      ).collect()[0]
-    n_scheduled, total_bytes = agg.n, agg.b
+    # fetch carries scheduling columns through — fetch_log needs no
+    # join; scheduled/bytes counts ride on the fetch_log write
+    import uuid
+    tag = uuid.uuid4().hex[:8]  # observation names unique per run
+    obs_fetch = Observation(f"fetch_w{wave}_{tag}")
+    fetched = (_fetch(scheduled, cfg.universe)
+               .observe(obs_fetch,
+                        F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
+               .cache())
 
     links = _extract_links(fetched.select("url", "html"))
     canon = links.select(
         canonicalize_cols(F.col("href"), F.col("base_url")).alias("url"))
-    distinct_links = canon.groupBy("url").agg(
-        F.count("*").alias("n_refs")).cache()
-    link_agg = distinct_links.agg(
-        F.count("*").alias("d"),
-        F.coalesce(F.sum("n_refs"), F.lit(0)).alias("t")).collect()[0]
-    n_links_distinct, n_links_total = link_agg.d, link_agg.t
+    obs_links = Observation(f"links_w{wave}_{tag}")
+    distinct_links = (canon.groupBy("url")
+                      .agg(F.count("*").alias("n_refs"))
+                      .observe(obs_links,
+                               F.count(F.lit(1)).alias("d"),
+                               F.coalesce(F.sum("n_refs"),
+                                          F.lit(0)).alias("t"))
+                      .cache())
 
-    use_bloom = cfg.use_bloom and (
+    use_bloom = bloom is not None and cfg.use_bloom and (
         n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
-    bloom = build_bloom(seen, cfg.bloom_bits) if use_bloom else None
+    if not use_bloom:
+        bloom = None
 
     candidates = distinct_links
     use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
@@ -247,18 +274,21 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         new_urls = fresh.unionByName(confirmed)
     else:
         new_urls = filter_new_urls(candidates, seen, bloom, cfg.bloom_bits)
-    # also not already pending in the frontier
-    new_urls = new_urls.join(frontier.select("url"), "url", "left_anti")
+    # no frontier anti-join needed: every frontier url is already in
+    # seen (seeds via seen_seed, discoveries via their wave's delta),
+    # so surviving the seen anti-join implies not-pending either —
+    # one less shuffle per wave
 
-    new_rows = new_urls.select(
+    obs_new = Observation(f"new_w{wave}_{tag}")
+    new_rows = (new_urls.select(
         "url",
         host_col(F.col("url")).alias("host"),
         F.lit(wave + 1).alias("depth"),
         score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
                    F.lit(wave + 1), False).alias("score"),
-        F.lit(wave + 1).alias("discovered_wave")).cache()
-    n_new = new_rows.count()
-    n_denied = denied.count()
+        F.lit(wave + 1).alias("discovered_wave"))
+        .observe(obs_new, F.count(F.lit(1)).alias("n"))
+        .cache())
 
     frontier_next = (eligible.join(
         fetched.select("url"), "url", "left_anti")
@@ -275,18 +305,24 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         F.lit(wave).alias("wave"), "rank_in_wave", "url",
         "host", "depth", "score", "bytes")
 
-    metrics = {
-        "wave": wave,
-        "scheduled": n_scheduled,
-        "fetched": n_scheduled,
-        "denied": n_denied,
-        "links_total": n_links_total,
-        "links_distinct": n_links_distinct,
-        "new_urls": n_new,
-        "dupes": n_links_distinct - n_new,
-        "bytes": total_bytes,
-    }
-    return frontier_next, seen_delta, fetch_log, metrics
+    def finish() -> dict:
+        """Read the wave's observed metrics — valid only after the
+        checkpoint writes ran (each observation rides on a write)."""
+        fetch_m, links_m, new_m = obs_fetch.get, obs_links.get, obs_new.get
+        return {
+            "wave": wave,
+            "scheduled": int(fetch_m["n"]),
+            "fetched": int(fetch_m["n"]),
+            "denied": int(n_denied),
+            "links_total": int(links_m["t"]),
+            "links_distinct": int(links_m["d"]),
+            "new_urls": int(new_m["n"]),
+            "dupes": int(links_m["d"]) - int(new_m["n"]),
+            "bytes": int(fetch_m["b"]),
+        }
+
+    caches = [ranked, fetched, distinct_links, new_rows]
+    return frontier_next, seen_delta, fetch_log, finish, caches
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -391,21 +427,61 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         if os.path.isdir(prev_cuckoo):
             cuckoo_shards = spark.read.parquet(prev_cuckoo)
 
+    # bloom bitmap: maintained INCREMENTALLY (seed once when the seen
+    # set crosses the threshold, then OR-in each wave's delta —
+    # per-wave bloom cost is O(new urls), never an O(|seen|) rescan)
+    # and persisted per wave for resume.
+    bloom = None
+    if cfg.use_bloom and start > 0:
+        prev_bloom = os.path.join(_wave_dir(cfg, start - 1), "bloom.bin")
+        if os.path.exists(prev_bloom):
+            with open(prev_bloom, "rb") as fh:
+                bloom = fh.read()
+
     all_metrics = []
+    all_timings = []
     for wave in range(start, cfg.n_waves):
+        import time as _time
+
+        tt, t0 = {}, _time.perf_counter()
+
+        def _mark(name, _tt=None, _t0=None):
+            nonlocal t0
+            tt[name] = round(_time.perf_counter() - t0, 3)
+            t0 = _time.perf_counter()
+
         frontier.cache()
-        fnext, seen_delta, fetch_log, metrics = run_wave(
+        if cfg.use_bloom and bloom is None and n_seen >= cfg.bloom_min_seen:
+            bloom = build_bloom(seen, cfg.bloom_bits)  # first activation
+        _mark("bloom_build")
+        fnext, seen_delta, fetch_log, finish, caches = run_wave(
             spark, cfg, wave, frontier, seen, n_seen_hint=n_seen,
-            cuckoo_shards=cuckoo_shards)
-        n_seen += metrics["new_urls"]
+            cuckoo_shards=cuckoo_shards, bloom=bloom)
+        _mark("schedule")
         d = _wave_dir(cfg, wave)
-        fetch_log.coalesce(1).write.mode("overwrite").parquet(
+        # the three checkpoint writes ARE the wave's remaining Spark
+        # jobs; per-wave metrics ride on them via observe()
+        fetch_log.write.mode("overwrite").parquet(
             os.path.join(d, "fetch_log"))
+        _mark("fetch_log_write")
         _partitioned_write(fnext, os.path.join(d, "frontier"), cfg, salt=True)
+        _mark("frontier_write")
         _partitioned_write(
             seen_delta.withColumn("host", host_col(F.col("url")))
             .select("url", "added_wave", "host"),
             os.path.join(d, "seen_delta"), cfg, dir_partitioned=False)
+        _mark("seen_delta_write")
+        metrics = finish()
+        n_seen += metrics["new_urls"]
+        # fold the wave's delta into the bloom (tiny: O(new))
+        if cfg.use_bloom and bloom is not None:
+            delta_path = os.path.join(d, "seen_delta")
+            bloom = bloom_merge_urls(
+                spark.read.parquet(delta_path).select("url"),
+                cfg.bloom_bits, base=bloom)
+            with open(os.path.join(d, "bloom.bin"), "wb") as fh:
+                fh.write(bloom)
+        _mark("bloom_fold")
         # maintain partition-local cuckoo shards: one-time build when
         # the seen set crosses the threshold, incremental fold of the
         # wave's delta afterwards (O(new), never a full-rebuild)
@@ -413,16 +489,20 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             from .seen import maintain_cuckoo_shards
 
             cuckoo_path = os.path.join(d, "cuckoo")
-            shards_next = maintain_cuckoo_shards(
+            cuckoo_shards = maintain_cuckoo_shards(
                 cuckoo_shards, seen_delta.select("url"),
-                _read_seen(spark, cfg, wave), cfg.partitions)
-            shards_next.write.mode("overwrite").parquet(cuckoo_path)
-            cuckoo_shards = spark.read.parquet(cuckoo_path)
+                _read_seen(spark, cfg, wave), cfg.partitions,
+                path=cuckoo_path)
+        _mark("cuckoo_maintain")
 
         # re-read committed state (truncates lineage, frees cache)
+        frontier.unpersist()
+        for c in caches:
+            c.unpersist()
         frontier = spark.read.parquet(os.path.join(d, "frontier")) \
             .select("url", "host", "depth", "score", "discovered_wave")
         seen = _read_seen(spark, cfg, wave)
+        all_timings.append({"wave": wave, **tt})
         lineage = {
             "wave": wave,
             "input_wave_dir": _wave_dir(cfg, wave - 1) if wave else "seeds",
@@ -437,6 +517,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             json.dump(lineage, fh, indent=1)
         all_metrics.append(metrics)
     return {"start_wave": start, "metrics": all_metrics,
+            "timings": all_timings,
             "checkpoint_dir": cfg.checkpoint_dir}
 
 

@@ -45,21 +45,69 @@ def _bit_indices(urls_hash: "pd.Series", m: int) -> np.ndarray:
     return idx
 
 
-def build_bloom(seen: DataFrame, m: int = BLOOM_BITS_DEFAULT) -> bytes:
-    """Distributed bloom build: compute bit indices executor-side,
-    collect only the DISTINCT bit set (bounded by m/8 bytes)."""
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bits_of(h: pd.Series) -> pd.Series:
-        return pd.Series(list(_bit_indices(h, m)))
+def _set_bits(arr: np.ndarray, h: "pd.Series", m: int) -> None:
+    idx = _bit_indices(h, m).reshape(-1)
+    np.bitwise_or.at(arr, idx // 8, (1 << (idx % 8)).astype(np.uint8))
 
-    bits = (seen.select(F.xxhash64("url").alias("h"))
-            .select(F.explode(bits_of("h")).alias("bit"))
-            .distinct().collect())
-    arr = np.zeros(m // 8 + 1, dtype=np.uint8)
-    idx = np.array([r.bit for r in bits], dtype=np.int64)
-    if len(idx):
-        np.bitwise_or.at(arr, idx // 8, (1 << (idx % 8)).astype(np.uint8))
-    return arr.tobytes()
+
+def bloom_merge_urls(urls: DataFrame, m: int = BLOOM_BITS_DEFAULT,
+                     base: bytes | None = None) -> bytes:
+    """Fold a url set into a bloom bitmap, DISTRIBUTEDLY.
+
+    Each partition builds its own fixed-size uint8 bitmap (Arrow
+    batches, no per-row Python); partial bitmaps are OR-merged down to
+    <= 8 rows executor-side before the driver touches anything, so the
+    driver cost is bounded by 8 * m/8 bytes — independent of |urls| and
+    of the partition count (the round-1 implementation collected the
+    DISTINCT bit set, O(min(|urls|*k, m)) rows through the driver).
+
+    ``base`` OR-merges into an existing bitmap — the crawl maintains
+    its bloom INCREMENTALLY (seed once, fold each wave's delta), never
+    re-scanning the full seen table per wave.
+    """
+    nbytes = m // 8 + 1
+
+    def to_bitmap(batches):
+        arr = np.zeros(nbytes, dtype=np.uint8)
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                _set_bits(arr, pdf["h"], m)
+                n += len(pdf)
+        if n:
+            yield pd.DataFrame({"bitmap": [arr.tobytes()]})
+
+    def or_merge(batches):
+        arr = np.zeros(nbytes, dtype=np.uint8)
+        n = 0
+        for pdf in batches:
+            for blob in pdf["bitmap"]:
+                arr |= np.frombuffer(bytes(blob), dtype=np.uint8)
+                n += 1
+        if n:
+            yield pd.DataFrame({"bitmap": [arr.tobytes()]})
+
+    parts = (urls.select(F.xxhash64("url").alias("h"))
+             .mapInPandas(to_bitmap, "bitmap binary"))
+    # tree-merge only pays when there are MANY partial bitmaps (the
+    # extra stage + shuffle costs ~0.5s of job latency); below 64
+    # partitions the driver ORs them directly
+    n_parts = urls.rdd.getNumPartitions()
+    if n_parts > 64:
+        parts = parts.repartition(8).mapInPandas(or_merge, "bitmap binary")
+    rows = parts.collect()
+    out = (np.frombuffer(base, dtype=np.uint8).copy() if base is not None
+           else np.zeros(nbytes, dtype=np.uint8))
+    for r in rows:
+        out |= np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+    return out.tobytes()
+
+
+def build_bloom(seen: DataFrame, m: int = BLOOM_BITS_DEFAULT) -> bytes:
+    """Full bloom build over a seen table (first activation / resume
+    without a persisted bitmap). Per-wave maintenance should use
+    ``bloom_merge_urls(delta, m, base=prev)`` instead."""
+    return bloom_merge_urls(seen.select("url"), m)
 
 
 def bloom_maybe_seen(candidates: DataFrame, bloom: bytes,
@@ -127,6 +175,16 @@ class CuckooFilter:
         fp = (h >> np.uint64(48)).astype(np.uint16)
         return np.where(fp == 0, np.uint16(1), fp)
 
+    def _fp_i1_i2(self, h_arr: np.ndarray):
+        """Vectorized (fingerprint, bucket, alt-bucket) for a uint64
+        hash array — ONE numpy pass instead of per-key allocations
+        (the probe/insert hot loops are executor-side Python)."""
+        fp = self._fingerprint(h_arr)
+        i1 = (h_arr % np.uint64(self.n_buckets)).astype(np.int64)
+        i2 = (i1 ^ (fp.astype(np.int64) * 0x5BD1E995)) \
+            & (self.n_buckets - 1)
+        return fp, i1, i2
+
     def _i1(self, h):
         return int(h % np.uint64(self.n_buckets))
 
@@ -134,25 +192,23 @@ class CuckooFilter:
         # xor-then-mask: involutive because n_buckets is a power of two
         return (i1 ^ (int(fp) * 0x5BD1E995)) & (self.n_buckets - 1)
 
-    def insert_hash(self, h: int) -> bool:
-        h = np.uint64(h)
-        fp = int(self._fingerprint(np.array([h], dtype=np.uint64))[0])
-        i = self._i1(h)
-        for idx in (i, self._i2(i, fp)):
-            row = self.table[idx]
+    def _insert_fp(self, fp: int, i1: int, i2: int) -> bool:
+        table = self.table
+        for idx in (i1, i2):
+            row = table[idx]
             empty = np.nonzero(row == 0)[0]
             if len(empty):
                 row[empty[0]] = fp
                 return True
         # evict deterministically: rotate victim slots with kick count
-        idx = self._i2(i, fp)
+        idx = i2
         for kick in range(self.MAX_KICKS):
             slot = kick % self.SLOTS
-            victim = int(self.table[idx][slot])
-            self.table[idx][slot] = fp
+            victim = int(table[idx][slot])
+            table[idx][slot] = fp
             fp = victim
             idx = self._i2(idx, fp)
-            row = self.table[idx]
+            row = table[idx]
             empty = np.nonzero(row == 0)[0]
             if len(empty):
                 row[empty[0]] = fp
@@ -160,17 +216,37 @@ class CuckooFilter:
         return False  # overfull: caller resizes (membership safety is
         # ultimately backed by the exact anti-join regardless)
 
+    def insert_hash(self, h: int) -> bool:
+        h_arr = np.array([h], dtype=np.uint64)
+        fp, i1, i2 = self._fp_i1_i2(h_arr)
+        return self._insert_fp(int(fp[0]), int(i1[0]), int(i2[0]))
+
+    def insert_many(self, h_arr: np.ndarray) -> bool:
+        """Insert hashes IN ORDER (eviction chains depend on it — the
+        crawl inserts sorted-by-url for cross-parallelism determinism).
+        Returns False if any insert overflowed."""
+        fp, i1, i2 = self._fp_i1_i2(h_arr.astype(np.uint64))
+        ok = True
+        for j in range(len(h_arr)):
+            ok &= self._insert_fp(int(fp[j]), int(i1[j]), int(i2[j]))
+        return ok
+
     def contains_hash(self, h: int) -> bool:
-        h = np.uint64(h)
-        fp = int(self._fingerprint(np.array([h], dtype=np.uint64))[0])
-        i1 = self._i1(h)
-        i2 = self._i2(i1, fp)
-        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+        return bool(self.contains_many(np.array([h], dtype=np.uint64))[0])
+
+    def contains_many(self, h_arr: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe: boolean array, no per-key
+        Python."""
+        fp, i1, i2 = self._fp_i1_i2(h_arr.astype(np.uint64))
+        fpc = fp[:, None]
+        return ((self.table[i1] == fpc).any(axis=1)
+                | (self.table[i2] == fpc).any(axis=1))
 
     def delete_hash(self, h: int) -> bool:
-        h = np.uint64(h)
-        fp = int(self._fingerprint(np.array([h], dtype=np.uint64))[0])
-        for idx in (self._i1(h), self._i2(self._i1(h), fp)):
+        h_arr = np.array([h], dtype=np.uint64)
+        fp_a, i1_a, i2_a = self._fp_i1_i2(h_arr)
+        fp = int(fp_a[0])
+        for idx in (int(i1_a[0]), int(i2_a[0])):
             row = self.table[idx]
             hits = np.nonzero(row == fp)[0]
             if len(hits):
@@ -224,15 +300,15 @@ def update_cuckoo_shards(shards: DataFrame | None, new_urls: DataFrame,
 
     def merge(key, new_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
         part = int(key[0])
-        hashes = [np.uint64(np.int64(h))
-                  for h in new_pdf.sort_values("url")["h"].astype("int64")]
+        hashes = (new_pdf.sort_values("url")["h"]
+                  .to_numpy(dtype=np.int64).view(np.uint64))
         if len(shard_pdf):
             cf = CuckooFilter.from_bytes(bytes(shard_pdf["blob"].iloc[0]),
                                          int(shard_pdf["n_buckets"].iloc[0]))
         else:
             n = max(4, int(len(hashes) / (CuckooFilter.SLOTS * load_factor)) + 1)
             cf = CuckooFilter(n)
-        overflow = not all(cf.insert_hash(h) for h in hashes)
+        overflow = not cf.insert_many(hashes)
         # On overflow the shard is INCOMPLETE for this delta (cuckoo
         # fingerprints cannot be re-keyed for a resize). A false
         # negative here is a CORRECTNESS bug downstream (the
@@ -253,20 +329,41 @@ def update_cuckoo_shards(shards: DataFrame | None, new_urls: DataFrame,
 
 def maintain_cuckoo_shards(shards: DataFrame | None, delta_urls: DataFrame,
                            full_seen: DataFrame,
-                           n_partitions: int) -> DataFrame:
+                           n_partitions: int,
+                           path: str | None = None) -> DataFrame:
     """The safe maintenance protocol: incremental fold of the delta;
     if ANY partition overflowed, rebuild all shards from the seen
     table (source of truth) with extra headroom — restoring the
     no-false-negative invariant the definitely-new bypass relies on.
-    Geometric headroom makes full rebuilds amortized-rare."""
+    Geometric headroom makes full rebuilds amortized-rare.
+
+    With ``path`` set, the updated shards are written there directly
+    and the committed parquet is returned — the cogroup executes
+    exactly once (the write IS the materialization; the overflow
+    check reads the tiny committed file, not a second pass)."""
     if shards is None:
-        return build_cuckoo_shards(full_seen, n_partitions,
-                                   load_factor=0.25)
-    updated = update_cuckoo_shards(shards, delta_urls, n_partitions).cache()
-    if updated.where(F.col("overflow")).limit(1).count() > 0:
-        return build_cuckoo_shards(full_seen, n_partitions,
-                                   load_factor=0.25)
-    return updated.drop("overflow")
+        fresh = build_cuckoo_shards(full_seen, n_partitions,
+                                    load_factor=0.25)
+        if path is None:
+            return fresh
+        fresh.write.mode("overwrite").parquet(path)
+        return delta_urls.sparkSession.read.parquet(path)
+    updated = update_cuckoo_shards(shards, delta_urls, n_partitions)
+    if path is None:
+        updated = updated.cache()
+        if updated.where(F.col("overflow")).limit(1).count() > 0:
+            return build_cuckoo_shards(full_seen, n_partitions,
+                                       load_factor=0.25)
+        return updated.drop("overflow")
+    spark = delta_urls.sparkSession
+    updated.write.mode("overwrite").parquet(path)
+    committed = spark.read.parquet(path)
+    if committed.where(F.col("overflow")).limit(1).count() > 0:
+        rebuilt = build_cuckoo_shards(full_seen, n_partitions,
+                                      load_factor=0.25)
+        rebuilt.write.mode("overwrite").parquet(path)
+        committed = spark.read.parquet(path)
+    return committed.select("partition", "n_buckets", "blob")
 
 
 def cuckoo_prune(candidates: DataFrame, shards: DataFrame,
@@ -289,9 +386,8 @@ def cuckoo_prune(candidates: DataFrame, shards: DataFrame,
             return cand_pdf
         cf = CuckooFilter.from_bytes(bytes(shard_pdf["blob"].iloc[0]),
                                      int(shard_pdf["n_buckets"].iloc[0]))
-        cand_pdf["maybe_seen_cuckoo"] = [
-            cf.contains_hash(np.uint64(np.int64(h)))
-            for h in cand_pdf["h"].astype("int64")]
+        hashes = cand_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        cand_pdf["maybe_seen_cuckoo"] = cf.contains_many(hashes)
         return cand_pdf
 
     return (keyed.groupBy("partition")
@@ -312,11 +408,11 @@ def build_cuckoo_shards(seen: DataFrame, n_partitions: int,
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("url")
-        hashes = [np.uint64(np.int64(h)) for h in pdf["h"].astype("int64")]
+        hashes = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
         n = max(4, int(len(pdf) / (CuckooFilter.SLOTS * load_factor)) + 1)
         while True:  # resize-on-overflow keeps the filter exact-negative
             cf = CuckooFilter(n)
-            if all(cf.insert_hash(h) for h in hashes):
+            if cf.insert_many(hashes):
                 break
             n *= 2
         part = int(pdf["partition"].iloc[0]) if len(pdf) else 0

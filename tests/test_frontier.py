@@ -317,3 +317,32 @@ def test_resume_partitions_mismatch_raises(spark, tmp_path):
     summary = crawl(spark, good)
     assert summary["start_wave"] == 2
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_path_same_result_and_incremental(spark, tmp_path, oracle_state):
+    """Forcing the bloom prefilter on must not change any result
+    (prune-only contract), and the incrementally-maintained bitmap
+    must equal a from-scratch build over the final seen table."""
+    from cuphic_spark.frontier.crawl import _read_seen
+    from cuphic_spark.frontier.seen import build_bloom
+
+    d = str(tmp_path / "bloom_crawl")
+    bits = 1 << 16
+    cfg = CrawlConfig(checkpoint_dir=d, use_bloom=True, bloom_min_seen=0,
+                      bloom_bits=bits, **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+
+    import os as _os
+    last = last_complete_wave(cfg)
+    bloom_path = _os.path.join(d, f"wave={last:05d}", "bloom.bin")
+    assert _os.path.exists(bloom_path)
+    with open(bloom_path, "rb") as fh:
+        incremental = fh.read()
+    scratch = build_bloom(_read_seen(spark, cfg, last), bits)
+    assert incremental == scratch
+    shutil.rmtree(d, ignore_errors=True)
