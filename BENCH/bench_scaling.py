@@ -28,21 +28,13 @@ def burn(n: int) -> int:
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
+    # NO overrides beyond cpus + sf_dir: the legs run bench.py at its
+    # DOCUMENTED DEFAULTS, so every BASELINE.md number is reproducible
+    # by `SPARK_GRAFT_CPUS=N python bench.py` alone (round 1 shipped
+    # legs measured under undocumented env overrides — never again).
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir,
-               # scaling needs compute to dominate fixed job overhead:
-               # 5x corpus and crawl waves big enough to amortize the
-               # per-wave scheduling cost
-               CUPHIC_BENCH_COPIES=os.environ.get(
-                   "CUPHIC_SCALING_COPIES", "100"),
-               CUPHIC_BENCH_SEEDS=os.environ.get(
-                   "CUPHIC_SCALING_SEEDS", "200000"),
-               CUPHIC_BENCH_WAVE_CAP=os.environ.get(
-                   "CUPHIC_SCALING_WAVE_CAP", "200000"),
-               CUPHIC_BENCH_BUDGET="100000",
-               CUPHIC_BENCH_REPS=os.environ.get(
-                   "CUPHIC_SCALING_REPS", "3"))
+               SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, check=True)

@@ -140,10 +140,15 @@ def q_politeness_topk(spark, sf_dir):
 
 
 def q_seen_anti_join(spark, sf_dir):
+    """Anti-join shape of the crawl's seen-set check. The right side
+    is FILTERED (high-value orders) so the result is non-empty at
+    every test SF — round 1's every-customer-has-orders variant
+    returned 0 rows, making the hash check vacuous."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (customer.join(orders,
-                          customer.c_custkey == orders.o_custkey,
+    big = orders.where(F.col("o_totalprice") > 300000)
+    return (customer.join(big,
+                          customer.c_custkey == big.o_custkey,
                           "left_anti")
             .select("c_custkey"))
 
@@ -304,12 +309,20 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-bucket LSH
-    (rows-only; typically empty on random embeddings — the plumbing
-    and threshold logic are what the gate records)."""
+    """Embedding-cosine near-dup pairs via MULTI-BAND sign LSH. The
+    input unions the embeddings table with an exact-duplicate copy
+    (vec_id + 1000000), so the expected output provably contains one
+    pair per duplicated vector — a non-vacuous gate (random 64-dim
+    embeddings alone have no cosine>=0.9 pairs). Oracled against the
+    same band/bucket/cosine pipeline in DuckDB SQL."""
     from cuphic_spark.operators.dedup import embedding_neardup_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold_milli=900)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 250)
+           .select("vec_id", "embedding"))
+    dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     "embedding")
+    return embedding_neardup_pairs(emb.unionByName(dup),
+                                   threshold_milli=900)
 
 
 def q_simhash(spark, sf_dir):
@@ -468,7 +481,8 @@ def oracle_sql() -> dict[str, str]:
         "seen_anti_join": """
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = c.c_custkey)
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
         """,
         "frontier_merge": """
             SELECT DISTINCT id FROM (
@@ -631,4 +645,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank::INTEGER AS rank, dot_q
             FROM ranked WHERE rank <= 5
         """,
+        "embedding_neardup": _neardup_oracle_sql(),
     }
+
+
+def _neardup_oracle_sql(n_bands: int = 4, band_bits: int = 8,
+                        threshold_milli: int = 900) -> str:
+    """DuckDB twin of embedding_neardup_pairs over the same
+    dup-injected input: identical band buckets (sign pattern per dim
+    slice), OR-of-bands candidates, exact cosine filter. Output is
+    pair ids only — cosine values are float-derived and would be
+    hash-fragile across engines; the threshold DECISION is robust
+    because injected pairs sit at cos=1.0 and random 64-dim pairs sit
+    far below 0.9."""
+    band_exprs = []
+    for band in range(n_bands):
+        bits = " || ".join(
+            f"CAST(CAST(embedding[{band * band_bits + i + 1}] >= 0 "
+            "AS INT) AS VARCHAR)"
+            for i in range(band_bits))
+        band_exprs.append(f"({bits}) AS band_{band}")
+    band_cond = " OR ".join(
+        f"a.band_{b} = b.band_{b}" for b in range(n_bands))
+    return f"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 250),
+        allv AS (SELECT vec_id, embedding FROM base
+                 UNION ALL
+                 SELECT vec_id + 1000000 AS vec_id, embedding FROM base),
+        sig AS (SELECT vec_id, embedding, {", ".join(band_exprs)}
+                FROM allv)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id AND ({band_cond})
+        WHERE list_cosine_similarity(a.embedding, b.embedding) * 1000
+              >= {threshold_milli}
+    """

@@ -214,14 +214,27 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         offset_map = F.create_map(
             *[F.lit(v) for kv in offsets.items() for v in kv])
         w_score = Window.partitionBy("score").orderBy(F.asc("url"))
-        scheduled = (budgeted
-                     .where(F.col("score").isin(list(offsets)))
-                     .withColumn("rank_in_wave",
-                                 (F.element_at(offset_map, F.col("score"))
-                                  + F.row_number().over(w_score)).cast("int"))
-                     .where(F.col("rank_in_wave") <= cfg.wave_cap))
+        with_rank = (budgeted
+                     .withColumn(
+                         "rank_in_wave",
+                         F.when(F.col("score").isin(list(offsets)),
+                                F.element_at(offset_map, F.col("score"))
+                                + F.row_number().over(w_score))
+                         .cast("int"))
+                     .cache())
+        scheduled = with_rank.where(F.col("rank_in_wave") <= cfg.wave_cap)
+        # leftover budgeted rows: re-derived from the SAME rank window
+        # (cached) instead of an eligible-minus-fetched anti-join —
+        # membership is identical by construction and two url-keyed
+        # shuffles per wave disappear
+        unscheduled = (with_rank
+                       .where(F.col("rank_in_wave").isNull()
+                              | (F.col("rank_in_wave") > cfg.wave_cap))
+                       .drop("rank_in_wave"))
     else:
+        with_rank = None
         scheduled = budgeted.withColumn("rank_in_wave", F.lit(0)).limit(0)
+        unscheduled = budgeted
 
     # the global rank window collapses to one partition; fan back out
     # so fetch+parse of the wave runs partition-parallel (rank is
@@ -290,10 +303,14 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         .observe(obs_new, F.count(F.lit(1)).alias("n"))
         .cache())
 
-    frontier_next = (eligible.join(
-        fetched.select("url"), "url", "left_anti")
-        .select("url", "host", "depth", "score", "discovered_wave")
-        .unionByName(new_rows))
+    cols = ["url", "host", "depth", "score", "discovered_wave"]
+    over_budget = (ranked
+                   .where(~F.col("den")
+                          & (F.col("host_rank") > cfg.budget_per_host))
+                   .select(*cols))
+    frontier_next = (over_budget
+                     .unionByName(unscheduled.select(*cols))
+                     .unionByName(new_rows))
     # every frontier url is already in seen (added at discovery), so
     # denied rows need no re-insert; seen grows only by new discoveries
     # -> the wave emits a DELTA, never a rewritten snapshot (rewriting
@@ -322,6 +339,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         }
 
     caches = [ranked, fetched, distinct_links, new_rows]
+    if with_rank is not None:
+        caches.append(with_rank)
     return frontier_next, seen_delta, fetch_log, finish, caches
 
 
@@ -459,13 +478,17 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             cuckoo_shards=cuckoo_shards, bloom=bloom)
         _mark("schedule")
         d = _wave_dir(cfg, wave)
-        # the three checkpoint writes ARE the wave's remaining Spark
-        # jobs; per-wave metrics ride on them via observe()
+        # the checkpoint writes ARE the wave's remaining Spark jobs;
+        # per-wave metrics ride on them via observe(). Two sequential
+        # writes materialize the shared caches (fetch, then the link
+        # chain), after which the remaining independent jobs —
+        # frontier write, cuckoo maintenance, bloom fold — run
+        # CONCURRENTLY from threads (pure cache/parquet readers with
+        # disjoint outputs; Spark schedules their tasks side by side,
+        # overlapping driver latency that used to serialize).
         fetch_log.write.mode("overwrite").parquet(
             os.path.join(d, "fetch_log"))
         _mark("fetch_log_write")
-        _partitioned_write(fnext, os.path.join(d, "frontier"), cfg, salt=True)
-        _mark("frontier_write")
         _partitioned_write(
             seen_delta.withColumn("host", host_col(F.col("url")))
             .select("url", "added_wave", "host"),
@@ -473,27 +496,45 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         _mark("seen_delta_write")
         metrics = finish()
         n_seen += metrics["new_urls"]
-        # fold the wave's delta into the bloom (tiny: O(new))
-        if cfg.use_bloom and bloom is not None:
-            delta_path = os.path.join(d, "seen_delta")
-            bloom = bloom_merge_urls(
-                spark.read.parquet(delta_path).select("url"),
-                cfg.bloom_bits, base=bloom)
-            with open(os.path.join(d, "bloom.bin"), "wb") as fh:
-                fh.write(bloom)
-        _mark("bloom_fold")
-        # maintain partition-local cuckoo shards: one-time build when
-        # the seen set crosses the threshold, incremental fold of the
-        # wave's delta afterwards (O(new), never a full-rebuild)
-        if cfg.use_cuckoo and n_seen >= cfg.cuckoo_min_seen:
-            from .seen import maintain_cuckoo_shards
 
-            cuckoo_path = os.path.join(d, "cuckoo")
-            cuckoo_shards = maintain_cuckoo_shards(
-                cuckoo_shards, seen_delta.select("url"),
-                _read_seen(spark, cfg, wave), cfg.partitions,
-                path=cuckoo_path)
-        _mark("cuckoo_maintain")
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_frontier():
+            _partitioned_write(fnext, os.path.join(d, "frontier"),
+                               cfg, salt=True)
+
+        def fold_bloom():
+            if cfg.use_bloom and bloom is not None:
+                merged = bloom_merge_urls(
+                    spark.read.parquet(os.path.join(d, "seen_delta"))
+                    .select("url"),
+                    cfg.bloom_bits, base=bloom)
+                with open(os.path.join(d, "bloom.bin"), "wb") as fh:
+                    fh.write(merged)
+                return merged
+            return bloom
+
+        def maintain_cuckoo():
+            # one-time build when the seen set crosses the threshold,
+            # incremental fold of the wave's delta afterwards
+            # (O(new), never a full-rebuild)
+            if cfg.use_cuckoo and n_seen >= cfg.cuckoo_min_seen:
+                from .seen import maintain_cuckoo_shards
+
+                return maintain_cuckoo_shards(
+                    cuckoo_shards, seen_delta.select("url"),
+                    _read_seen(spark, cfg, wave), cfg.partitions,
+                    path=os.path.join(d, "cuckoo"))
+            return cuckoo_shards
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_frontier = pool.submit(write_frontier)
+            f_bloom = pool.submit(fold_bloom)
+            f_cuckoo = pool.submit(maintain_cuckoo)
+            f_frontier.result()
+            bloom = f_bloom.result()
+            cuckoo_shards = f_cuckoo.result()
+        _mark("frontier_bloom_cuckoo")
 
         # re-read committed state (truncates lineage, frees cache)
         frontier.unpersist()

@@ -155,30 +155,53 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold_milli: int = 990,
-                            n_bands: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup: sign-random-projection style LSH
-    buckets from the embedding's own sign pattern (first n_bands
-    dims), then exact cosine within buckets. Returns pairs with
-    cosine >= threshold (in thousandths)."""
-    sig = emb.select(
-        "vec_id", "embedding",
-        F.concat_ws("", *[
-            (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
-            for i in range(n_bands)]).alias("bucket"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (a.join(b, "bucket")
-             .where(F.col("a.vec_id") < F.col("b.vec_id")))
+                            n_bands: int = 4, band_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: MULTI-BAND sign LSH. Band i buckets
+    on the sign pattern of dims [i*band_bits, (i+1)*band_bits); a pair
+    is a candidate if it collides in ANY band (the standard OR-of-
+    bands construction — one band alone misses near-dups whose sign
+    flips happen to fall inside that band's slice, which is why the
+    round-1 single-band variant under-recalled). Candidates are
+    deduped across bands BEFORE the exact cosine so each pair's dot
+    product is computed once. Returns (vec_a, vec_b) pairs with exact
+    cosine >= threshold_milli/1000.
+
+    Scale shape: each band's self-join shuffles on its bucket key;
+    n_bands * |emb| rows total, bucket cardinality 2^band_bits per
+    band keeps partitions balanced for roughly-centered embeddings.
+    """
+    band_cols = []
+    for band in range(n_bands):
+        lo = band * band_bits
+        band_cols.append(
+            F.concat_ws("", *[
+                (F.element_at("embedding", lo + i + 1) >= 0)
+                .cast("int").cast("string")
+                for i in range(band_bits)]).alias(f"band_{band}"))
+    sig = emb.select("vec_id", "embedding", *band_cols)
+
+    cand = None
+    for band in range(n_bands):
+        a = sig.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("emb_a"),
+                       F.col(f"band_{band}").alias("bucket"))
+        b = sig.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("emb_b"),
+                       F.col(f"band_{band}").alias("bucket"))
+        pairs = (a.join(b, "bucket")
+                 .where(F.col("vec_a") < F.col("vec_b"))
+                 .select("vec_a", "vec_b", "emb_a", "emb_b"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["vec_a", "vec_b"])
+
     dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+        F.zip_with(F.col("emb_a"), F.col("emb_b"),
                    lambda x, y: (x * y).cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: (x * x).cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    cos_milli = (dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
-                 * 1000).cast("int")
-    return (pairs.select(F.col("a.vec_id").alias("vec_a"),
-                         F.col("b.vec_id").alias("vec_b"),
-                         cos_milli.alias("cos_milli"))
-            .where(F.col("cos_milli") >= threshold_milli))
+    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
+    return (cand.withColumn("cos", cos)
+            .where(F.col("cos") * 1000 >= threshold_milli)
+            .select("vec_a", "vec_b"))

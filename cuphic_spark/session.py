@@ -29,7 +29,8 @@ def get_spark(app_name: str = "cuphic-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("CUPHIC_ARROW_BATCH", "8192"))
         .config("spark.driver.memory", os.environ.get("CUPHIC_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
