@@ -134,13 +134,15 @@ def _fetch(scheduled: DataFrame, universe: int) -> DataFrame:
     return scheduled.mapInPandas(gen, schema)
 
 
-def _extract_links(fetched: DataFrame) -> DataFrame:
+def _extract_links(fetched: DataFrame, dropped_acc=None) -> DataFrame:
     """href extraction REUSES the cuphic engine: compiled head-only
-    pattern -> relational match over the nodes table."""
+    pattern -> relational match over the nodes table. Unsalvageable
+    pages (lenient parse ladder exhausted) are counted via
+    ``dropped_acc`` — crawl metrics surface them as pages_dropped."""
     from ..compiler import compile_pattern, match_nodes
     from ..operators.parse import pages_to_nodes
 
-    nodes = pages_to_nodes(fetched)
+    nodes = pages_to_nodes(fetched, dropped_acc=dropped_acc)
     cp = compile_pattern("links", "[:a {:href href} ???]")
     m = match_nodes(nodes, [cp])
     return m.select(F.col("url").alias("base_url"),
@@ -252,7 +254,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                         F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
                .cache())
 
-    links = _extract_links(fetched.select("url", "html"))
+    dropped_acc = spark.sparkContext.accumulator(0)
+    links = _extract_links(fetched.select("url", "html"),
+                           dropped_acc=dropped_acc)
     canon = links.select(
         canonicalize_cols(F.col("href"), F.col("base_url")).alias("url"))
     obs_links = Observation(f"links_w{wave}_{tag}")
@@ -336,6 +340,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             "new_urls": int(new_m["n"]),
             "dupes": int(links_m["d"]) - int(new_m["n"]),
             "bytes": int(fetch_m["b"]),
+            "pages_dropped": int(dropped_acc.value),
         }
 
     caches = [ranked, fetched, distinct_links, new_rows]

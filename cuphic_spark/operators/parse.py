@@ -78,12 +78,54 @@ def encode_value(v) -> str:
     return reader.dumps(v)
 
 
-def _html_to_tree(html) -> list | None:
-    data = bytes(html) if isinstance(html, (bytes, bytearray, memoryview)) else html
+_BARE_AMP = None  # compiled lazily executor-side
+
+
+def parse_html_lenient(data) -> tuple[list | None, str]:
+    """Parse with a LENIENT repair ladder — crawl reality is tag soup.
+
+    Returns (tree, mode): mode is 'strict' when the page parses as-is
+    (byte-identity semantics fully preserved — the reference corpus
+    always takes this path), 'fixup' after conservative repairs (bare
+    ``&`` escaped, junk before the first ``<`` stripped), 'wrapped'
+    when multiple roots needed a synthetic ``<root>`` wrapper, or
+    'dropped' with tree None when nothing salvages the page. Callers
+    surface drops through a ``pages_dropped`` counter rather than
+    silently shrinking the output."""
+    global _BARE_AMP
+    raw = bytes(data) if isinstance(data, (bytes, bytearray, memoryview)) \
+        else data
     try:
-        return parse_xml(data)
+        return parse_xml(raw), "strict"
     except Exception:
-        return None  # unparseable page -> skipped (crawl reality)
+        pass
+    import re as _re
+
+    if _BARE_AMP is None:
+        _BARE_AMP = _re.compile(r"&(?![a-zA-Z][a-zA-Z0-9]*;|#[0-9]+;"
+                                r"|#x[0-9a-fA-F]+;)")
+    txt = raw.decode("utf-8", errors="replace") if isinstance(raw, bytes) \
+        else raw
+    fixed = _BARE_AMP.sub("&amp;", txt)
+    lt = fixed.find("<")
+    if lt > 0:
+        fixed = fixed[lt:]
+    try:
+        return parse_xml(fixed.encode("utf-8")), "fixup"
+    except Exception:
+        pass
+    try:
+        wrapped = "<root>" + fixed + "</root>"
+        return parse_xml(wrapped.encode("utf-8")), "wrapped"
+    except Exception:
+        return None, "dropped"
+
+
+def _html_to_tree(html, dropped_acc=None) -> list | None:
+    tree, _mode = parse_html_lenient(html)
+    if tree is None and dropped_acc is not None:
+        dropped_acc.add(1)
+    return tree
 
 
 def _flatten(url: str, tree) -> Iterator[tuple]:
@@ -126,13 +168,18 @@ def _flatten(url: str, tree) -> Iterator[tuple]:
     return iter(out)
 
 
-def pages_to_nodes(pages: DataFrame) -> DataFrame:
-    """pages -> nodes table (one narrow mapInPandas pass)."""
+def pages_to_nodes(pages: DataFrame, dropped_acc=None) -> DataFrame:
+    """pages -> nodes table (one narrow mapInPandas pass).
+
+    ``dropped_acc``: optional SparkContext accumulator incremented per
+    page the lenient parse ladder could not salvage (drops are
+    COUNTED, never silent; task retries can overcount — treat as a
+    metric, membership truth stays with the row data)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                tree = _html_to_tree(html)
+                tree = _html_to_tree(html, dropped_acc)
                 if tree is None:
                     continue
                 rows.extend(_flatten(url, tree))
@@ -141,13 +188,13 @@ def pages_to_nodes(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(gen, NODES_SCHEMA)
 
 
-def pages_extract_text(pages: DataFrame) -> DataFrame:
+def pages_extract_text(pages: DataFrame, dropped_acc=None) -> DataFrame:
     """pages -> (url, text): the byte-identity extraction operator."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, texts = [], []
             for url, html in zip(pdf["url"], pdf["html"]):
-                tree = _html_to_tree(html)
+                tree = _html_to_tree(html, dropped_acc)
                 if tree is None:
                     continue
                 urls.append(url)
@@ -157,7 +204,8 @@ def pages_extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)
 
 
-def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str]) -> DataFrame:
+def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str],
+                 dropped_acc=None) -> DataFrame:
     """General scrape: parse each page once, match ALL patterns in a
     single traversal (the reference's one-pass multi-pattern juxt,
     cuphic.cljc:401-405), emit long-format matches rows.
@@ -179,7 +227,7 @@ def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str]) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                tree = _html_to_tree(html)
+                tree = _html_to_tree(html, dropped_acc)
                 if tree is None:
                     continue
                 for node_id, _node, results in kernel_scan(tree, *plist):

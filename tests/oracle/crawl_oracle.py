@@ -116,5 +116,8 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
             "links_total": total_links, "links_distinct": len(links),
             "new_urls": len(new_urls),
             "dupes": len(links) - len(new_urls), "bytes": total_bytes,
+            # the synthetic graph always parses strictly; real crawls
+            # surface lenient-ladder drops here
+            "pages_dropped": 0,
         })
     return st

@@ -156,3 +156,44 @@ def test_entry_smoke(spark):
     assert len(rows) >= 3
     assert {r.pattern_key for r in rows} >= {"links", "term", "title"}
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+def test_lenient_parse_ladder(spark):
+    """Crawl-reality tag soup: strict pages stay byte-identical
+    (mode 'strict'); repairable soup parses with fixups; garbage is
+    DROPPED and counted, never silently shrunk."""
+    from cuphic_spark.operators.parse import (
+        pages_extract_text,
+        parse_html_lenient,
+    )
+
+    tree, mode = parse_html_lenient(b"<p>clean</p>")
+    assert mode == "strict" and tree is not None
+
+    tree, mode = parse_html_lenient(b"<p>fish &chips &amp; more</p>")
+    assert mode == "fixup"
+    from cuphic_spark.kernel.xmlparse import extract_text
+    assert extract_text(tree) == "fish &chips & more"
+
+    tree, mode = parse_html_lenient(b"junk prefix<p>body</p>")
+    assert mode == "fixup"
+    assert extract_text(tree) == "body"
+
+    tree, mode = parse_html_lenient(b"<p>a</p><p>b</p>")
+    assert mode == "wrapped"
+    assert extract_text(tree) == "ab"
+
+    tree, mode = parse_html_lenient(b"<p>never closed")
+    assert mode == "dropped" and tree is None
+
+    pages = spark.createDataFrame(
+        [("u1", b"<p>ok</p>"),
+         ("u2", b"<p>bad &amp"),          # unrepairable (truncated)
+         ("u3", b"pre<p>fix &it</p>"),    # repairable
+         ("u4", b"<p>never closed")],     # unrepairable
+        "url string, html binary")
+    acc = spark.sparkContext.accumulator(0)
+    out = pages_extract_text(pages, dropped_acc=acc).collect()
+    texts = {r.url: r.text for r in out}
+    assert texts == {"u1": "ok", "u3": "fix &it"}
+    assert acc.value == 2
