@@ -67,6 +67,8 @@ class CrawlConfig:
     use_cuckoo: bool = True       # partition-local cuckoo shard prune
     cuckoo_min_seen: int = 50_000
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
+    compact_every: int = 0        # auto-compact seen deltas every N
+    # waves (0 = off; offline compaction via snapshots.compact_seen)
     extra: dict = field(default_factory=dict)
 
 
@@ -393,12 +395,26 @@ def last_complete_wave(cfg: CrawlConfig) -> int:
     return w
 
 
-def _seen_delta_paths(cfg: CrawlConfig, upto_wave: int) -> list[str]:
+def _seen_delta_paths(cfg: CrawlConfig, upto_wave: int,
+                      use_compact: bool = True) -> list[str]:
     """Seed delta + per-wave discovery deltas — the seen table is the
     UNION of immutable delta snapshots (append-only; a snapshot
     rewrite per wave would be O(|seen|) and unsustainable at 10^10).
-    Compaction of old deltas is an offline maintenance job (knob, not
-    needed at sandbox scale)."""
+    When a compacted snapshot exists (snapshots.compact_seen — the
+    offline maintenance job), reads use it as the base and union only
+    the deltas past its horizon, keeping the root count bounded."""
+    if use_compact:
+        from .snapshots import read_compact_marker
+
+        marker = read_compact_marker(cfg)
+        if (marker is not None and marker["upto_wave"] <= upto_wave
+                and os.path.isdir(marker["path"])):
+            paths = [marker["path"]]
+            for w in range(marker["upto_wave"] + 1, upto_wave + 1):
+                p = os.path.join(_wave_dir(cfg, w), "seen_delta")
+                if os.path.isdir(p):
+                    paths.append(p)
+            return paths
     paths = [os.path.join(cfg.checkpoint_dir, "seen_seed")]
     for w in range(0, upto_wave + 1):
         p = os.path.join(_wave_dir(cfg, w), "seen_delta")
@@ -561,6 +577,11 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         }
         with open(os.path.join(d, "_lineage.json"), "w") as fh:
             json.dump(lineage, fh, indent=1)
+        if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
+            from .snapshots import compact_seen
+
+            compact_seen(spark, cfg, upto_wave=wave)
+            seen = _read_seen(spark, cfg, wave)  # re-root on the compact
         all_metrics.append(metrics)
     return {"start_wave": start, "metrics": all_metrics,
             "timings": all_timings,

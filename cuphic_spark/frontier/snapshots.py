@@ -18,6 +18,66 @@ import shutil
 
 from .crawl import CrawlConfig, _wave_dir, last_complete_wave
 
+COMPACT_DIRNAME = "seen_compact"
+
+
+def _compact_marker(cfg: CrawlConfig) -> str:
+    return os.path.join(cfg.checkpoint_dir, COMPACT_DIRNAME,
+                        "_compact.json")
+
+
+def read_compact_marker(cfg: CrawlConfig) -> dict | None:
+    path = _compact_marker(cfg)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def compact_seen(spark, cfg: CrawlConfig, upto_wave: int | None = None) -> str:
+    """Offline maintenance: merge the seed delta + per-wave seen
+    deltas up to ``upto_wave`` into ONE partitioned snapshot, so the
+    per-wave read is O(1) dirs + recent deltas instead of O(waves)
+    dirs (at 10^10 urls / thousands of waves the delta-dir count is
+    itself a scale problem: every wave's seen read lists and
+    schema-merges each root).
+
+    The raw deltas are KEPT — they remain the rollback source of
+    truth; the compact is a read optimization recorded in
+    ``_compact.json`` (readers use compact + deltas after its
+    horizon). Re-compaction replaces the previous compact. Deleting
+    raw deltas older than the rollback-retention horizon is left as
+    an explicit retention decision, never implicit."""
+    from .crawl import _partitioned_write, _seen_delta_paths, host_col
+    from pyspark.sql import functions as F
+
+    if upto_wave is None:
+        upto_wave = last_complete_wave(cfg)
+    if upto_wave < 0:
+        raise ValueError("nothing to compact: no complete waves")
+    seen = (spark.read.parquet(*_seen_delta_paths(cfg, upto_wave,
+                                                  use_compact=False))
+            .select("url", "added_wave"))
+    out_dir = os.path.join(cfg.checkpoint_dir, COMPACT_DIRNAME,
+                           f"upto={upto_wave:05d}")
+    _partitioned_write(
+        seen.withColumn("host", host_col(F.col("url")))
+        .select("url", "added_wave", "host"),
+        out_dir, cfg, dir_partitioned=False)
+    marker = {"upto_wave": upto_wave, "path": out_dir,
+              "partitions": cfg.partitions}
+    tmp = _compact_marker(cfg) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(marker, fh, indent=1)
+    os.replace(tmp, _compact_marker(cfg))  # atomic commit
+    # prune superseded compacts (marker no longer references them)
+    root = os.path.join(cfg.checkpoint_dir, COMPACT_DIRNAME)
+    for name in os.listdir(root):
+        d = os.path.join(root, name)
+        if name.startswith("upto=") and d != out_dir and os.path.isdir(d):
+            shutil.rmtree(d)
+    return out_dir
+
 
 def list_snapshots(cfg: CrawlConfig) -> list[dict]:
     """Lineage records of all complete waves, in order."""
@@ -43,6 +103,13 @@ def rollback_to_wave(cfg: CrawlConfig, wave: int) -> int:
         if os.path.isdir(d):
             shutil.rmtree(d)
             removed += 1
+    # a compact covering waves beyond the target would resurrect
+    # rolled-back urls — drop it (raw deltas remain the truth)
+    marker = read_compact_marker(cfg)
+    if marker is not None and marker["upto_wave"] > wave:
+        shutil.rmtree(os.path.join(cfg.checkpoint_dir, COMPACT_DIRNAME),
+                      ignore_errors=True)
+        removed += 1
     if wave < 0:
         seed = os.path.join(cfg.checkpoint_dir, "seen_seed")
         if os.path.isdir(seed):

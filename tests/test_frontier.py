@@ -346,3 +346,68 @@ def test_bloom_path_same_result_and_incremental(spark, tmp_path, oracle_state):
     scratch = build_bloom(_read_seen(spark, cfg, last), bits)
     assert incremental == scratch
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_seen_compaction(spark, tmp_path, oracle_state):
+    """compact_seen merges deltas into one snapshot: identical seen
+    membership, crawl resumes on top of it, readers use compact +
+    post-horizon deltas (bounded roots), rollback invalidates a
+    compact that covers rolled-back waves."""
+    import os as _os
+
+    from cuphic_spark.frontier.crawl import _read_seen, _seen_delta_paths
+    from cuphic_spark.frontier.snapshots import (
+        compact_seen,
+        read_compact_marker,
+        rollback_to_wave,
+    )
+
+    d = str(tmp_path / "compact_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, **CFG)
+    crawl(spark, cfg)
+    before = {(r.url, r.added_wave)
+              for r in _read_seen(spark, cfg, 2).collect()}
+
+    compact_seen(spark, cfg, upto_wave=1)
+    marker = read_compact_marker(cfg)
+    assert marker["upto_wave"] == 1
+    paths = _seen_delta_paths(cfg, 2)
+    assert paths[0] == marker["path"] and len(paths) == 2  # compact + w2
+    after = {(r.url, r.added_wave)
+             for r in _read_seen(spark, cfg, 2).collect()}
+    assert after == before
+
+    # resume on top of the compact reproduces the oracle exactly
+    rollback_to_wave(cfg, 1)  # drops wave 2 AND the upto=1 compact? no:
+    # the compact covers waves <= 1 only, so it must SURVIVE
+    assert read_compact_marker(cfg) is not None
+    summary = crawl(spark, cfg)
+    assert summary["start_wave"] == 2
+    assert summary["metrics"] == oracle_state.metrics[2:]
+    final = {(r.url, r.added_wave)
+             for r in _read_seen(spark, cfg, 2).collect()}
+    assert final == before
+
+    # rollback PAST the compact horizon invalidates it
+    rollback_to_wave(cfg, 0)
+    assert read_compact_marker(cfg) is None
+    assert _seen_delta_paths(cfg, 0)[0].endswith("seen_seed")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_auto_compaction_same_results(spark, tmp_path, oracle_state):
+    """compact_every folds compaction into the wave loop without
+    changing any result."""
+    from cuphic_spark.frontier.crawl import _read_seen
+    from cuphic_spark.frontier.snapshots import read_compact_marker
+
+    d = str(tmp_path / "auto_compact")
+    cfg = CrawlConfig(checkpoint_dir=d, compact_every=2, **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    marker = read_compact_marker(cfg)
+    assert marker is not None and marker["upto_wave"] == 1
+    rows = {r.url: r.added_wave
+            for r in _read_seen(spark, cfg, 2).collect()}
+    assert rows == oracle_state.seen
+    shutil.rmtree(d, ignore_errors=True)
