@@ -69,6 +69,13 @@ class CrawlConfig:
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
     compact_every: int = 0        # auto-compact seen deltas every N
     # waves (0 = off; offline compaction via snapshots.compact_seen)
+    page_weight: int = 30         # filler paragraphs per synthetic
+    # page (~4 KB default; Common-Crawl-style bodies = 100-700)
+    seen_check: str = "auto"      # 'shuffle' | 'broadcast' | 'auto':
+    # broadcast = two-phase semi/anti where the seen table only
+    # STREAMS (never shuffles) — the steady-state choice once seen
+    # dwarfs a wave's candidates; auto switches at broadcast_seen_min
+    broadcast_seen_min: int = 5_000_000
     extra: dict = field(default_factory=dict)
 
 
@@ -114,7 +121,8 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
         F.lit(0).alias("discovered_wave"))
 
 
-def _fetch(scheduled: DataFrame, universe: int) -> DataFrame:
+def _fetch(scheduled: DataFrame, universe: int,
+           page_weight: int = 30) -> DataFrame:
     """Simulated fetch: adds html+bytes columns IN PLACE (Arrow-
     batched, carries all scheduling columns through — no join back)."""
     import pandas as pd
@@ -127,7 +135,7 @@ def _fetch(scheduled: DataFrame, universe: int) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            html = [webgraph.gen_html(u, universe).encode()
+            html = [webgraph.gen_html(u, universe, page_weight).encode()
                     for u in pdf["url"]]
             pdf["html"] = html
             pdf["bytes"] = [len(h) for h in html]
@@ -250,7 +258,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     import uuid
     tag = uuid.uuid4().hex[:8]  # observation names unique per run
     obs_fetch = Observation(f"fetch_w{wave}_{tag}")
-    fetched = (_fetch(scheduled, cfg.universe)
+    fetched = (_fetch(scheduled, cfg.universe, cfg.page_weight)
                .observe(obs_fetch,
                         F.count(F.lit(1)).alias("n"),
                         F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
@@ -275,6 +283,14 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     if not use_bloom:
         bloom = None
 
+    if cfg.seen_check == "auto":
+        seen_strategy = ("broadcast"
+                         if (n_seen_hint is not None
+                             and n_seen_hint >= cfg.broadcast_seen_min)
+                         else "shuffle")
+    else:
+        seen_strategy = cfg.seen_check
+
     candidates = distinct_links
     use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
                   and (n_seen_hint is None
@@ -289,10 +305,12 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                  .drop("maybe_seen_cuckoo", "partition"))
         to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
                     .drop("maybe_seen_cuckoo", "partition"))
-        confirmed = filter_new_urls(to_check, seen, bloom, cfg.bloom_bits)
+        confirmed = filter_new_urls(to_check, seen, bloom, cfg.bloom_bits,
+                                    strategy=seen_strategy)
         new_urls = fresh.unionByName(confirmed)
     else:
-        new_urls = filter_new_urls(candidates, seen, bloom, cfg.bloom_bits)
+        new_urls = filter_new_urls(candidates, seen, bloom, cfg.bloom_bits,
+                                   strategy=seen_strategy)
     # no frontier anti-join needed: every frontier url is already in
     # seen (seeds via seen_seed, discoveries via their wave's delta),
     # so surviving the seen anti-join implies not-pending either —
@@ -609,6 +627,10 @@ def _main() -> None:
     ap.add_argument("--checkpoint-dir", default="/tmp/cuphic_crawl_cli")
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="auto-compact seen deltas every N waves")
+    ap.add_argument("--seen-check", default="auto",
+                    choices=["auto", "shuffle", "broadcast"])
     args = ap.parse_args()
 
     spark = get_spark(app_name="cuphic-crawl", cores=args.cores)
@@ -616,7 +638,9 @@ def _main() -> None:
                       budget_per_host=args.budget, wave_cap=args.wave_cap,
                       n_waves=args.waves,
                       checkpoint_dir=args.checkpoint_dir,
-                      partitions=args.partitions)
+                      partitions=args.partitions,
+                      compact_every=args.compact_every,
+                      seen_check=args.seen_check)
     summary = crawl(spark, cfg)
     print(json.dumps(summary, indent=1))
 

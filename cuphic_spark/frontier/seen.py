@@ -130,17 +130,41 @@ def bloom_maybe_seen(candidates: DataFrame, bloom: bytes,
     return candidates.withColumn("maybe_seen", probe(F.xxhash64("url")))
 
 
+def _anti_seen(candidates: DataFrame, seen: DataFrame,
+               strategy: str) -> DataFrame:
+    """The exact membership check, two physical strategies:
+
+    * ``shuffle`` — plain left_anti: BOTH sides shuffle on url. Right
+      when seen and candidates are comparable in size.
+    * ``broadcast`` — two-phase semi/anti: ``hits`` = seen ⋉
+      broadcast(candidates) (the seen table only STREAMS through a
+      map-side broadcast hash join — no shuffle, no sort of 10^10
+      rows), then candidates ⟕̸ broadcast(hits). Right when seen
+      dwarfs the wave's candidates (the steady-state crawl); driver
+      memory is bounded by the candidate set, which bloom+cuckoo
+      pruning keeps small.
+    Results are identical; the crawl pins this at test scale.
+    """
+    if strategy == "broadcast":
+        hits = seen.select("url").join(
+            F.broadcast(candidates.select("url")), "url", "left_semi")
+        return candidates.join(F.broadcast(hits), "url", "left_anti")
+    return candidates.join(seen.select("url"), "url", "left_anti")
+
+
 def filter_new_urls(candidates: DataFrame, seen: DataFrame,
                     bloom: bytes | None = None,
-                    m: int = BLOOM_BITS_DEFAULT) -> DataFrame:
-    """Exact new-url filter: bloom prune (optional) then left_anti.
+                    m: int = BLOOM_BITS_DEFAULT,
+                    strategy: str = "shuffle") -> DataFrame:
+    """Exact new-url filter: bloom prune (optional) then the exact
+    membership check (see ``_anti_seen`` for the strategy choice).
     Candidates with maybe_seen=False skip the join entirely."""
     if bloom is None:
-        return candidates.join(seen.select("url"), "url", "left_anti")
+        return _anti_seen(candidates, seen, strategy)
     flagged = bloom_maybe_seen(candidates, bloom, m)
     definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     to_confirm = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed = to_confirm.join(seen.select("url"), "url", "left_anti")
+    confirmed = _anti_seen(to_confirm, seen, strategy)
     return definitely_new.unionByName(confirmed)
 
 

@@ -69,11 +69,25 @@ def id_of_url(url: str) -> int:
     return int(m.group(1))
 
 
-def gen_html(url: str, universe: int) -> str:
-    """Simulated fetch: the page body for ``url``. Pure function."""
+def gen_html(url: str, universe: int, weight: int = 30) -> str:
+    """Simulated fetch: the page body for ``url``. Pure function of
+    (url, universe, weight) — shared verbatim by the Spark fetch
+    simulator and the single-process oracle, so both sides always
+    agree on bytes and links.
+
+    ``weight`` adds deterministic filler paragraphs (~130 B each).
+    The default (~4 KB/page) approximates small real-web pages;
+    Common-Crawl-style bodies are 10-100 KB (weight 100-700). Filler
+    goes through the full engine parse, so crawl benchmarks exercise
+    realistic per-url compute instead of 300-byte toy pages whose
+    cost is pure scheduling latency."""
     i = id_of_url(url)
     parts = [f'<doc><title>Doc {i}</title><p id="p{i}">body of page {i} '
              f"on host {host_of(i)}</p>"]
+    for b in range(weight):
+        seed = i * 13 + b * 7
+        words = " ".join(f"w{(seed + 11 * w) % 9973}" for w in range(16))
+        parts.append(f'<p id="f{i}-{b}">{words}</p>')
     for k in range(n_links(i)):
         parts.append(f'<a href="{href_of(i, k, universe)}">L{i}-{k}</a>')
     parts.append("</doc>")

@@ -63,7 +63,7 @@ class OracleState:
 
 
 def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
-        n_waves: int) -> OracleState:
+        n_waves: int, page_weight: int = 30) -> OracleState:
     st = OracleState()
     for i in range(n_seeds):
         url = webgraph.url_of(i)
@@ -90,7 +90,7 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         total_links = 0
         total_bytes = 0
         for rank, (url, depth, sc) in enumerate(scheduled, start=1):
-            html = webgraph.gen_html(url, universe)
+            html = webgraph.gen_html(url, universe, page_weight)
             total_bytes += len(html.encode())
             st.fetch_log.append({
                 "wave": wave, "rank_in_wave": rank, "url": url,

@@ -411,3 +411,33 @@ def test_auto_compaction_same_results(spark, tmp_path, oracle_state):
             for r in _read_seen(spark, cfg, 2).collect()}
     assert rows == oracle_state.seen
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_broadcast_seen_check_same_result(spark, tmp_path, oracle_state):
+    """seen_check='broadcast' (two-phase semi/anti where the seen
+    table only streams) must produce identical results; the plan must
+    actually broadcast (no sort-merge join on the seen side)."""
+    d = str(tmp_path / "bcast_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, seen_check="broadcast", **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
+
+    from cuphic_spark.frontier.seen import _anti_seen
+
+    cands = spark.createDataFrame(
+        [(f"https://h{i}.x/{i}",) for i in range(50)], "url string")
+    seen = spark.createDataFrame(
+        [(f"https://h{i}.x/{i}", 0) for i in range(0, 100, 2)],
+        "url string, added_wave int")
+    out = _anti_seen(cands, seen, "broadcast")
+    got = sorted(r.url for r in out.collect())
+    want = sorted(f"https://h{i}.x/{i}" for i in range(1, 50, 2))
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
