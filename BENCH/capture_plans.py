@@ -83,6 +83,21 @@ def main() -> None:
         "per-query window for rank. Check: BroadcastNestedLoopJoin/"
         "BroadcastExchange on the small side only.")
 
+    from cuphic_spark.frontier.seen import _anti_seen
+
+    cands = spark.createDataFrame(
+        [(f"https://h{i}.x/{i}",) for i in range(50)], "url string")
+    seen_df = spark.read.parquet(nodes_path).select(
+        F.col("url"))  # stand-in big table
+    add("Broadcast seen-check (two-phase semi/anti)",
+        _anti_seen(cands, seen_df, "broadcast"),
+        "The seen side only STREAMS through two broadcast hash joins "
+        "(hits = seen semi-join broadcast(candidates), then "
+        "candidates anti-join broadcast(hits)). Check: two "
+        "BroadcastHashJoins, NO Exchange/Sort on the seen scan — at "
+        "10^10 seen rows this is the difference between a map-side "
+        "pass and shuffling the whole membership table every wave.")
+
     (REPO / "BENCH" / "PLANS.md").write_text(
         "# Physical plans of the key operators (captured, sf0.001)\n\n"
         + "\n".join(sections))

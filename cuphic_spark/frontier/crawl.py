@@ -503,7 +503,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
 
         tt, t0 = {}, _time.perf_counter()
 
-        def _mark(name, _tt=None, _t0=None):
+        def _mark(name):
             nonlocal t0
             tt[name] = round(_time.perf_counter() - t0, 3)
             t0 = _time.perf_counter()
