@@ -153,6 +153,25 @@ def q_seen_anti_join(spark, sf_dir):
             .select("c_custkey"))
 
 
+def q_lenient_extract(spark, sf_dir):
+    """Lenient-ladder gate: tag-soup pages built from documents (junk
+    before the first tag + a bare ampersand in a text node) must
+    extract text equal to the closed form — the fixup path of
+    parse_html_lenient exercised end-to-end and value-checked.
+    documents.text is plain words (no XML specials) by construction;
+    both engines would fail together if that changed."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < 200))
+    pages = docs.select(
+        F.concat(F.lit("soup://"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit("junk! <doc><p>"), F.col("text"),
+                          F.lit(" & tail</p></doc>")),
+                 "UTF-8").alias("html"))
+    return (pages_extract_text(pages)
+            .select("url", F.col("text").alias("extracted")))
+
+
 def q_frontier_merge(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -387,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_histogram": q_tag_histogram,
         "politeness_topk": q_politeness_topk,
         "seen_anti_join": q_seen_anti_join,
+        "lenient_extract": q_lenient_extract,
         "frontier_merge": q_frontier_merge,
         "events_agg": q_events_agg,
         "top5_orders": q_top5_orders,
@@ -646,6 +666,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "embedding_neardup": _neardup_oracle_sql(),
+        "lenient_extract": """
+            SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
+                   text || ' & tail' AS extracted
+            FROM documents WHERE doc_id < 200
+        """,
     }
 
 

@@ -121,42 +121,64 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
         F.lit(0).alias("discovered_wave"))
 
 
-def _fetch(scheduled: DataFrame, universe: int,
-           page_weight: int = 30) -> DataFrame:
-    """Simulated fetch: adds html+bytes columns IN PLACE (Arrow-
-    batched, carries all scheduling columns through — no join back)."""
+def _fetch_extract(scheduled: DataFrame, universe: int,
+                   page_weight: int = 30, dropped_acc=None) -> DataFrame:
+    """Simulated fetch FUSED with link extraction: ONE Arrow stage
+    generates the page body, parses it through the lenient ladder,
+    and runs the cuphic kernel scan for ``[:a {:href href} ???]`` —
+    the raw html never crosses the executor boundary. Two rejected
+    shapes, both measured at Common-Crawl page weights (~40 KB):
+
+    * fetch stage emitting html + relational match over the nodes
+      table — materializes ~300 nested-struct rows per page through
+      pandas→Arrow for pages read exactly once (the nodes encoding
+      is for parse-once/query-MANY; see compiler.match_nodes);
+    * fetch stage emitting html + a second kernel-scrape stage —
+      Arrow-ships every page body into the cache and back out to a
+      second Python worker, costing more than the parse itself.
+
+    Output = scheduling columns + bytes + href array (~5 entries/
+    page); a production variant that persists raw pages would write
+    them from this same stage. Unsalvageable pages are counted via
+    ``dropped_acc`` (surfaced as the pages_dropped metric)."""
     import pandas as pd
 
+    from ..kernel import reader
+    from ..kernel.match import Matcher
+    from ..kernel.scan import scan as kernel_scan
+    from ..operators.parse import parse_html_lenient
+
     schema = T.StructType(scheduled.schema.fields + [
-        T.StructField("html", T.BinaryType()),
         T.StructField("bytes", T.LongType()),
+        T.StructField("hrefs", T.ArrayType(T.StringType())),
     ])
 
     def gen(batches):
+        matcher = Matcher(reader.parse("[:a {:href href} ???]"))
         for pdf in batches:
             pdf = pdf.copy()
-            html = [webgraph.gen_html(u, universe, page_weight).encode()
-                    for u in pdf["url"]]
-            pdf["html"] = html
-            pdf["bytes"] = [len(h) for h in html]
+            nbytes, hrefs_col = [], []
+            for u in pdf["url"]:
+                data = webgraph.gen_html(u, universe, page_weight).encode()
+                tree, _mode = parse_html_lenient(data)
+                hrefs: list[str] = []
+                if tree is None:
+                    if dropped_acc is not None:
+                        dropped_acc.add(1)
+                else:
+                    for _nid, _node, results in kernel_scan(tree, matcher):
+                        b = results[0]
+                        if b is not None:
+                            for sym, val in b.items():
+                                if getattr(sym, "name", None) == "href":
+                                    hrefs.append(val)
+                nbytes.append(len(data))
+                hrefs_col.append(hrefs)
+            pdf["bytes"] = nbytes
+            pdf["hrefs"] = hrefs_col
             yield pdf
 
     return scheduled.mapInPandas(gen, schema)
-
-
-def _extract_links(fetched: DataFrame, dropped_acc=None) -> DataFrame:
-    """href extraction REUSES the cuphic engine: compiled head-only
-    pattern -> relational match over the nodes table. Unsalvageable
-    pages (lenient parse ladder exhausted) are counted via
-    ``dropped_acc`` — crawl metrics surface them as pages_dropped."""
-    from ..compiler import compile_pattern, match_nodes
-    from ..operators.parse import pages_to_nodes
-
-    nodes = pages_to_nodes(fetched, dropped_acc=dropped_acc)
-    cp = compile_pattern("links", "[:a {:href href} ???]")
-    m = match_nodes(nodes, [cp])
-    return m.select(F.col("url").alias("base_url"),
-                    F.element_at("bindings", "href").alias("href"))
 
 
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
@@ -258,15 +280,16 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     import uuid
     tag = uuid.uuid4().hex[:8]  # observation names unique per run
     obs_fetch = Observation(f"fetch_w{wave}_{tag}")
-    fetched = (_fetch(scheduled, cfg.universe, cfg.page_weight)
+    dropped_acc = spark.sparkContext.accumulator(0)
+    fetched = (_fetch_extract(scheduled, cfg.universe, cfg.page_weight,
+                              dropped_acc=dropped_acc)
                .observe(obs_fetch,
                         F.count(F.lit(1)).alias("n"),
                         F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
                .cache())
 
-    dropped_acc = spark.sparkContext.accumulator(0)
-    links = _extract_links(fetched.select("url", "html"),
-                           dropped_acc=dropped_acc)
+    links = fetched.select(F.col("url").alias("base_url"),
+                           F.explode("hrefs").alias("href"))
     canon = links.select(
         canonicalize_cols(F.col("href"), F.col("base_url")).alias("url"))
     obs_links = Observation(f"links_w{wave}_{tag}")
