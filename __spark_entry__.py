@@ -153,6 +153,22 @@ def q_seen_anti_join(spark, sf_dir):
             .select("c_custkey"))
 
 
+def q_rewrite_drop_links(spark, sf_dir):
+    """Template rewrite under the oracle gate (SURVEY §2.C): rewrite
+    every anchor ``[:a {:href href} ???]`` to ``[:link {:to href}]``
+    (no children), then extract text from the REWRITTEN tree — the
+    result must equal the page's closed-form text minus exactly the
+    anchor texts. Exercises pattern match -> bindings -> template
+    apply -> tree rebuild -> serialization end-to-end, value-checked
+    without the oracle parsing anything."""
+    from cuphic_spark.operators.rewrite import rewrite_pages
+
+    out = rewrite_pages(
+        _pages(spark, sf_dir),
+        [[("[:a {:href href} ???]", "[:link {:to href}]")]])
+    return out.select("url", F.col("text").alias("extracted"))
+
+
 def q_lenient_extract(spark, sf_dir):
     """Lenient-ladder gate: tag-soup pages built from documents (junk
     before the first tag + a bare ampersand in a text node) must
@@ -407,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_topk": q_politeness_topk,
         "seen_anti_join": q_seen_anti_join,
         "lenient_extract": q_lenient_extract,
+        "rewrite_drop_links": q_rewrite_drop_links,
         "frontier_merge": q_frontier_merge,
         "events_agg": q_events_agg,
         "top5_orders": q_top5_orders,
@@ -670,6 +687,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
             FROM documents WHERE doc_id < 200
+        """,
+        "rewrite_drop_links": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url,
+                   title_text || doc_text ||
+                   CASE WHEN has_term THEN term_word ELSE '' END
+                     AS extracted
+            FROM pages
         """,
     }
 
