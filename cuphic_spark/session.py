@@ -19,9 +19,16 @@ def get_spark(app_name: str = "cuphic-spark",
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    builder = SparkSession.builder
+    # Respect a master provided by the launcher (spark-submit
+    # --master yarn/k8s/local[N]); fall back to local[cores] when
+    # running as a plain Python process.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder
-        .master(f"local[{cores}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
