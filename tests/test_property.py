@@ -107,3 +107,86 @@ def test_scan_equals_per_node_match(tree):
     via_scan = [nid for nid, _n, res in scan(tree, pat)
                 if res[0] is not None]
     assert per_node == via_scan
+
+
+# ---------------------------------------------------------------------------
+# urlnorm: column expressions == urllib twin over a randomized href space
+# (the supported grammar — dot-segments/protocol-relative route to the
+# pandas fallback by design and are excluded here)
+# ---------------------------------------------------------------------------
+
+_SEG = st.text(alphabet="abc09-_", min_size=1, max_size=5)
+_HOST = st.builds(lambda a, b: f"{a}.{b}",
+                  st.sampled_from(["host0", "Host1", "EXAMPLE", "a-b"]),
+                  st.sampled_from(["example", "test", "ORG"]))
+
+
+@st.composite
+def _hrefs(draw):
+    kind = draw(st.sampled_from(["abs", "rooted", "rel"]))
+    path = "/".join(draw(st.lists(_SEG, min_size=0, max_size=3)))
+    frag = draw(st.sampled_from(["", "#f", "#s1"]))
+    query = draw(st.sampled_from(["", "?q=1", "?a=b&c=d"]))
+    if kind == "abs":
+        scheme = draw(st.sampled_from(["http", "HTTPS", "https"]))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        return f"{scheme}://{draw(_HOST)}{port}/{path}{query}{frag}"
+    if kind == "rooted":
+        return f"/{path}{query}{frag}"
+    return f"{path or 'x'}{query}{frag}"
+
+
+@st.composite
+def _bases(draw):
+    host = draw(_HOST)
+    has_path = draw(st.booleans())
+    path = "/" + "/".join(draw(st.lists(_SEG, min_size=1, max_size=3))) \
+        if has_path else ""
+    return f"https://{host}{path}"
+
+
+@given(pairs=st.lists(st.tuples(_hrefs(), _bases()),
+                      min_size=1, max_size=24))
+@settings(max_examples=30, deadline=None)
+def test_urlnorm_columns_equal_urllib_twin(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from cuphic_spark.frontier.urlnorm import canonicalize_cols
+    from cuphic_spark.frontier.urlnorm_py import canonicalize_py
+
+    df = spark.createDataFrame(pairs, "href string, base string")
+    got = df.select("href", "base",
+                    canonicalize_cols(F.col("href"),
+                                      F.col("base")).alias("c")).collect()
+    for r in got:
+        assert r.c == canonicalize_py(r.href, r.base), (r.href, r.base)
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter: no false negatives under random insert/delete mixes
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.booleans(), st.integers(0, 400)),
+                min_size=1, max_size=300),
+       st.integers(3, 200))
+@settings(max_examples=60, deadline=None)
+def test_cuckoo_insert_delete_no_false_negative(ops, requested):
+    import numpy as np
+
+    from cuphic_spark.frontier.seen import CuckooFilter
+
+    cf = CuckooFilter(requested)
+    live: dict[int, int] = {}  # key -> live copy count
+    for is_delete, key in ops:
+        h = np.uint64(key * 0x9E3779B97F4A7C15 % (1 << 64))
+        if is_delete:
+            if cf.delete_hash(h):
+                if live.get(key, 0) > 0:
+                    live[key] -= 1
+        else:
+            if cf.insert_hash(h):
+                live[key] = live.get(key, 0) + 1
+    for key, n in live.items():
+        if n > 0:
+            h = np.uint64(key * 0x9E3779B97F4A7C15 % (1 << 64))
+            assert cf.contains_hash(h), (key, requested, cf.n_buckets)
