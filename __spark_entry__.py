@@ -332,15 +332,19 @@ def q_quality_by_lang(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style pruned ANN (rows-only: float cosine ranks aren't
-    bit-stable across engines; recall vs brute force is pinned by
-    pytest)."""
+    """IVF-style pruned ANN. Oracled on (query_id, neighbor_id,
+    rank): the DuckDB twin replicates cells, Hamming-1 probes, and
+    the float cosine ordering. The cos_micro VALUE is excluded from
+    the output (a truncation-boundary flip of the last digit is
+    possible across engines); rank boundaries sit on ~1e-3 cosine
+    gaps, far above ulp noise."""
     from cuphic_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.where(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_embedding")))
-    return ivf_topk(emb, queries, k=5, bits=4)
+    return ivf_topk(emb, queries, k=5, bits=4).select(
+        "query_id", "neighbor_id", "rank")
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -361,9 +365,10 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash via the numpy Arrow kernel (rows-only check — the
-    bit-twiddling has no clean DuckDB twin; near-dup behaviour is
-    pinned by pytest)."""
+    """SimHash via the numpy Arrow kernel. Oracled: the per-token
+    hash is md5's first 8 bytes big-endian, which DuckDB reproduces
+    as ('0x' || substr(md5(w),1,16))::UBIGINT, so the full
+    bit-vote-sign pipeline has an exact SQL twin."""
     from cuphic_spark.operators.dedup import simhash64
     return simhash64(_docs(spark, sf_dir))
 
@@ -683,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "embedding_neardup": _neardup_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "lenient_extract": """
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
@@ -696,7 +702,80 @@ def oracle_sql() -> dict[str, str]:
                      AS extracted
             FROM pages
         """,
+        "simhash": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            hashes AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM words),
+            bitvotes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM hashes
+              CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit),
+            raw AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN vote > 0
+                         THEN (1::HUGEINT << bit)
+                         ELSE 0::HUGEINT END) AS u
+              FROM bitvotes GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                             THEN u - 18446744073709551616::HUGEINT
+                             ELSE u END AS BIGINT) AS simhash
+            FROM raw
+        """,
     }
+
+
+def _ann_ivf_oracle_sql(bits: int = 4, k: int = 5) -> str:
+    """DuckDB twin of ivf_topk: sign cells, Hamming-1 probe set,
+    exact float cosine ordering (same float-multiply-then-double-sum
+    shape as the Spark expressions; trunc() mirrors Spark's
+    toward-zero long cast in the ordering key)."""
+    def cell(col: str) -> str:
+        return " + ".join(
+            f"CAST({col}[{i + 1}] >= 0 AS INT) * {1 << (bits - 1 - i)}"
+            for i in range(bits))
+
+    probes = ", ".join([f"qcell"] + [f"xor(qcell, {1 << i})"
+                                     for i in range(bits)])
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe,
+                 {cell('embedding')} AS qcell
+          FROM embeddings WHERE vec_id < 3),
+        probes AS (
+          SELECT query_id, qe, unnest([{probes}]) AS cell FROM q),
+        corpus AS (
+          SELECT vec_id, embedding, {cell('embedding')} AS cell
+          FROM embeddings),
+        scored AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 CAST(trunc(
+                   list_sum(list_transform(range(len(c.embedding)),
+                     i -> CAST(c.embedding[i+1] * p.qe[i+1] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(len(c.embedding)),
+                        i -> CAST(c.embedding[i+1] * c.embedding[i+1]
+                                  AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(len(p.qe)),
+                        i -> CAST(p.qe[i+1] * p.qe[i+1] AS DOUBLE)))))
+                   * 1000000) AS BIGINT) AS cos_micro
+          FROM corpus c JOIN probes p USING (cell)
+          WHERE c.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_micro DESC, neighbor_id)
+                   AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, rk::INTEGER AS rank
+        FROM ranked WHERE rk <= {k}
+    """
 
 
 def _neardup_oracle_sql(n_bands: int = 4, band_bits: int = 8,
