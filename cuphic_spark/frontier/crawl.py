@@ -355,9 +355,12 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                    .where(~F.col("den")
                           & (F.col("host_rank") > cfg.budget_per_host))
                    .select(*cols))
+    obs_frontier = Observation(f"frontier_w{wave}_{tag}")
     frontier_next = (over_budget
                      .unionByName(unscheduled.select(*cols))
-                     .unionByName(new_rows))
+                     .unionByName(new_rows)
+                     .observe(obs_frontier,
+                              F.count(F.lit(1)).alias("n")))
     # every frontier url is already in seen (added at discovery), so
     # denied rows need no re-insert; seen grows only by new discoveries
     # -> the wave emits a DELTA, never a rewritten snapshot (rewriting
@@ -386,10 +389,15 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             "pages_dropped": int(dropped_acc.value),
         }
 
+    def frontier_size() -> int:
+        """Rides on the frontier checkpoint write (call after it)."""
+        return int(obs_frontier.get["n"])
+
     caches = [ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
         caches.append(with_rank)
-    return frontier_next, seen_delta, fetch_log, finish, caches
+    return (frontier_next, seen_delta, fetch_log, finish, caches,
+            frontier_size)
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -535,7 +543,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         if cfg.use_bloom and bloom is None and n_seen >= cfg.bloom_min_seen:
             bloom = build_bloom(seen, cfg.bloom_bits)  # first activation
         _mark("bloom_build")
-        fnext, seen_delta, fetch_log, finish, caches = run_wave(
+        (fnext, seen_delta, fetch_log, finish, caches,
+         frontier_size) = run_wave(
             spark, cfg, wave, frontier, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom)
         _mark("schedule")
@@ -596,6 +605,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             f_frontier.result()
             bloom = f_bloom.result()
             cuckoo_shards = f_cuckoo.result()
+        metrics["frontier_size"] = frontier_size()
         _mark("frontier_bloom_cuckoo")
 
         # re-read committed state (truncates lineage, frees cache)

@@ -119,5 +119,6 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
             # the synthetic graph always parses strictly; real crawls
             # surface lenient-ladder drops here
             "pages_dropped": 0,
+            "frontier_size": len(st.frontier),
         })
     return st
