@@ -186,7 +186,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              n_seen_hint: int | None = None,
              cuckoo_shards: DataFrame | None = None,
              bloom: bytes | None = None):
-    """Returns (frontier_next, seen_delta, fetch_log, finish, caches).
+    """Returns (frontier_next, seen_delta, fetch_log, finish, caches,
+    frontier_size).
 
     Spark-job budget per wave — the crawl's FIXED cost, which is what
     bounds throughput once waves are large enough to saturate cores:
@@ -222,7 +223,6 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              .groupBy("den", "score").agg(F.count("*").alias("cnt"))
              .collect())
     n_denied = sum(r.cnt for r in stats if r.den)
-    eligible = ranked.where(~F.col("den")).drop("den", "host_rank")
     budgeted = (ranked
                 .where(~F.col("den")
                        & (F.col("host_rank") <= cfg.budget_per_host))
