@@ -323,9 +323,10 @@ def match_nodes(nodes: DataFrame,
 
     # complete elem-child rows with their reconstructed subtree; a
     # LEFT join keeps text rows (null target_id never matches) in the
-    # same flow — no base/elem split, so `nodes` is referenced 3x
-    # total (match scan, target derivation, pruned reconstruction)
-    # instead of 4x.
+    # same flow — no base/elem split. The nodes plan is referenced 4x
+    # in total (match scan, targets for the semi-join, targets for the
+    # cogroup, pruned reconstruction) — pinned by the plan test; all
+    # pruned parquet scans over a materialized nodes table.
     targets = (m.where(F.col("target_id").isNotNull())
                .select("url", "target_id").distinct())
     # fresh column names on the assist side: its plan embeds `m`

@@ -9,16 +9,22 @@ ordering at local[8] vs local[32] (SURVEY §7.4).
 
 Scale design (10^10 urls):
 
-* the seen table is parquet partitioned by ``pmod(xxhash64(host), P)``
-  — the anti-join shuffles only candidate urls (tiny per wave) against
-  co-partitioned seen shards;
+* the seen table is parquet partitioned by ``pmod(xxhash64(host), P)``;
+  the exact check has two physical strategies (``_anti_seen``): a
+  plain shuffle anti-join, or a broadcast semi/anti two-phase where
+  the seen table only STREAMS — the steady-state choice once seen
+  dwarfs a wave's candidates;
 * the broadcast bloom is FIXED SIZE (default 2^22 bits = 512 KiB):
-  built distributedly (distinct bit indices, never the url set) so the
-  driver cost is bounded by m, not |seen|; at extreme scale it
-  saturates toward no-op pruning but never breaks correctness;
+  built distributedly as per-partition bitmaps (tree-merged, driver
+  cost bounded by 8·m/8 bytes) and maintained INCREMENTALLY by
+  OR-ing each wave's delta; at extreme scale it saturates toward
+  no-op pruning but never breaks correctness;
 * cuckoo shards give per-partition ~8 bits/key membership with
-  deletions (needed when a frontier partition is re-scored); stored
-  as parquet alongside the seen snapshot.
+  deletions (needed when a frontier partition is re-scored); bucket
+  counts are powers of two so the xor-fold alternate bucket is an
+  involution (a non-involutive fold silently loses evicted
+  fingerprints — round-1 advisor finding); stored as parquet
+  alongside the seen snapshot.
 """
 
 from __future__ import annotations
