@@ -372,10 +372,30 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         F.lit(wave).alias("wave"), "rank_in_wave", "url",
         "host", "depth", "score", "bytes")
 
+    def _obs_get(obs, fallback):
+        """Observed metrics, with a fallback for degenerate waves: a
+        provably-empty branch can be optimizer-folded to an empty
+        LocalRelation, dropping the CollectMetrics row (seen at
+        frontier exhaustion). The fallback aggregates the CACHED
+        DataFrame — trivial work in exactly the case it triggers."""
+        try:
+            return obs.get
+        except Exception:
+            return fallback()
+
     def finish() -> dict:
         """Read the wave's observed metrics — valid only after the
         checkpoint writes ran (each observation rides on a write)."""
-        fetch_m, links_m, new_m = obs_fetch.get, obs_links.get, obs_new.get
+        fetch_m = _obs_get(obs_fetch, lambda: fetched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
+            .collect()[0].asDict())
+        links_m = _obs_get(obs_links, lambda: distinct_links.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.coalesce(F.sum("n_refs"), F.lit(0)).alias("t"))
+            .collect()[0].asDict())
+        new_m = _obs_get(obs_new, lambda: new_rows.agg(
+            F.count(F.lit(1)).alias("n")).collect()[0].asDict())
         return {
             "wave": wave,
             "scheduled": int(fetch_m["n"]),
@@ -605,14 +625,26 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             f_frontier.result()
             bloom = f_bloom.result()
             cuckoo_shards = f_cuckoo.result()
-        metrics["frontier_size"] = frontier_size()
+        try:
+            metrics["frontier_size"] = frontier_size()
+        except Exception:
+            # a fully-exhausted frontier can be optimizer-folded to an
+            # empty LocalRelation, dropping the CollectMetrics row —
+            # fall back to counting the committed checkpoint (footer
+            # metadata; the edge only occurs on empty/tiny frontiers)
+            metrics["frontier_size"] = int(
+                spark.read.schema(FRONTIER_SCHEMA + ", part int")
+                .parquet(os.path.join(d, "frontier")).count())
         _mark("frontier_bloom_cuckoo")
 
-        # re-read committed state (truncates lineage, frees cache)
+        # re-read committed state (truncates lineage, frees cache);
+        # EXPLICIT schema: an exhausted frontier writes zero part
+        # files, and schema inference over an empty dir would throw
         frontier.unpersist()
         for c in caches:
             c.unpersist()
-        frontier = spark.read.parquet(os.path.join(d, "frontier")) \
+        frontier = spark.read.schema(FRONTIER_SCHEMA + ", part int") \
+            .parquet(os.path.join(d, "frontier")) \
             .select("url", "host", "depth", "score", "discovered_wave")
         seen = _read_seen(spark, cfg, wave)
         all_timings.append({"wave": wave, **tt})

@@ -441,3 +441,21 @@ def test_broadcast_seen_check_same_result(spark, tmp_path, oracle_state):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_frontier_exhaustion(spark, tmp_path):
+    """Crawling past frontier exhaustion must keep producing
+    oracle-identical (zero) waves: empty frontier plans get
+    optimizer-folded to empty LocalRelations, which drops observe()
+    rows (metric fallbacks) and writes zero part files (explicit
+    schema on the re-read)."""
+    d = str(tmp_path / "exhaust")
+    kw = dict(universe=2, n_seeds=2, budget_per_host=100,
+              wave_cap=100, n_waves=8)
+    cfg = CrawlConfig(checkpoint_dir=d, partitions=4, **kw)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(**kw)
+    assert summary["metrics"] == oracle.metrics
+    assert summary["metrics"][-1]["scheduled"] == 0
+    assert summary["metrics"][-1]["frontier_size"] == 0
+    shutil.rmtree(d, ignore_errors=True)
