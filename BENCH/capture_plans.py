@@ -58,9 +58,15 @@ def main() -> None:
 
     add("One-pass multi-pattern scrape (in-memory nodes)",
         match_nodes(nodes_mem, compiled),
-        "All patterns share ONE MapInPandas parse; matches emitted via "
+        "All patterns share ONE match scan; matches emitted via "
         "array+explode (the reference's juxt as a physical plan). "
-        "Check: exactly one MapInPandas node.")
+        "The 'term' pattern (single_var child) adds the subtree "
+        "assist: a BROADCAST left join against the cogroup "
+        "reconstruction, plus pruned re-references of the nodes plan "
+        "(4 MapInPandas total here because nodes is ephemeral — "
+        "pinned in test_spark_extract; over materialized parquet "
+        "they are column-pruned scans). Patterns without single_var "
+        "children keep the plan at exactly one MapInPandas.")
 
     add("Head-filter pushdown (materialized nodes parquet)",
         match_nodes_union(nodes, compiled[:1]),

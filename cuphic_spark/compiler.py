@@ -332,7 +332,10 @@ def match_nodes(nodes: DataFrame,
     # fresh column names on the assist side: its plan embeds `m`
     # (target derivation), so a bare self-join would be ambiguous
     sub = subtree_edn(nodes, targets).toDF("s_url", "s_target_id", "edn")
-    return (m.join(sub, (F.col("url") == F.col("s_url"))
+    # broadcast: the assist side holds only element-child matches of
+    # single_var patterns — rare rows, never the full match set
+    return (m.join(F.broadcast(sub),
+                   (F.col("url") == F.col("s_url"))
                    & (F.col("target_id") == F.col("s_target_id")), "left")
             .select("url", "pattern_key", "node_id",
                     F.when(F.col("edn").isNotNull(),
