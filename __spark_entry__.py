@@ -445,11 +445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "event_sessions": q_event_sessions,
         "quality_by_lang": q_quality_by_lang,
-        # rows-only (non-SQL-expressible: iterative / kernel-path /
-        # numpy bit ops / float-rank instability)
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "simhash": q_simhash,
+        # rows-only (non-SQL by nature: iterative crawl state /
+        # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
         "tei_scrape_kernel": q_tei_scrape_kernel,
     }

@@ -245,16 +245,31 @@ def subtree_edn(nodes: DataFrame, targets: DataFrame) -> DataFrame:
                  in zip(node_pdf["node_id"], node_pdf["tag"],
                         node_pdf["attrs"], node_pdf["children"])}
 
-        def build(nid: int):
-            tag, attrs, children = by_id[nid]
-            node = [_Keyword(tag),
-                    {_Keyword(k): v for k, v in (attrs or {}).items()}]
-            for ch in (children if children is not None else []):
-                if ch["kind"] == "text":
-                    node.append(ch["text"])
-                else:
-                    node.append(build(int(ch["child_id"])))
-            return node
+        def build(root: int):
+            # explicit-stack post-order, NOT recursion: documents
+            # nested past Python's recursion limit (~1000) must not
+            # kill the whole Arrow stage (advisor round-2 finding)
+            memo: dict[int, list] = {}
+            stack = [(root, False)]
+            while stack:
+                nid, expanded = stack.pop()
+                tag, attrs, children = by_id[nid]
+                kids = children if children is not None else []
+                if not expanded:
+                    stack.append((nid, True))
+                    for ch in kids:
+                        if ch["kind"] != "text":
+                            stack.append((int(ch["child_id"]), False))
+                    continue
+                node = [_Keyword(tag),
+                        {_Keyword(k): v for k, v in (attrs or {}).items()}]
+                for ch in kids:
+                    if ch["kind"] == "text":
+                        node.append(ch["text"])
+                    else:
+                        node.append(memo[int(ch["child_id"])])
+                memo[nid] = node
+            return memo[root]
 
         tids = [int(t) for t in tgt_pdf["t_id"]]
         return pd.DataFrame({"url": [key[0]] * len(tids),
@@ -334,17 +349,27 @@ def match_nodes(nodes: DataFrame,
     sub = subtree_edn(nodes, targets).toDF("s_url", "s_target_id", "edn")
     # broadcast: the assist side holds only element-child matches of
     # single_var patterns — rare rows, never the full match set
+    # an elem-child row whose subtree lookup MISSES would silently
+    # diverge from the kernel path (bindings without the child key) —
+    # if the targets/nodes invariant is ever broken, fail LOUDLY
+    # executor-side instead (advisor round-2 finding)
     return (m.join(F.broadcast(sub),
                    (F.col("url") == F.col("s_url"))
                    & (F.col("target_id") == F.col("s_target_id")), "left")
             .select("url", "pattern_key", "node_id",
-                    F.when(F.col("edn").isNotNull(),
-                           F.map_concat(
-                               "bindings",
-                               F.map_from_arrays(
-                                   F.array(F.col("binding_key")),
-                                   F.array(F.col("edn")))))
-                    .otherwise(F.col("bindings")).alias("bindings")))
+                    F.when(F.col("target_id").isNull(), F.col("bindings"))
+                    .when(F.col("edn").isNotNull(),
+                          F.map_concat(
+                              "bindings",
+                              F.map_from_arrays(
+                                  F.array(F.col("binding_key")),
+                                  F.array(F.col("edn")))))
+                    .otherwise(F.raise_error(F.concat(
+                        F.lit("subtree assist missed target_id="),
+                        F.col("target_id").cast("string"),
+                        F.lit(" url="), F.col("url"),
+                        F.lit(" — nodes/targets invariant broken"))))
+                    .alias("bindings")))
 
 
 def match_nodes_union(nodes: DataFrame,

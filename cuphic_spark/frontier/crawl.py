@@ -71,11 +71,26 @@ class CrawlConfig:
     # waves (0 = off; offline compaction via snapshots.compact_seen)
     page_weight: int = 30         # filler paragraphs per synthetic
     # page (~4 KB default; Common-Crawl-style bodies = 100-700)
-    seen_check: str = "auto"      # 'shuffle' | 'broadcast' | 'auto':
-    # broadcast = two-phase semi/anti where the seen table only
+    seen_check: str = "auto"      # 'shuffle' | 'broadcast' | 'pruned' |
+    # 'auto': broadcast = two-phase semi/anti where the seen table only
     # STREAMS (never shuffles) — the steady-state choice once seen
-    # dwarfs a wave's candidates; auto switches at broadcast_seen_min
+    # dwarfs a wave's candidates; pruned = read ONLY the seen files
+    # whose part range intersects the candidates' partition ids (see
+    # seen.prune_seen_paths); auto switches at broadcast_seen_min
     broadcast_seen_min: int = 5_000_000
+    broadcast_max_candidates: int = 2_000_000  # hard candidate ceiling
+    # for the broadcast strategy: a wave whose PREVIOUS links_distinct
+    # exceeded this falls back to shuffle (advisor: forcing
+    # F.broadcast over an unbounded candidate set can blow the driver)
+    max_score_histogram: int = 10_000  # loud-failure guard: the
+    # distributed top-W relies on scores being COARSE (few distinct
+    # values); a fine-grained score_expr would silently turn the
+    # histogram collect into an O(|frontier|) driver transfer
+    band_width: int = 1000        # frontier score-band width: band =
+    # score div band_width; bands are the unit of lazy frontier IO
+    # (untouched bands carry forward by manifest reference)
+    band_max_paths: int = 16      # rewrite a band once its manifest
+    # path list exceeds this (bounds read fan-in per band)
     extra: dict = field(default_factory=dict)
 
 
@@ -185,7 +200,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              frontier: DataFrame, seen: DataFrame,
              n_seen_hint: int | None = None,
              cuckoo_shards: DataFrame | None = None,
-             bloom: bytes | None = None):
+             bloom: bytes | None = None,
+             prev_links_hint: int | None = None,
+             seen_paths: list[str] | None = None):
     """Returns (frontier_next, seen_delta, fetch_log, finish, caches,
     frontier_size).
 
@@ -222,6 +239,15 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              .where(F.col("den") | (F.col("host_rank") <= cfg.budget_per_host))
              .groupBy("den", "score").agg(F.count("*").alias("cnt"))
              .collect())
+    if len(stats) > cfg.max_score_histogram:
+        raise ValueError(
+            f"score histogram has {len(stats)} distinct (den, score) "
+            f"rows > max_score_histogram={cfg.max_score_histogram}: "
+            "score_expr must produce COARSE scores (the distributed "
+            "top-W collects one row per distinct score — a fine-"
+            "grained score would silently turn this into an "
+            "O(|frontier|) driver transfer). Coarsen score_expr or "
+            "raise cfg.max_score_histogram deliberately.")
     n_denied = sum(r.cnt for r in stats if r.den)
     budgeted = (ranked
                 .where(~F.col("den")
@@ -306,13 +332,51 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     if not use_bloom:
         bloom = None
 
+    # the broadcast strategy forces F.broadcast(candidates): its
+    # correctness is unconditional but its MEMORY is bounded only by
+    # the candidate set, so both auto and explicit 'broadcast' fall
+    # back to shuffle when the previous wave's distinct-link volume
+    # (the best available predictor of this wave's candidates) exceeds
+    # the configured ceiling (advisor round-2 finding).
+    over_candidate_cap = (prev_links_hint is not None
+                          and prev_links_hint > cfg.broadcast_max_candidates)
     if cfg.seen_check == "auto":
         seen_strategy = ("broadcast"
                          if (n_seen_hint is not None
-                             and n_seen_hint >= cfg.broadcast_seen_min)
+                             and n_seen_hint >= cfg.broadcast_seen_min
+                             and not over_candidate_cap)
                          else "shuffle")
     else:
         seen_strategy = cfg.seen_check
+        if seen_strategy == "broadcast" and over_candidate_cap:
+            import warnings
+
+            warnings.warn(
+                f"seen_check='broadcast' with prev links_distinct="
+                f"{prev_links_hint} > broadcast_max_candidates="
+                f"{cfg.broadcast_max_candidates}; falling back to "
+                "'shuffle' for this wave (broadcasting an unbounded "
+                "candidate set can exceed driver memory)")
+            seen_strategy = "shuffle"
+
+    # the pruned strategy replaces the seen side with a footer-pruned
+    # read of ONLY the files intersecting the candidates' partition
+    # ids (see seen.prune_seen_paths); the partition-id collect is at
+    # most cfg.partitions rows and rides the cached distinct_links —
+    # candidate parts are computed from the full candidate set, a
+    # superset of the post-cuckoo to_check set (supersets only keep
+    # MORE files: always safe).
+    seen_for_check = seen
+    if seen_strategy == "pruned":
+        if seen_paths is None:
+            raise ValueError(
+                "seen_check='pruned' needs the seen PATHS (run_wave "
+                "seen_paths=...); a bare DataFrame cannot be file-"
+                "pruned")
+        from .seen import candidate_parts, prune_seen_paths
+
+        parts_hit = candidate_parts(distinct_links, cfg.partitions)
+        seen_for_check = prune_seen_paths(spark, seen_paths, parts_hit)
 
     candidates = distinct_links
     use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
@@ -328,12 +392,12 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                  .drop("maybe_seen_cuckoo", "partition"))
         to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
                     .drop("maybe_seen_cuckoo", "partition"))
-        confirmed = filter_new_urls(to_check, seen, bloom, cfg.bloom_bits,
-                                    strategy=seen_strategy)
+        confirmed = filter_new_urls(to_check, seen_for_check, bloom,
+                                    cfg.bloom_bits, strategy=seen_strategy)
         new_urls = fresh.unionByName(confirmed)
     else:
-        new_urls = filter_new_urls(candidates, seen, bloom, cfg.bloom_bits,
-                                   strategy=seen_strategy)
+        new_urls = filter_new_urls(candidates, seen_for_check, bloom,
+                                   cfg.bloom_bits, strategy=seen_strategy)
     # no frontier anti-join needed: every frontier url is already in
     # seen (seeds via seen_seed, discoveries via their wave's delta),
     # so surviving the seen anti-join implies not-pending either —
@@ -377,10 +441,22 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         provably-empty branch can be optimizer-folded to an empty
         LocalRelation, dropping the CollectMetrics row (seen at
         frontier exhaustion). The fallback aggregates the CACHED
-        DataFrame — trivial work in exactly the case it triggers."""
+        DataFrame — trivial work in exactly the case it triggers.
+        The except is surfaced as a warning (advisor round-2: a
+        GENUINE failure — misattached observation, JVM error — must
+        not be silently absorbed into a recomputation); the intended
+        folded-empty-plan trigger yields all-zero fallback metrics,
+        so any non-degenerate warning in logs is a real bug signal."""
         try:
             return obs.get
-        except Exception:
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"observation {getattr(obs, '_name', '?')} unavailable "
+                f"({type(e).__name__}: {str(e)[:120]}); recomputing from "
+                "the cached DataFrame — expected only at frontier "
+                "exhaustion (folded-empty plans drop CollectMetrics)")
             return fallback()
 
     def finish() -> dict:
@@ -441,8 +517,12 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
         df = df.withColumn(
             "host_salt",
             F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int"))
+    # seen writes (no score) sort by (part, url): part-first keeps
+    # row-group part ranges tight, which is what lets the pruned seen
+    # strategy skip row groups via footer stats (seen.prune_seen_paths)
     sort_keys = ([F.desc("score"), F.asc("url")]
-                 if "score" in df.columns else [F.asc("url")])
+                 if "score" in df.columns
+                 else [F.asc("part"), F.asc("url")])
     writer = (df.repartition(cfg.partitions, "part")
               .sortWithinPartitions(*sort_keys)
               .write.mode("overwrite"))
@@ -502,6 +582,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     """Run (or resume) the crawl up to cfg.n_waves. Returns summary."""
     start = last_complete_wave(cfg) + 1
     seed_path = os.path.join(cfg.checkpoint_dir, "seen_seed")
+    prev_links = None
     if start == 0:
         frontier = seed_frontier(spark, cfg)
         _partitioned_write(
@@ -510,6 +591,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             dir_partitioned=False)
         seen = _read_seen(spark, cfg, -1)
         n_seen = cfg.n_seeds
+        seen_paths = _seen_delta_paths(cfg, -1)
     else:
         prev = _wave_dir(cfg, start - 1)
         # cuckoo shards bake the partition id they were built for;
@@ -529,6 +611,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 os.path.join(prev, "frontier")).drop("part")
         seen = _read_seen(spark, cfg, start - 1)
         n_seen = seen.count()  # parquet footer count — cheap
+        seen_paths = _seen_delta_paths(cfg, start - 1)
+        prev_links = prev_lineage.get("metrics", {}).get("links_distinct")
 
     cuckoo_shards = None
     if cfg.use_cuckoo and start > 0:
@@ -566,7 +650,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         (fnext, seen_delta, fetch_log, finish, caches,
          frontier_size) = run_wave(
             spark, cfg, wave, frontier, seen, n_seen_hint=n_seen,
-            cuckoo_shards=cuckoo_shards, bloom=bloom)
+            cuckoo_shards=cuckoo_shards, bloom=bloom,
+            prev_links_hint=prev_links, seen_paths=seen_paths)
         _mark("schedule")
         d = _wave_dir(cfg, wave)
         # the checkpoint writes ARE the wave's remaining Spark jobs;
@@ -647,6 +732,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             .parquet(os.path.join(d, "frontier")) \
             .select("url", "host", "depth", "score", "discovered_wave")
         seen = _read_seen(spark, cfg, wave)
+        seen_paths = _seen_delta_paths(cfg, wave)
+        prev_links = metrics["links_distinct"]
         all_timings.append({"wave": wave, **tt})
         lineage = {
             "wave": wave,
@@ -665,6 +752,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
 
             compact_seen(spark, cfg, upto_wave=wave)
             seen = _read_seen(spark, cfg, wave)  # re-root on the compact
+            seen_paths = _seen_delta_paths(cfg, wave)
         all_metrics.append(metrics)
     return {"start_wave": start, "metrics": all_metrics,
             "timings": all_timings,
@@ -695,7 +783,7 @@ def _main() -> None:
     ap.add_argument("--compact-every", type=int, default=0,
                     help="auto-compact seen deltas every N waves")
     ap.add_argument("--seen-check", default="auto",
-                    choices=["auto", "shuffle", "broadcast"])
+                    choices=["auto", "shuffle", "broadcast", "pruned"])
     args = ap.parse_args()
 
     spark = get_spark(app_name="cuphic-crawl", cores=args.cores)

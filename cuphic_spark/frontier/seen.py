@@ -138,7 +138,7 @@ def bloom_maybe_seen(candidates: DataFrame, bloom: bytes,
 
 def _anti_seen(candidates: DataFrame, seen: DataFrame,
                strategy: str) -> DataFrame:
-    """The exact membership check, two physical strategies:
+    """The exact membership check, three physical strategies:
 
     * ``shuffle`` — plain left_anti: BOTH sides shuffle on url. Right
       when seen and candidates are comparable in size.
@@ -148,7 +148,15 @@ def _anti_seen(candidates: DataFrame, seen: DataFrame,
       rows), then candidates ⟕̸ broadcast(hits). Right when seen
       dwarfs the wave's candidates (the steady-state crawl); driver
       memory is bounded by the candidate set, which bloom+cuckoo
-      pruning keeps small.
+      pruning keeps small — the crawl enforces a hard candidate
+      ceiling (CrawlConfig.broadcast_max_candidates) via the previous
+      wave's links_distinct and falls back to shuffle above it.
+    * ``pruned`` — the caller already replaced ``seen`` with a
+      partition-pruned read (``prune_seen_paths``: only the seen
+      files whose part range intersects the candidates' partition
+      ids); the join itself is a plain left_anti over that shrunken
+      side, which AQE is free to broadcast. Right when dupes dominate
+      candidates AND candidates cluster in few host partitions.
     Results are identical; the crawl pins this at test scale.
     """
     if strategy == "broadcast":
@@ -156,6 +164,80 @@ def _anti_seen(candidates: DataFrame, seen: DataFrame,
             F.broadcast(candidates.select("url")), "url", "left_semi")
         return candidates.join(F.broadcast(hits), "url", "left_anti")
     return candidates.join(seen.select("url"), "url", "left_anti")
+
+
+SEEN_FILE_SCHEMA = "url string, added_wave int, host string, part int"
+
+
+def candidate_parts(candidates: DataFrame, n_partitions: int) -> list[int]:
+    """Distinct seen-partition ids hit by a candidate url set — at
+    most ``n_partitions`` rows through the driver (the partition id is
+    a pure function of host, identical to the one baked into seen
+    writes by crawl._partitioned_write)."""
+    rows = (candidates
+            .select(_partition_of(F.col("url"), n_partitions).alias("p"))
+            .distinct().collect())
+    return sorted(int(r.p) for r in rows)
+
+
+def select_seen_files(seen_paths: list[str], parts: list[int]) -> list[str]:
+    """File-level pruning via parquet FOOTER stats (pyarrow, metadata-
+    only — no row IO): keep a file iff at least one of its row groups
+    has a ``part`` min/max range intersecting ``parts``. Files without
+    stats (or without the column) are conservatively kept — pruning
+    may only ever widen, never lose rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    wanted = set(int(p) for p in parts)
+    kept: list[str] = []
+    for root in seen_paths:
+        for name in sorted(os.listdir(root)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, name)
+            md = pq.ParquetFile(fpath).metadata
+            col_idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+            if "part" not in col_idx:
+                kept.append(fpath)  # legacy file without part: keep
+                continue
+            ci = col_idx["part"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or st.min is None:
+                    kept.append(fpath)
+                    break
+                if any(st.min <= p <= st.max for p in wanted):
+                    kept.append(fpath)
+                    break
+    return kept
+
+
+def prune_seen_paths(spark, seen_paths: list[str],
+                     parts: list[int]) -> "DataFrame":
+    """Partition-pruned seen read: ``select_seen_files`` picks the
+    files whose footer stats intersect the candidates' partition ids;
+    kept files are read with an explicit schema plus a pushed
+    ``part IN (...)`` filter so the parquet reader also skips
+    non-matching ROW GROUPS inside kept files (seen writes sort by
+    (part, url) within tasks, keeping row-group part ranges tight).
+
+    This is manifest-style pruning done with footer stats — exactly
+    what an Iceberg table partitioned by ``part`` would give via its
+    manifests; at 10^10-url scale the footer listing is replaced by
+    the catalog's manifest files, same plan shape. The file list is
+    computed driver-side, so tests can assert untouched partitions
+    are literally never opened for row IO.
+    """
+    kept = select_seen_files(seen_paths, parts)
+    if not kept:
+        return (spark.createDataFrame([], SEEN_FILE_SCHEMA)
+                .select("url", "added_wave"))
+    return (spark.read.schema(SEEN_FILE_SCHEMA).parquet(*kept)
+            .where(F.col("part").isin([int(p) for p in parts]))
+            .select("url", "added_wave"))
 
 
 def filter_new_urls(candidates: DataFrame, seen: DataFrame,

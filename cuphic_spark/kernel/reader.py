@@ -156,25 +156,54 @@ def _try_number(tok: str):
 def dumps(x) -> str:
     """Serialize a value back to the EDN-subset text form (stable,
     round-trippable through :func:`parse`). Used as the tagged string
-    encoding for non-string binding values in Spark columns."""
-    if x is None:
-        return "nil"
-    if x is True:
-        return "true"
-    if x is False:
-        return "false"
-    if isinstance(x, Keyword):
-        return f":{x.name}"
-    if isinstance(x, Symbol):
-        return x.name
-    if isinstance(x, str):
-        return '"' + x.replace("\\", "\\\\").replace('"', '\\"') + '"'
-    if isinstance(x, (int, float)):
-        return repr(x)
-    if isinstance(x, list):
-        return "[" + " ".join(dumps(v) for v in x) + "]"
-    if isinstance(x, tuple):
-        return "(" + " ".join(dumps(v) for v in x) + ")"
-    if isinstance(x, dict):
-        return "{" + " ".join(f"{dumps(k)} {dumps(v)}" for k, v in x.items()) + "}"
-    raise TypeError(f"cannot serialize {type(x)}")
+    encoding for non-string binding values in Spark columns.
+
+    Explicit work stack, NOT recursion: the subtree assist serializes
+    whole page subtrees through this, and web documents nest past
+    Python's recursion limit (advisor round-2)."""
+    out: list[str] = []
+    stack: list[tuple[str, object]] = [("v", x)]
+    while stack:
+        kind, v = stack.pop()
+        if kind == "s":
+            out.append(v)  # pre-rendered token
+            continue
+        if v is None:
+            out.append("nil")
+        elif v is True:
+            out.append("true")
+        elif v is False:
+            out.append("false")
+        elif isinstance(v, Keyword):
+            out.append(f":{v.name}")
+        elif isinstance(v, Symbol):
+            out.append(v.name)
+        elif isinstance(v, str):
+            out.append('"' + v.replace("\\", "\\\\").replace('"', '\\"')
+                       + '"')
+        elif isinstance(v, (int, float)):
+            out.append(repr(v))
+        elif isinstance(v, (list, tuple)):
+            open_c, close_c = ("[", "]") if isinstance(v, list) else ("(", ")")
+            out.append(open_c)
+            items: list[tuple[str, object]] = []
+            for i, e in enumerate(v):
+                if i:
+                    items.append(("s", " "))
+                items.append(("v", e))
+            stack.append(("s", close_c))
+            stack.extend(reversed(items))
+        elif isinstance(v, dict):
+            out.append("{")
+            items = []
+            for i, (k, val) in enumerate(v.items()):
+                if i:
+                    items.append(("s", " "))
+                items.append(("v", k))
+                items.append(("s", " "))
+                items.append(("v", val))
+            stack.append(("s", "}"))
+            stack.extend(reversed(items))
+        else:
+            raise TypeError(f"cannot serialize {type(v)}")
+    return "".join(out)

@@ -18,7 +18,7 @@ from .match import Matcher, get_bindings
 from .values import Bindings, is_vector
 
 
-def iterate_nodes(root, _node_id=None):
+def iterate_nodes(root):
     """Preorder ELEMENT stream with stable ids.
 
     Yields (node_id, node) for every vector node, numbered by element
@@ -30,14 +30,22 @@ def iterate_nodes(root, _node_id=None):
     those can never match (get-bindings requires a vector,
     cuphic.cljc:200-201), so skipping them changes no observable
     result (golden pin: 123 matches of [tag ???] on test-1307).
+
+    Explicit stack, NOT recursion: web documents nest arbitrarily
+    deep, and the crawl's fused fetch+scan stage runs this on every
+    page — a recursive generator both hits Python's recursion limit
+    near depth 1000 and pays O(depth) per yield through the
+    ``yield from`` chain.
     """
-    counter = [0] if _node_id is None else _node_id
-    if not is_vector(root):
-        return
-    yield counter[0], root
-    counter[0] += 1
-    for child in root[1:]:
-        yield from iterate_nodes(child, counter)
+    counter = 0
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if not is_vector(node):
+            continue
+        yield counter, node
+        counter += 1
+        stack.extend(reversed(node[1:]))
 
 
 def scan(hiccup, *patterns):

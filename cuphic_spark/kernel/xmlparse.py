@@ -186,8 +186,14 @@ def extract_text(hiccup) -> str:
 
 
 def _collect_text(node, parts: list) -> None:
-    if isinstance(node, str):
-        parts.append(node)
-    elif is_vector(node):
-        for child in node[2:] if len(node) > 1 and isinstance(node[1], dict) else node[1:]:
-            _collect_text(child, parts)
+    # explicit stack: extraction must survive arbitrarily deep pages
+    # (the crawl feeds real web nesting through this per page)
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            parts.append(n)
+        elif is_vector(n):
+            content = n[2:] if len(n) > 1 and isinstance(n[1], dict) \
+                else n[1:]
+            stack.extend(reversed(content))

@@ -67,10 +67,22 @@ def minhash_signature(docs: DataFrame, k: int = 3,
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
-                      band_size: int = 2) -> DataFrame:
+                      band_size: int = 2,
+                      max_bucket: int = 4096) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become
     candidate pairs (equi-join on band value — shuffle on band keys,
-    never a cross join). Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    never a cross join). Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Hot-band guard (``max_bucket``): a degenerate band value (boiler-
+    plate prefix, near-constant shingles) makes one join key QUADRATIC
+    — a 10^6-doc bucket would emit 10^12 pairs from a single task.
+    Buckets above ``max_bucket`` therefore emit STAR pairs to the
+    bucket representative (min doc_id) instead of all pairs: candidate
+    connectivity within the bucket is preserved through the rep (the
+    standard big-bucket fallback for dedup clustering, where the
+    downstream verify + union step closes transitively), task output
+    stays O(bucket), and small buckets — the actual LSH signal — are
+    unaffected. ``max_bucket=0`` disables the guard."""
     sig = minhash_signature(docs, k, n_hashes)
     bands = []
     for b in range(0, n_hashes, band_size):
@@ -81,15 +93,37 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
     exploded = bands[0]
     for b in bands[1:]:
         exploded = exploded.unionByName(b)
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (
+
+    if max_bucket:
+        from pyspark.sql import Window
+
+        # unbounded count/min need no sort; a monster bucket costs its
+        # task O(bucket), never O(bucket^2)
+        w = Window.partitionBy("band", "band_val")
+        exploded = (exploded
+                    .withColumn("bsz", F.count("*").over(w))
+                    .withColumn("rep", F.min("doc_id").over(w)))
+        small = exploded.where(F.col("bsz") <= max_bucket) \
+            .select("doc_id", "band", "band_val")
+        star = (exploded.where((F.col("bsz") > max_bucket)
+                               & (F.col("doc_id") != F.col("rep")))
+                .select(F.col("rep").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b")))
+    else:
+        small = exploded
+        star = None
+
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs = (
         left.join(right, ["band", "band_val"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"),
                 F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,

@@ -129,14 +129,24 @@ def _html_to_tree(html, dropped_acc=None) -> list | None:
 
 
 def _flatten(url: str, tree) -> Iterator[tuple]:
-    """Preorder flatten to nodes rows."""
+    """Preorder flatten to nodes rows.
+
+    Explicit DFS stack, NOT recursion (web documents nest past
+    Python's recursion limit; this runs per page in the parse hot
+    loop). Each stack entry carries a patch slot — the parent's
+    children entry whose ``child_id`` becomes known the moment the
+    child is visited (preorder ids are assigned at visit time)."""
     next_id = 0
     out = []
-
-    def walk(node, parent_id, depth, child_pos):
-        nonlocal next_id
+    # (node, parent_id, depth, child_pos, patch) — patch is the
+    # parent's children-dict to fill with this node's id, or None
+    stack = [(tree, None, 0, 0, None)]
+    while stack:
+        node, parent_id, depth, child_pos, patch = stack.pop()
         my_id = next_id
         next_id += 1
+        if patch is not None:
+            patch["child_id"] = my_id
         attrs = node[1] if len(node) > 1 and isinstance(node[1], dict) else {}
         content = node[2:] if len(node) > 1 and isinstance(node[1], dict) else node[1:]
         children = []
@@ -145,26 +155,19 @@ def _flatten(url: str, tree) -> Iterator[tuple]:
             if isinstance(child, str):
                 children.append({"kind": "text", "text": child, "child_id": None})
             elif is_vector(child):
-                elem_children.append((child, pos))
-                children.append({"kind": "elem", "text": None, "child_id": -1})
-        # two-pass: assign ids to element children in preorder
+                entry = {"kind": "elem", "text": None, "child_id": -1}
+                elem_children.append((child, pos, entry))
+                children.append(entry)
         row = (url, my_id, parent_id, depth, child_pos,
                node[0].name if isinstance(node[0], Keyword) else str(node[0]),
                {k.name if isinstance(k, Keyword) else str(k): encode_value(v)
                 for k, v in attrs.items()},
                children)
         out.append(row)
-        ci = 0
-        for child, pos in elem_children:
-            cid = walk(child, my_id, depth + 1, pos)
-            # patch the placeholder child_id in document order
-            while children[ci]["kind"] != "elem":
-                ci += 1
-            children[ci]["child_id"] = cid
-            ci += 1
-        return my_id
-
-    walk(tree, None, 0, 0)
+        # reversed push -> first element child pops first -> its whole
+        # subtree is numbered before the next sibling (true preorder)
+        for child, pos, entry in reversed(elem_children):
+            stack.append((child, my_id, depth + 1, pos, entry))
     return iter(out)
 
 

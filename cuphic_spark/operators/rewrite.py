@@ -29,7 +29,8 @@ REWRITE_SCHEMA = T.StructType([
 
 def rewrite_pages(pages: DataFrame,
                   stages: list[list[tuple[str, str]]],
-                  fn_stages: list[dict] | None = None) -> DataFrame:
+                  fn_stages: list[dict] | None = None,
+                  dropped_acc=None) -> DataFrame:
     """Parse each page, apply rewrite stages, emit the rewritten tree
     (EDN) and its extracted text.
 
@@ -38,6 +39,9 @@ def rewrite_pages(pages: DataFrame,
     successful transformer wins per node (cuphic.cljc:340-342).
     ``fn_stages``: optional full stage dicts (transformers/wrapper/
     default callables) appended after the declarative ones.
+    ``dropped_acc``: optional SparkContext accumulator counting pages
+    the lenient parse ladder could not salvage — same contract as
+    ``parse.pages_to_nodes`` (drops are counted, never silent).
     """
     stage_specs = [[(f, t) for f, t in stage] for stage in stages]
     extra = fn_stages or []
@@ -45,7 +49,8 @@ def rewrite_pages(pages: DataFrame,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernel import reader
         from ..kernel.template import make_transformer, rewrite
-        from ..kernel.xmlparse import extract_text, parse as parse_xml
+        from ..kernel.xmlparse import extract_text
+        from .parse import _html_to_tree
 
         compiled = [
             {"transformers": [
@@ -57,9 +62,8 @@ def rewrite_pages(pages: DataFrame,
         for pdf in batches:
             urls, trees, texts = [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
-                try:
-                    tree = parse_xml(bytes(html))
-                except Exception:
+                tree = _html_to_tree(html, dropped_acc)
+                if tree is None:
                     continue
                 out = rewrite(tree, *compiled)
                 urls.append(url)

@@ -443,6 +443,88 @@ def test_broadcast_seen_check_same_result(spark, tmp_path, oracle_state):
     assert "SortMergeJoin" not in plan
 
 
+def test_pruned_seen_check_same_result(spark, tmp_path, oracle_state):
+    """seen_check='pruned' (footer-stat file pruning of the seen side)
+    must produce identical results — pruning is IO-only."""
+    d = str(tmp_path / "pruned_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, seen_check="pruned", **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prune_seen_files_skips_untouched_parts(spark, tmp_path):
+    """The pruned strategy's file selection must keep EXACTLY the
+    files whose part stats intersect the candidates' partition ids —
+    untouched partitions are never opened for row IO — and the pruned
+    read must return the same rows as a full read + filter."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuphic_spark.frontier.seen import (
+        prune_seen_paths,
+        select_seen_files,
+    )
+
+    root = tmp_path / "seen_flat"
+    os.makedirs(root)
+    for p in range(4):  # one part per file: exact pruning expected
+        tbl = pa.table({
+            "url": [f"https://h{p}.x/{i}" for i in range(10)],
+            "added_wave": pa.array([0] * 10, type=pa.int32()),
+            "host": [f"h{p}.x"] * 10,
+            "part": pa.array([p] * 10, type=pa.int32()),
+        })
+        pq.write_table(tbl, root / f"part-{p:05d}.parquet")
+
+    kept = select_seen_files([str(root)], [2])
+    assert kept == [str(root / "part-00002.parquet")]
+    kept = select_seen_files([str(root)], [1, 3])
+    assert kept == [str(root / f"part-{p:05d}.parquet") for p in (1, 3)]
+
+    got = {r.url for r in
+           prune_seen_paths(spark, [str(root)], [1, 3]).collect()}
+    assert got == {f"https://h{p}.x/{i}" for p in (1, 3) for i in range(10)}
+    # empty selection: explicit-schema empty DF, not a read error
+    assert prune_seen_paths(spark, [str(root)], []).count() == 0
+
+
+def test_score_histogram_guard_raises(spark, tmp_path, monkeypatch):
+    """A fine-grained score_expr must fail LOUDLY (the distributed
+    top-W collects one row per distinct score; silence here would be
+    an O(|frontier|) driver transfer at scale)."""
+    import cuphic_spark.frontier.crawl as crawl_mod
+
+    def fine_score(id_col, depth_col, is_seed):
+        return id_col.cast("long")  # one distinct score per url
+
+    monkeypatch.setattr(crawl_mod, "score_expr", fine_score)
+    cfg = CrawlConfig(checkpoint_dir=str(tmp_path / "fine"),
+                      max_score_histogram=8, **CFG)
+    with pytest.raises(ValueError, match="max_score_histogram"):
+        crawl(spark, cfg)
+
+
+def test_broadcast_candidate_cap_falls_back(spark, tmp_path, oracle_state):
+    """Explicit seen_check='broadcast' with a candidate volume above
+    broadcast_max_candidates must warn and fall back to shuffle —
+    results unchanged (advisor round-2: unbounded F.broadcast of the
+    candidate set can exceed driver memory)."""
+    d = str(tmp_path / "bcap_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, seen_check="broadcast",
+                      broadcast_max_candidates=1, **CFG)
+    with pytest.warns(UserWarning, match="broadcast_max_candidates"):
+        summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_frontier_exhaustion(spark, tmp_path):
     """Crawling past frontier exhaustion must keep producing
     oracle-identical (zero) waves: empty frontier plans get

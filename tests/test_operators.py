@@ -152,3 +152,31 @@ def test_streaming_extraction(spark, tmp_path):
     # windowed agg compiles and is streaming (smoke: plan only)
     win = windowed_page_counts(stream)
     assert win.isStreaming
+
+
+def test_minhash_lsh_hot_band_star_capped(spark):
+    """Hot-band guard: a degenerate band value (here: 300 identical
+    docs — every band collides) must emit O(n) star pairs to the
+    bucket representative, never the O(n^2) all-pairs blowup; small
+    buckets (the real LSH signal) are unaffected."""
+    from cuphic_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "the same boilerplate text repeated for every document here"
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, "unique alpha beta gamma delta epsilon zeta"),
+             (1001, "unique alpha beta gamma delta epsilon zeta eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2,
+                              max_bucket=50)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    hot = {p for p in got if p[1] < 1000}
+    star = {(0, i) for i in range(1, 300)}
+    assert hot == star  # bounded: rep-star, not 300*299/2 pairs
+    assert (1000, 1001) in got  # small-bucket near-dup still found
+
+    # guard off: the same hot bucket IS quadratic (documented contract)
+    full = minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2,
+                             max_bucket=0)
+    n_hot_full = full.where(F.col("doc_b") < 1000).count()
+    assert n_hot_full == 300 * 299 // 2

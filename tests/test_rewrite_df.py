@@ -56,3 +56,26 @@ def test_select_one_df(spark, small_pages):
     # document order: first :b on each page
     assert first == {"u1": "bold", "u2": "two"}
     assert select_one_df(m, "b").count() == 2
+
+
+def test_rewrite_pages_lenient_ladder_and_drop_counter(spark):
+    """rewrite_pages must route through the lenient parse ladder like
+    every other page consumer: soup pages are repaired, unsalvageable
+    pages are COUNTED via the accumulator, never silently dropped."""
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("ok", ts, b"<div><b>fine</b></div>", "", "en"),
+        # bare & + junk preamble: the fixup rung salvages this
+        ("soup", ts, b"junk <div><b>a &amp; b</b> &</div>", "", "en"),
+        # nothing salvages this
+        ("hopeless", ts, b"<<<<not xml at all", "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    acc = spark.sparkContext.accumulator(0)
+    out = {r.url: r.rewritten
+           for r in rewrite_pages(
+               pages, stages=[[("[:b {} x]", "[:strong {} x]")]],
+               dropped_acc=acc).collect()}
+    assert set(out) == {"ok", "soup"}
+    assert "[:strong" in out["ok"] and "[:strong" in out["soup"]
+    assert acc.value == 1  # the hopeless page is counted, not silent

@@ -197,3 +197,37 @@ def test_lenient_parse_ladder(spark):
     texts = {r.url: r.text for r in out}
     assert texts == {"u1": "ok", "u3": "fix &it"}
     assert acc.value == 2
+
+
+def test_subtree_assist_deep_nesting_no_recursion_limit(spark):
+    """Advisor round-2 (low): subtree reconstruction must not recurse
+    — a document nested past Python's recursion limit (~1000) would
+    kill the whole Arrow stage. The rebuild is an explicit stack."""
+    depth = 3000
+    html = (b"<doc><persName ref='#d'>"
+            + b"<b>" * depth + b"x" + b"</b>" * depth
+            + b"</persName></doc>")
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    compiled = [compile_pattern("pn", "[:persName {:ref ref} body]")]
+    rows = match_nodes(pages_to_nodes(pages), compiled).collect()
+    assert len(rows) == 1
+    body = dict(rows[0].bindings)["body"]
+    assert body.startswith("[:b {} " * 2) and body.count("[:b") == depth
+
+
+def test_subtree_assist_missing_target_fails_loudly(spark, monkeypatch):
+    """Advisor round-2 (low): an elem-child match whose subtree lookup
+    misses must raise executor-side, not silently emit bindings
+    without the child key (silent divergence from the kernel path)."""
+    import cuphic_spark.compiler as compiler_mod
+
+    def empty_subtrees(nodes, targets):
+        return spark.createDataFrame(
+            [], "url string, target_id long, edn string")
+
+    monkeypatch.setattr(compiler_mod, "subtree_edn", empty_subtrees)
+    html = b"<doc><persName ref='#p1'><hi>J</hi></persName></doc>"
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    compiled = [compile_pattern("pn", "[:persName {:ref ref} body]")]
+    with pytest.raises(Exception, match="subtree assist missed"):
+        match_nodes(pages_to_nodes(pages), compiled).collect()
