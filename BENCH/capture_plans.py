@@ -7,24 +7,16 @@ Run: python BENCH/capture_plans.py
 
 from __future__ import annotations
 
-import io
 import pathlib
-from contextlib import redirect_stdout
+import sys
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from cuphic_spark.plans import formatted_plan as plan_of  # noqa: E402
 
 
 def main() -> None:
-    import sys
-
-    sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
     from cuphic_spark.compiler import (
@@ -60,12 +52,12 @@ def main() -> None:
         match_nodes(nodes_mem, compiled),
         "All patterns share ONE match scan; matches emitted via "
         "array+explode (the reference's juxt as a physical plan). "
-        "The 'term' pattern (single_var child) adds the subtree "
+        "The 'term' pattern ('var' child mode) adds the subtree "
         "assist: a BROADCAST left join against the cogroup "
         "reconstruction, plus pruned re-references of the nodes plan "
         "(4 MapInPandas total here because nodes is ephemeral — "
         "pinned in test_spark_extract; over materialized parquet "
-        "they are column-pruned scans). Patterns without single_var "
+        "they are column-pruned scans). Patterns without 'var' "
         "children keep the plan at exactly one MapInPandas.")
 
     add("Head-filter pushdown (materialized nodes parquet)",

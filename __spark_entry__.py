@@ -116,6 +116,18 @@ def q_match_p_optional_id(spark, sf_dir):
     return m.select("url", F.element_at("bindings", "?id").alias("p_id"))
 
 
+def q_match_li_bullet(spark, sf_dir):
+    """Literal child-prefix gate (round-3): [:li {} "\u2022" body]
+    compiles to children[i] predicates on the relational path —
+    bullet+bold pages bind the bold SUBTREE (exercising the assist
+    behind a literal prefix), bare-bullet pages take the nil-bind
+    quirk. The oracle rebuilds the EDN subtree closed-form."""
+    cp = compile_pattern("li", '[:li {} "\u2022" body]')
+    assert cp.strategy == "relational", cp.reason
+    m = match_nodes(_nodes(spark, sf_dir), [cp])
+    return m.select("url", F.element_at("bindings", "body").alias("body"))
+
+
 def q_link_host_counts(spark, sf_dir):
     cp = [compile_pattern("links", GOLDEN_PATTERNS["links"])]
     m = match_nodes(_nodes(spark, sf_dir), cp)
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_link_count": q_match_link_count,
         "match_term": q_match_term,
         "match_p_optional_id": q_match_p_optional_id,
+        "match_li_bullet": q_match_li_bullet,
         "link_host_counts": q_link_host_counts,
         "tag_histogram": q_tag_histogram,
         "politeness_topk": q_politeness_topk,
@@ -463,6 +476,9 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
                "list_transform(range(n_links), k -> 'L' || uid || '-' || k),"
                " '') ELSE '' END")
 
+_LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
+            "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -470,7 +486,8 @@ def oracle_sql() -> dict[str, str]:
             WITH pages AS ({_PAGES_CTE})
             SELECT url,
                    title_text || doc_text || {_LINKS_TEXT} ||
-                   CASE WHEN has_term THEN term_word ELSE '' END AS extracted
+                   CASE WHEN has_term THEN term_word ELSE '' END ||
+                   {_LI_TEXT} AS extracted
             FROM pages
         """,
         "extract_text_parity": f"""
@@ -493,6 +510,14 @@ def oracle_sql() -> dict[str, str]:
             WITH pages AS ({_PAGES_CTE})
             SELECT url, 'p' || uid AS p_id FROM pages
         """,
+        "match_li_bullet": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT url,
+                   CASE WHEN li_case = 0
+                        THEN '[:b {{}} "' || li_bold || '"]'
+                        ELSE 'nil' END AS body
+            FROM pages WHERE li_case IN (0, 2)
+        """,
         "link_host_counts": f"""
             WITH pages AS ({_PAGES_CTE})
             SELECT 'host' || ((uid + k) % 10) || '.example' AS host,
@@ -509,6 +534,11 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'a', coalesce(sum(n_links), 0)::BIGINT FROM pages
               UNION ALL SELECT 'term',
                         count(*) FILTER (WHERE has_term)::BIGINT FROM pages
+              UNION ALL SELECT 'li',
+                        count(*) FILTER (WHERE li_case IN (0, 2))::BIGINT
+                        FROM pages
+              UNION ALL SELECT 'b',
+                        count(*) FILTER (WHERE li_case = 0)::BIGINT FROM pages
             )
             SELECT tag, n FROM t WHERE n > 0
         """,
@@ -698,8 +728,8 @@ def oracle_sql() -> dict[str, str]:
             WITH pages AS ({_PAGES_CTE})
             SELECT url,
                    title_text || doc_text ||
-                   CASE WHEN has_term THEN term_word ELSE '' END
-                     AS extracted
+                   CASE WHEN has_term THEN term_word ELSE '' END ||
+                   {_LI_TEXT} AS extracted
             FROM pages
         """,
         "simhash": """

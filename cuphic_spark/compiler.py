@@ -9,14 +9,19 @@ column pruning, whole-stage codegen — with ZERO Python in the loop.
 
 So the compiler classifies every pattern:
 
-* **relational** — head-only patterns (tag literal/variable/wildcard,
-  flat attr literals + slots, and a child section that is ``[???]``,
-  ``[]``, or a single plain variable): compiled to pure
-  select/filter expressions over ``nodes``. This covers every scrape
-  pattern in the reference's own test suite.
-* **kernel** — anything with sequence structure (gaps before fixed
-  sections, repetitions, nested vector patterns, nested attr maps):
-  routed to the Arrow-batched kernel scrape (operators/parse.py).
+* **relational** — head-shaped patterns (tag literal/variable/
+  wildcard, flat attr literals + slots, and a child section that is a
+  LITERAL TEXT PREFIX followed by nothing, a trailing ``???``, or one
+  terminal variable — e.g. ``[]``, ``[???]``, ``[var]``,
+  ``[:li {} "•" body]``): compiled to pure select/filter expressions
+  over ``nodes`` (``children[i]`` positional predicates for the
+  prefix). This covers every scrape pattern in the reference's own
+  test suite plus fixed-prefix scrapes that round 2 still taxed with
+  the kernel path.
+* **kernel** — anything with true sequence structure (mid-sequence
+  variables/wildcards, gaps before fixed sections, repetitions,
+  nested vector patterns, nested attr maps): routed to the
+  Arrow-batched kernel scrape (operators/parse.py).
 
 Both paths produce identical ``matches`` rows (url, pattern_key,
 node_id, bindings) — parity is pinned by tests.
@@ -60,8 +65,12 @@ class HeadPlan:
     attr_required: list = field(default_factory=list)  # [(key, sym_name)] presence+bind
     attr_optional: list = field(default_factory=list)  # [(key, sym_name)] bind-if-present
     attr_present: list = field(default_factory=list)   # [key] wildcard slots
-    child_mode: str = "any"                 # 'any' | 'empty' | 'single_var'
-    child_binding: str | None = None        # symbol name for single_var
+    child_lits: list = field(default_factory=list)  # literal TEXT prefix
+    child_mode: str = "gap"  # child section AFTER the literal prefix:
+    # 'exact' — nothing follows (size == len(lits));
+    # 'gap'   — trailing ??? (size >= len(lits));
+    # 'var'   — one terminal variable (matches 0 or 1 further children)
+    child_binding: str | None = None        # symbol name for 'var'
 
 
 @dataclass
@@ -113,14 +122,27 @@ def compile_pattern(key: str, source: str) -> CompiledPattern:
         else:
             head.attr_literal[k.name] = reader.dumps(v)
 
+    # Child section: a LITERAL TEXT PREFIX (kernel: leading strings
+    # extend the first fixed section — positional text equality)
+    # followed by nothing / a trailing gap / one terminal variable.
+    # This compiles shapes like [:li {} "•" body] relationally
+    # (round-2 verdict item 3 — previously any literal child paid the
+    # kernel tax). Mid-sequence variables/wildcards, repetitions, and
+    # nested vector literals still route to the kernel: their section
+    # semantics (lookahead search, chunking) are not head-shaped.
     children = pattern[2:]
-    if len(children) == 0:
-        head.child_mode = "empty"
-    elif len(children) == 1 and syms.is_optional_omission(children[0]):
-        head.child_mode = "any"
-    elif len(children) == 1 and syms.is_variable(children[0]):
-        head.child_mode = "single_var"
-        head.child_binding = children[0].name
+    i = 0
+    while i < len(children) and isinstance(children[i], str):
+        head.child_lits.append(children[i])
+        i += 1
+    tail = children[i:]
+    if len(tail) == 0:
+        head.child_mode = "exact"
+    elif len(tail) == 1 and syms.is_optional_omission(tail[0]):
+        head.child_mode = "gap"
+    elif len(tail) == 1 and syms.is_variable(tail[0]):
+        head.child_mode = "var"
+        head.child_binding = tail[0].name
     else:
         return kernel("non-head child section")
 
@@ -142,31 +164,51 @@ def _head_common(cp: CompiledPattern) -> Column:
     return cond
 
 
+def _lit_prefix_cond(head: HeadPlan) -> Column:
+    """Positional text-equality of the literal child prefix (kernel:
+    the leading strings of the first fixed section). Out-of-range
+    indexing yields SQL NULL, which the filter treats as false — the
+    explicit size bounds below make the intent visible anyway."""
+    cond = F.lit(True)
+    for i, lit in enumerate(head.child_lits):
+        c = F.col("children")[i]
+        cond = cond & (c["kind"] == "text") & (c["text"] == lit)
+    return cond
+
+
 def head_filter(cp: CompiledPattern) -> Column:
     """The pushdown-able filter expression for a relational pattern —
-    the TEXT branch: for single_var child sections this accepts only
-    text-or-absent children (a pure column expression); element
-    children are matched by ``elem_child_filter`` + the subtree
-    assist in ``match_nodes``."""
+    the TEXT branch: for 'var' child sections this accepts only
+    text-or-absent children after the literal prefix (a pure column
+    expression); element children are matched by ``elem_child_filter``
+    + the subtree assist in ``match_nodes``."""
     head = cp.head
-    cond = _head_common(cp)
-    if head.child_mode == "empty":
-        cond = cond & (F.size("children") == 0)
-    elif head.child_mode == "single_var":
-        # terminal arbitrary [var]: 0 children (nil bind) or exactly 1
-        cond = cond & (F.size("children") <= 1)
-        cond = cond & ((F.size("children") == 0)
-                       | (F.col("children")[0]["kind"] == "text"))
+    k = len(head.child_lits)
+    cond = _head_common(cp) & _lit_prefix_cond(head)
+    if head.child_mode == "exact":
+        cond = cond & (F.size("children") == k)
+    elif head.child_mode == "gap":
+        if k:  # k == 0 imposes nothing (any children)
+            cond = cond & (F.size("children") >= k)
+    elif head.child_mode == "var":
+        # terminal arbitrary [var] after the prefix: 0 further
+        # children (nil bind) or exactly 1
+        cond = cond & (F.size("children") <= k + 1)
+        if k:
+            cond = cond & (F.size("children") >= k)
+        cond = cond & ((F.size("children") == k)
+                       | (F.col("children")[k]["kind"] == "text"))
     return cond
 
 
 def elem_child_filter(cp: CompiledPattern) -> Column:
-    """single_var patterns whose one child is an ELEMENT: the binding
+    """'var' patterns whose terminal child is an ELEMENT: the binding
     is the child's whole subtree (kernel semantics, cuphic.cljc
     terminal arbitrary section). These rows need the subtree assist."""
-    return (_head_common(cp)
-            & (F.size("children") == 1)
-            & (F.col("children")[0]["kind"] == "elem"))
+    k = len(cp.head.child_lits)
+    return (_head_common(cp) & _lit_prefix_cond(cp.head)
+            & (F.size("children") == k + 1)
+            & (F.col("children")[k]["kind"] == "elem"))
 
 
 def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
@@ -182,12 +224,13 @@ def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
         pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k))))
     for k, sym in head.attr_optional:
         pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k))))
-    if head.child_mode == "single_var" and include_child:
-        # 0 children -> the nil-bind quirk: key present, value "nil"
-        # (same encoding as the kernel path's encode_value(None))
+    if head.child_mode == "var" and include_child:
+        # no further child -> the nil-bind quirk: key present, value
+        # "nil" (same encoding as the kernel path's encode_value(None))
+        k = len(head.child_lits)
         pairs.append((F.lit(head.child_binding),
-                      F.when(F.size("children") == 1,
-                             F.col("children")[0]["text"])
+                      F.when(F.size("children") == k + 1,
+                             F.col("children")[k]["text"])
                       .otherwise(F.lit("nil"))))
     if not pairs:
         return F.create_map().cast("map<string,string>")
@@ -306,7 +349,7 @@ def match_nodes(nodes: DataFrame,
                 f"pattern {cp.key} needs the kernel path: {cp.reason}")
 
     single_vars = [cp for cp in compiled
-                   if cp.head.child_mode == "single_var"]
+                   if cp.head.child_mode == "var"]
     entry_structs = []
     for cp in compiled:
         text_struct = F.struct(
@@ -315,11 +358,12 @@ def match_nodes(nodes: DataFrame,
             F.lit(None).cast("long").alias("target_id"),
             F.lit(None).cast("string").alias("binding_key"))
         e = F.when(head_filter(cp), text_struct)
-        if cp.head.child_mode == "single_var":
+        if cp.head.child_mode == "var":
+            k = len(cp.head.child_lits)
             elem_struct = F.struct(
                 F.lit(cp.key).alias("pattern_key"),
                 bindings_expr(cp, include_child=False).alias("bindings"),
-                F.col("children")[0]["child_id"].alias("target_id"),
+                F.col("children")[k]["child_id"].alias("target_id"),
                 F.lit(cp.head.child_binding).alias("binding_key"))
             e = e.when(elem_child_filter(cp), elem_struct)
         entry_structs.append(e)

@@ -18,19 +18,30 @@ Determinism contract (identical at ANY parallelism level):
 * bloom/cuckoo structures only prune — membership truth is always
   the anti-join against the seen table.
 
-Wave w, given frontier_w and seen_w:
+Wave w, given the frontier MANIFEST (score-band files — see
+frontier/bands.py) and seen_w:
 
-1. denied   = frontier rows whose (host, path) hits a robots deny rule
-2. eligible = frontier - denied
+0. read    = top score bands whose manifest counts cover W (greedy
+   descent; deterministically extended if robots/politeness leave
+   fewer than W budgeted rows) — unread bands are never touched
+1. denied   = read rows whose (host, path) hits a robots deny rule
+   (dropped+counted at first READ of their band; they can never
+   schedule either way)
+2. eligible = read - denied
 3. per-host rank by (score desc, url asc); keep rank <= budget B
+   (ranks over the read set equal full-frontier ranks: unread rows
+   all score strictly below every read band)
 4. global top-W by (score desc, url asc) -> scheduled (rank_in_wave)
 5. fetch scheduled (simulated: webgraph.gen_html)
 6. extract hrefs with the cuphic engine ([:a {:href href} ???]),
    canonicalize (column expressions), distinct
 7. new = links - seen_w  (bloom prune + exact anti-join)
-8. frontier_{w+1} = (eligible - scheduled) ∪ new(depth=w+1, scored)
+8. frontier_{w+1} = manifest{unread bands carried BY REFERENCE}
+   + written delta{(eligible - scheduled) ∪ new(depth=w+1, scored)}
+   — checkpoint write volume is O(rows_read + new), never O(|frontier|)
 9. seen_{w+1} = seen_w ∪ new
-10. checkpoint: frontier, seen, fetch_log, metrics, lineage json
+10. checkpoint: frontier delta + manifest, seen delta, fetch_log,
+    metrics, lineage json
 """
 
 from __future__ import annotations
@@ -197,19 +208,29 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
 
 
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
-             frontier: DataFrame, seen: DataFrame,
+             manifest: dict, seen: DataFrame,
              n_seen_hint: int | None = None,
              cuckoo_shards: DataFrame | None = None,
              bloom: bytes | None = None,
              prev_links_hint: int | None = None,
              seen_paths: list[str] | None = None):
-    """Returns (frontier_next, seen_delta, fetch_log, finish, caches,
-    frontier_size).
+    """Returns (frontier_delta, seen_delta, fetch_log, finish, caches,
+    read_bands, rows_read).
+
+    The wave never touches the whole frontier: ``manifest`` (see
+    frontier/bands.py) describes the frontier as score-band files, and
+    the wave reads only the top bands whose counts cover wave_cap —
+    extending deterministically when robots/politeness eat into the
+    read set (rare: one extra stats pass per extension round). The
+    returned ``frontier_delta`` is the residual of the READ bands ∪
+    newly discovered rows; crawl() writes it band-partitioned and
+    carries every unread band forward by manifest reference — wave
+    checkpoint write volume is O(rows_read + new), never O(|frontier|).
 
     Spark-job budget per wave — the crawl's FIXED cost, which is what
     bounds throughput once waves are large enough to saturate cores:
 
-    * ONE aggregation job over the ranked frontier (score histogram
+    * ONE aggregation job over the ranked read set (score histogram
       for the distributed top-W *and* the denied count, same pass);
     * the checkpoint writes issued by crawl() — every remaining
       metric (scheduled, bytes, links, new urls) rides on those
@@ -219,35 +240,53 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     reads the observations and returns the metrics row. ``caches``
     are the DataFrames to unpersist once the wave is committed.
     """
-    robots = robots_rules(spark)
-    fr = frontier.withColumn("path", path_col(F.col("url")))
+    from . import bands as bands_mod
 
-    joined = fr.join(F.broadcast(robots), "host", "left")
-    is_denied = (F.col("deny_prefix").isNotNull()
-                 & F.col("path").startswith(F.col("deny_prefix")))
+    robots = robots_rules(spark)
+    read_bands, unread, rows_read = bands_mod.plan_read_bands(
+        manifest, cfg.wave_cap)
 
     # ONE window ranks eligible rows per host; denied rows rank inside
     # their own (host, den) group so eligible ranks are unaffected —
     # this lets a single aggregation job return the score histogram
-    # AND the denied count (previously two frontier scans).
+    # AND the denied count (previously two frontier scans). Per-host
+    # ranks over the READ subset equal full-frontier ranks for read
+    # rows (unread rows all score strictly below every read band).
     w_host = Window.partitionBy("host", "den").orderBy(
         F.desc("score"), F.asc("url"))
-    ranked = (joined.withColumn("den", is_denied)
-              .withColumn("host_rank", F.row_number().over(w_host))
-              .drop("deny_prefix", "path")).cache()
-    stats = (ranked
-             .where(F.col("den") | (F.col("host_rank") <= cfg.budget_per_host))
-             .groupBy("den", "score").agg(F.count("*").alias("cnt"))
-             .collect())
-    if len(stats) > cfg.max_score_histogram:
-        raise ValueError(
-            f"score histogram has {len(stats)} distinct (den, score) "
-            f"rows > max_score_histogram={cfg.max_score_histogram}: "
-            "score_expr must produce COARSE scores (the distributed "
-            "top-W collects one row per distinct score — a fine-"
-            "grained score would silently turn this into an "
-            "O(|frontier|) driver transfer). Coarsen score_expr or "
-            "raise cfg.max_score_histogram deliberately.")
+    frontier = ranked = None
+    while True:
+        if ranked is not None:  # extension round: rebuild over more bands
+            ranked.unpersist()
+            frontier.unpersist()
+        frontier = bands_mod.read_bands_df(spark, manifest,
+                                           read_bands).cache()
+        fr = frontier.withColumn("path", path_col(F.col("url")))
+        joined = fr.join(F.broadcast(robots), "host", "left")
+        is_denied = (F.col("deny_prefix").isNotNull()
+                     & F.col("path").startswith(F.col("deny_prefix")))
+        ranked = (joined.withColumn("den", is_denied)
+                  .withColumn("host_rank", F.row_number().over(w_host))
+                  .drop("deny_prefix", "path")).cache()
+        stats = (ranked
+                 .where(F.col("den")
+                        | (F.col("host_rank") <= cfg.budget_per_host))
+                 .groupBy("den", "score").agg(F.count("*").alias("cnt"))
+                 .collect())
+        if len(stats) > cfg.max_score_histogram:
+            raise ValueError(
+                f"score histogram has {len(stats)} distinct (den, score) "
+                f"rows > max_score_histogram={cfg.max_score_histogram}: "
+                "score_expr must produce COARSE scores (the distributed "
+                "top-W collects one row per distinct score — a fine-"
+                "grained score would silently turn this into an "
+                "O(|frontier|) driver transfer). Coarsen score_expr or "
+                "raise cfg.max_score_histogram deliberately.")
+        n_budgeted = sum(r.cnt for r in stats if not r.den)
+        if n_budgeted >= cfg.wave_cap or not unread:
+            break
+        rows_read += bands_mod.extend_read_bands(
+            manifest, read_bands, unread, cfg.wave_cap - n_budgeted)
     n_denied = sum(r.cnt for r in stats if r.den)
     budgeted = (ranked
                 .where(~F.col("den")
@@ -419,12 +458,13 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                    .where(~F.col("den")
                           & (F.col("host_rank") > cfg.budget_per_host))
                    .select(*cols))
-    obs_frontier = Observation(f"frontier_w{wave}_{tag}")
-    frontier_next = (over_budget
-                     .unionByName(unscheduled.select(*cols))
-                     .unionByName(new_rows)
-                     .observe(obs_frontier,
-                              F.count(F.lit(1)).alias("n")))
+    # the wave's frontier DELTA: residual of the read bands (over-
+    # budget ∪ unscheduled — denied rows drop here, at first read of
+    # their band) plus new discoveries; unread bands never appear —
+    # crawl() carries them forward by manifest reference
+    frontier_delta = (over_budget
+                      .unionByName(unscheduled.select(*cols))
+                      .unionByName(new_rows))
     # every frontier url is already in seen (added at discovery), so
     # denied rows need no re-insert; seen grows only by new discoveries
     # -> the wave emits a DELTA, never a rewritten snapshot (rewriting
@@ -485,15 +525,11 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             "pages_dropped": int(dropped_acc.value),
         }
 
-    def frontier_size() -> int:
-        """Rides on the frontier checkpoint write (call after it)."""
-        return int(obs_frontier.get["n"])
-
-    caches = [ranked, fetched, distinct_links, new_rows]
+    caches = [frontier, ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
         caches.append(with_rank)
-    return (frontier_next, seen_delta, fetch_log, finish, caches,
-            frontier_size)
+    return (frontier_delta, seen_delta, fetch_log, finish, caches,
+            read_bands, rows_read)
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -502,7 +538,9 @@ def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
 
 def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
                        salt: bool = False, dir_partitioned: bool = True):
-    """Frontier/seen snapshots: partitioned by pmod(xxhash64(host),P)
+    """Seen snapshots/deltas (frontier writes go through
+    bands.write_wave_frontier, which applies the same layout INSIDE
+    each score band): partitioned by pmod(xxhash64(host),P)
     (+ optional intra-host salt for skewed hosts), score-sorted within
     partitions — the 'priority queue as host-salted, score-sorted
     partitions' of the north rule.
@@ -580,15 +618,24 @@ def _read_seen(spark: SparkSession, cfg: CrawlConfig,
 
 def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     """Run (or resume) the crawl up to cfg.n_waves. Returns summary."""
+    from . import bands as bands_mod
+
     start = last_complete_wave(cfg) + 1
     seed_path = os.path.join(cfg.checkpoint_dir, "seen_seed")
+    seed_frontier_dir = os.path.join(cfg.checkpoint_dir, "frontier_seed")
     prev_links = None
     if start == 0:
-        frontier = seed_frontier(spark, cfg)
+        seeds = seed_frontier(spark, cfg)
         _partitioned_write(
-            frontier.select("url", F.lit(0).alias("added_wave"),
-                            F.col("host")), seed_path, cfg,
+            seeds.select("url", F.lit(0).alias("added_wave"),
+                         F.col("host")), seed_path, cfg,
             dir_partitioned=False)
+        # seed frontier = the wave -1 manifest (band-partitioned like
+        # every later wave; nothing was read, so nothing is carried)
+        manifest, _ = bands_mod.write_wave_frontier(
+            spark, seeds, seed_frontier_dir, cfg,
+            bands_mod.empty_manifest(cfg), read_bands=[])
+        bands_mod.write_manifest(seed_frontier_dir, manifest)
         seen = _read_seen(spark, cfg, -1)
         n_seen = cfg.n_seeds
         seen_paths = _seen_delta_paths(cfg, -1)
@@ -606,9 +653,13 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 f"written with partitions={prev_lineage.get('partitions')} "
                 f"but cfg.partitions={cfg.partitions}; resume with the "
                 "recorded value (shard/candidate partition ids must agree)")
-        frontier = spark.read.schema(
-            FRONTIER_SCHEMA + ", part int").parquet(
-                os.path.join(prev, "frontier")).drop("part")
+        manifest = bands_mod.load_manifest(os.path.join(prev, "frontier"))
+        if manifest["band_width"] != cfg.band_width:
+            raise ValueError(
+                f"resume band_width mismatch: checkpoint {prev} was "
+                f"written with band_width={manifest['band_width']} but "
+                f"cfg.band_width={cfg.band_width}; the read protocol "
+                "(and its oracle) is a function of the band layout")
         seen = _read_seen(spark, cfg, start - 1)
         n_seen = seen.count()  # parquet footer count — cheap
         seen_paths = _seen_delta_paths(cfg, start - 1)
@@ -643,13 +694,12 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             tt[name] = round(_time.perf_counter() - t0, 3)
             t0 = _time.perf_counter()
 
-        frontier.cache()
         if cfg.use_bloom and bloom is None and n_seen >= cfg.bloom_min_seen:
             bloom = build_bloom(seen, cfg.bloom_bits)  # first activation
         _mark("bloom_build")
-        (fnext, seen_delta, fetch_log, finish, caches,
-         frontier_size) = run_wave(
-            spark, cfg, wave, frontier, seen, n_seen_hint=n_seen,
+        (frontier_delta, seen_delta, fetch_log, finish, caches,
+         read_bands, rows_read) = run_wave(
+            spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths)
         _mark("schedule")
@@ -671,13 +721,15 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             os.path.join(d, "seen_delta"), cfg, dir_partitioned=False)
         _mark("seen_delta_write")
         metrics = finish()
+        metrics["frontier_rows_read"] = rows_read
         n_seen += metrics["new_urls"]
 
         from concurrent.futures import ThreadPoolExecutor
 
         def write_frontier():
-            _partitioned_write(fnext, os.path.join(d, "frontier"),
-                               cfg, salt=True)
+            return bands_mod.write_wave_frontier(
+                spark, frontier_delta, os.path.join(d, "frontier"),
+                cfg, manifest, read_bands)
 
         def fold_bloom():
             if cfg.use_bloom and bloom is not None:
@@ -707,30 +759,20 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             f_frontier = pool.submit(write_frontier)
             f_bloom = pool.submit(fold_bloom)
             f_cuckoo = pool.submit(maintain_cuckoo)
-            f_frontier.result()
+            new_manifest, rows_written = f_frontier.result()
             bloom = f_bloom.result()
             cuckoo_shards = f_cuckoo.result()
-        try:
-            metrics["frontier_size"] = frontier_size()
-        except Exception:
-            # a fully-exhausted frontier can be optimizer-folded to an
-            # empty LocalRelation, dropping the CollectMetrics row —
-            # fall back to counting the committed checkpoint (footer
-            # metadata; the edge only occurs on empty/tiny frontiers)
-            metrics["frontier_size"] = int(
-                spark.read.schema(FRONTIER_SCHEMA + ", part int")
-                .parquet(os.path.join(d, "frontier")).count())
+        bands_mod.write_manifest(os.path.join(d, "frontier"),
+                                 new_manifest)
+        # manifest bookkeeping (footer counts recorded at write time):
+        # no Spark job, no observation, no exhaustion edge case
+        metrics["frontier_rows_written"] = rows_written
+        metrics["frontier_size"] = bands_mod.manifest_total(new_manifest)
         _mark("frontier_bloom_cuckoo")
 
-        # re-read committed state (truncates lineage, frees cache);
-        # EXPLICIT schema: an exhausted frontier writes zero part
-        # files, and schema inference over an empty dir would throw
-        frontier.unpersist()
+        manifest = new_manifest
         for c in caches:
             c.unpersist()
-        frontier = spark.read.schema(FRONTIER_SCHEMA + ", part int") \
-            .parquet(os.path.join(d, "frontier")) \
-            .select("url", "host", "depth", "score", "discovered_wave")
         seen = _read_seen(spark, cfg, wave)
         seen_paths = _seen_delta_paths(cfg, wave)
         prev_links = metrics["links_distinct"]
@@ -740,10 +782,14 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             "input_wave_dir": _wave_dir(cfg, wave - 1) if wave else "seeds",
             "partitions": cfg.partitions,
             "seen_deltas": _seen_delta_paths(cfg, wave),
+            "frontier_manifest": bands_mod.manifest_path(
+                os.path.join(d, "frontier")),
+            "frontier_bands_read": read_bands,
             "metrics": metrics,
             "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
                        "budget_per_host": cfg.budget_per_host,
-                       "wave_cap": cfg.wave_cap},
+                       "wave_cap": cfg.wave_cap,
+                       "band_width": cfg.band_width},
         }
         with open(os.path.join(d, "_lineage.json"), "w") as fh:
             json.dump(lineage, fh, indent=1)

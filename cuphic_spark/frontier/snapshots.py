@@ -79,6 +79,44 @@ def compact_seen(spark, cfg: CrawlConfig, upto_wave: int | None = None) -> str:
     return out_dir
 
 
+def read_frontier_asof(spark, cfg: CrawlConfig, wave: int):
+    """The frontier AS OF the end of ``wave`` (``-1`` = seed state),
+    through its committed manifest — the snapshot-id-addressed read
+    (Iceberg ``VERSION AS OF`` without a catalog). Because manifests
+    carry untouched bands by reference, this is the ONLY correct way
+    to read a historical frontier: a wave's ``frontier/`` dir holds
+    just that wave's delta."""
+    import os as _os
+
+    from . import bands
+
+    if wave < 0:
+        fdir = _os.path.join(cfg.checkpoint_dir, "frontier_seed")
+    else:
+        fdir = _os.path.join(_wave_dir(cfg, wave), "frontier")
+    return bands.read_full_frontier(spark, bands.load_manifest(fdir))
+
+
+def read_seen_asof(spark, cfg: CrawlConfig, wave: int):
+    """The seen set AS OF the end of ``wave`` (``-1`` = seeds only):
+    compact snapshot (if its horizon allows) + deltas through
+    ``wave``."""
+    from .crawl import _read_seen
+
+    return _read_seen(spark, cfg, wave)
+
+
+def read_fetch_log_asof(spark, cfg: CrawlConfig, wave: int):
+    """Fetch log restricted to waves <= ``wave``."""
+    import os as _os
+
+    paths = [_os.path.join(_wave_dir(cfg, w), "fetch_log")
+             for w in range(0, wave + 1)
+             if _os.path.isdir(_os.path.join(_wave_dir(cfg, w),
+                                             "fetch_log"))]
+    return spark.read.parquet(*paths)
+
+
 def list_snapshots(cfg: CrawlConfig) -> list[dict]:
     """Lineage records of all complete waves, in order."""
     out = []
@@ -111,10 +149,11 @@ def rollback_to_wave(cfg: CrawlConfig, wave: int) -> int:
                       ignore_errors=True)
         removed += 1
     if wave < 0:
-        seed = os.path.join(cfg.checkpoint_dir, "seen_seed")
-        if os.path.isdir(seed):
-            shutil.rmtree(seed)
-            removed += 1
+        for name in ("seen_seed", "frontier_seed"):
+            seed = os.path.join(cfg.checkpoint_dir, name)
+            if os.path.isdir(seed):
+                shutil.rmtree(seed)
+                removed += 1
     return removed
 
 
@@ -131,4 +170,16 @@ def verify_lineage(cfg: CrawlConfig) -> list[str]:
         for p in s.get("seen_deltas", []):
             if not os.path.isdir(p):
                 problems.append(f"wave {i}: missing seen delta {p}")
+        mpath = s.get("frontier_manifest")
+        if mpath:
+            if not os.path.exists(mpath):
+                problems.append(f"wave {i}: missing manifest {mpath}")
+            else:
+                with open(mpath) as fh:
+                    man = json.load(fh)
+                for b, v in man.get("bands", {}).items():
+                    for p in v["paths"]:
+                        if not os.path.isdir(p):
+                            problems.append(
+                                f"wave {i}: band {b} missing path {p}")
     return problems

@@ -18,12 +18,16 @@ Page layout for uid = doc_id * copies + copy  (uid < U = n_docs * copies):
     <p id="p{uid}">{text}</p>
     {for k in 0..(uid % 5)-1:
        <a href="https://host{(uid+k)%10}.example/doc/{(uid*31+k*7)%U}">L{uid}-{k}</a>}
-    {if uid%3==0: <term type="kw{uid%7}">w{uid%7}</term>}</doc>
+    {if uid%3==0: <term type="kw{uid%7}">w{uid%7}</term>}
+    {if uid%4==0: <li>•<b>B{uid%9}</b></li>}
+    {if uid%4==2: <li>•</li>}</doc>
 
 (single line — no inter-tag whitespace, so extracted text needs no
 blank-dropping and equals the closed form below byte-for-byte)
 
-    text_expected = "Doc {uid}" + text + concat("L{uid}-{k}") + ("w{uid%7}" if uid%3==0)
+    text_expected = "Doc {uid}" + text + concat("L{uid}-{k}")
+                    + ("w{uid%7}" if uid%3==0)
+                    + ("•B{uid%9}" if uid%4==0 else "•" if uid%4==2 else "")
 
 Hosts are deliberately skewed (uid%3==0 -> host0 gets ~40% of pages)
 to exercise salting/AQE in the frontier stage.
@@ -88,15 +92,30 @@ def synth_pages(spark: SparkSession, sf_dir: str,
     ).otherwise(F.lit(""))
     term_text = F.when(F.col("uid") % 3 == 0, term_word).otherwise(F.lit(""))
 
+    # literal-prefix bullet item (exercises the compiler's literal
+    # child-prefix path [:li {} "•" body]): uid%4==0 -> bullet + bold
+    # element (subtree bind), uid%4==2 -> bare bullet (nil bind)
+    li_case = F.col("uid") % 4
+    li_bold = F.concat(F.lit("B"), (F.col("uid") % 9).cast("string"))
+    li_html = (F.when(li_case == 0,
+                      F.concat(F.lit("<li>•<b>"), li_bold,
+                               F.lit("</b></li>")))
+               .when(li_case == 2, F.lit("<li>•</li>"))
+               .otherwise(F.lit("")))
+    li_text = (F.when(li_case == 0, F.concat(F.lit("•"), li_bold))
+               .when(li_case == 2, F.lit("•"))
+               .otherwise(F.lit("")))
+
     title_text = F.concat(F.lit("Doc "), F.col("uid").cast("string"))
     html = F.concat(
         F.lit("<doc><title id=\"t"), F.col("uid").cast("string"), F.lit("\">"),
         title_text,
         F.lit("</title><p id=\"p"), F.col("uid").cast("string"), F.lit("\">"),
         F.col("text"),
-        F.lit("</p>"), links_html, term_html, F.lit("</doc>"),
+        F.lit("</p>"), links_html, term_html, li_html, F.lit("</doc>"),
     )
-    text_expected = F.concat(title_text, F.col("text"), links_text, term_text)
+    text_expected = F.concat(title_text, F.col("text"), links_text,
+                             term_text, li_text)
 
     return df.select(
         url.alias("url"),
@@ -128,6 +147,8 @@ def oracle_pages_cte(copies: int = DEFAULT_COPIES) -> str:
       ((d.doc_id * {copies} + c.copy) % 3 = 0) AS has_term,
       'w' || ((d.doc_id * {copies} + c.copy) % 7) AS term_word,
       'kw' || ((d.doc_id * {copies} + c.copy) % 7) AS term_type,
+      ((d.doc_id * {copies} + c.copy) % 4)::INT AS li_case,
+      'B' || ((d.doc_id * {copies} + c.copy) % 9) AS li_bold,
       'Doc ' || (d.doc_id * {copies} + c.copy) AS title_text
     FROM documents d
     CROSS JOIN (SELECT UNNEST(range({copies})) AS copy) c

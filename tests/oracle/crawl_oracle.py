@@ -63,7 +63,8 @@ class OracleState:
 
 
 def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
-        n_waves: int, page_weight: int = 30) -> OracleState:
+        n_waves: int, page_weight: int = 30,
+        band_width: int = 1000) -> OracleState:
     st = OracleState()
     for i in range(n_seeds):
         url = webgraph.url_of(i)
@@ -71,19 +72,54 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         st.seen[url] = 0
 
     for wave in range(n_waves):
-        denied = [u for u in st.frontier if robots_deny(u)]
+        # ----- banded read protocol (mirrors bands.plan_read_bands +
+        # the extension loop in crawl.run_wave): a wave reads only the
+        # top score bands whose counts cover wave_cap, extending when
+        # robots/politeness leave fewer than wave_cap budgeted rows.
+        by_band: dict[int, list[str]] = {}
+        for u, (_d, sc, _w) in st.frontier.items():
+            by_band.setdefault(sc // band_width, []).append(u)
+        order = sorted(by_band, reverse=True)
+        read_bands: list[int] = []
+        rows_read = 0
+        i = 0
+        while i < len(order) and rows_read < wave_cap:
+            b = order[i]
+            read_bands.append(b)
+            rows_read += len(by_band[b])
+            i += 1
+        while True:
+            read_urls = [u for b in read_bands for u in by_band[b]]
+            denied = [u for u in read_urls if robots_deny(u)]
+            denied_set = set(denied)
+            eligible = sorted(
+                ((u, st.frontier[u]) for u in read_urls
+                 if u not in denied_set),
+                key=lambda kv: (-kv[1][1], kv[0]))
+            # politeness: per-host budget in (score desc, url asc)
+            # order — ranks over the read set equal full-frontier
+            # ranks (unread rows all score strictly lower)
+            per_host: dict[str, int] = {}
+            budgeted = []
+            for url, (depth, sc, dw) in eligible:
+                h = host_of_url(url)
+                if per_host.get(h, 0) < budget_per_host:
+                    per_host[h] = per_host.get(h, 0) + 1
+                    budgeted.append((url, depth, sc))
+            if len(budgeted) >= wave_cap or i >= len(order):
+                break
+            deficit = wave_cap - len(budgeted)
+            added = 0
+            while i < len(order) and added < deficit:
+                b = order[i]
+                read_bands.append(b)
+                added += len(by_band[b])
+                i += 1
+            rows_read += added
+        # denied rows drop at first READ of their band (they stay in
+        # seen, so they can never re-enter or schedule)
         for u in denied:
-            del st.frontier[u]  # stays in seen (added at discovery)
-        eligible = sorted(st.frontier.items(),
-                          key=lambda kv: (-kv[1][1], kv[0]))
-        # politeness: per-host budget in (score desc, url asc) order
-        per_host: dict[str, int] = {}
-        budgeted = []
-        for url, (depth, sc, dw) in eligible:
-            h = host_of_url(url)
-            if per_host.get(h, 0) < budget_per_host:
-                per_host[h] = per_host.get(h, 0) + 1
-                budgeted.append((url, depth, sc))
+            del st.frontier[u]
         scheduled = budgeted[:wave_cap]
 
         links: dict[str, int] = {}
@@ -119,6 +155,12 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
             # the synthetic graph always parses strictly; real crawls
             # surface lenient-ladder drops here
             "pages_dropped": 0,
+            "frontier_rows_read": rows_read,
+            # wave delta = residual of read bands + new discoveries —
+            # the O(rows_read + new) write-volume invariant the banded
+            # manifest exists to enforce
+            "frontier_rows_written": (rows_read - len(denied)
+                                      - len(scheduled) + len(new_urls)),
             "frontier_size": len(st.frontier),
         })
     return st

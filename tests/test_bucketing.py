@@ -37,7 +37,9 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
         "url", "node_id", "tag",
         F.element_at("bindings", "ref").alias("ref"))
 
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    from cuphic_spark.plans import executed_plan
+
+    plan = executed_plan(joined)
     # co-located buckets: the join must not shuffle either side
     assert "Exchange hashpartitioning" not in plan
     rows = joined.collect()

@@ -61,11 +61,11 @@ def test_seen_set_matches_oracle(spark, spark_crawl, oracle_state):
 
 
 def test_frontier_matches_oracle(spark, spark_crawl, oracle_state):
-    import os
+    from cuphic_spark.frontier.snapshots import read_frontier_asof
+
     cfg, _ = spark_crawl
     last = last_complete_wave(cfg)
-    frontier = spark.read.parquet(
-        os.path.join(cfg.checkpoint_dir, f"wave={last:05d}", "frontier"))
+    frontier = read_frontier_asof(spark, cfg, last)
     rows = {r.url: (r.depth, r.score, r.discovered_wave)
             for r in frontier.collect()}
     assert rows == oracle_state.frontier
@@ -438,7 +438,9 @@ def test_broadcast_seen_check_same_result(spark, tmp_path, oracle_state):
     got = sorted(r.url for r in out.collect())
     want = sorted(f"https://h{i}.x/{i}" for i in range(1, 50, 2))
     assert got == want
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    from cuphic_spark.plans import executed_plan
+
+    plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -540,4 +542,112 @@ def test_frontier_exhaustion(spark, tmp_path):
     assert summary["metrics"] == oracle.metrics
     assert summary["metrics"][-1]["scheduled"] == 0
     assert summary["metrics"][-1]["frontier_size"] == 0
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_band_manifest_write_volume_is_o_read_plus_new(spark, tmp_path):
+    """THE scale property of the banded frontier (round-2 verdict,
+    top item): a wave that schedules from the top band writes only
+    that band's residual plus new rows — untouched bands are carried
+    BY REFERENCE, so checkpoint write volume is O(rows_read + new),
+    never O(|frontier|)."""
+    import os
+
+    from cuphic_spark.frontier import bands
+
+    cfg = CrawlConfig(partitions=4, band_width=1000)
+
+    # synthetic frontier: 10 bands x 1000 rows = 10k rows
+    base = spark.range(10_000).selectExpr(
+        "concat('https://host', id % 20, '.example/doc/', id) as url",
+        "concat('host', id % 20, '.example') as host",
+        "cast(1 as int) as depth",
+        "cast((9 - id % 10) * 1000 + id % 7 as long) as score",
+        "cast(1 as int) as discovered_wave")
+    d0 = str(tmp_path / "f0")
+    manifest, written = bands.write_wave_frontier(
+        spark, base, d0, cfg, bands.empty_manifest(cfg), [])
+    assert written == 10_000
+    assert bands.manifest_total(manifest) == 10_000
+    assert len(manifest["bands"]) == 10
+
+    # plan a 100-row wave: only the top band (1000 rows) is read
+    read, unread, n_read = bands.plan_read_bands(manifest, 100)
+    assert read == [9] and n_read == 1000 and len(unread) == 9
+
+    # delta = top band residual (900) + 50 new rows in a lower band
+    top = bands.read_bands_df(spark, manifest, read)
+    residual = top.orderBy(F.desc("score"), F.asc("url")).limit(900)
+    new = spark.range(50).selectExpr(
+        "concat('https://hostN.example/new/', id) as url",
+        "'hostN.example' as host", "cast(2 as int) as depth",
+        "cast(8000 + id % 7 as long) as score",
+        "cast(2 as int) as discovered_wave")
+    d1 = str(tmp_path / "f1")
+    manifest2, written2 = bands.write_wave_frontier(
+        spark, residual.unionByName(new), d1, cfg, manifest, read)
+
+    # THE assertion: 950 rows written, not 9950
+    assert written2 == 950
+    assert bands.manifest_total(manifest2) == 9_000 + 950
+    # every untouched band still references the ORIGINAL wave-0 files
+    for b in range(8):
+        paths = manifest2["bands"][str(b)]["paths"]
+        assert all(p.startswith(d0) for p in paths), (b, paths)
+    # band 8 = carried wave-0 file + this wave's new-rows delta
+    b8 = manifest2["bands"]["8"]
+    assert len(b8["paths"]) == 2 and b8["count"] == 1050
+    # bytes on disk under the wave-1 dir reflect only the delta
+    def dir_bytes(root):
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(dirpath, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+    assert dir_bytes(d1) < dir_bytes(d0) / 4
+
+    # and the full as-of read sees the union exactly once
+    full = bands.read_full_frontier(spark, manifest2)
+    assert full.count() == 9950
+    assert full.select("url").distinct().count() == 9950
+
+
+def test_band_path_consolidation_bounds_fanin(spark, tmp_path):
+    """A band accumulating new-url deltas over many unread waves is
+    consolidated once its path list exceeds band_max_paths — read
+    fan-in stays bounded, content identical."""
+    from cuphic_spark.frontier import bands
+
+    cfg = CrawlConfig(partitions=2, band_width=1000, band_max_paths=3)
+    manifest = bands.empty_manifest(cfg)
+    for w in range(6):  # 6 deltas into the same band, never read
+        delta = spark.range(10).selectExpr(
+            f"concat('https://h.example/w{w}/', id) as url",
+            "'h.example' as host", "cast(1 as int) as depth",
+            "cast(5000 + id % 7 as long) as score",
+            f"cast({w} as int) as discovered_wave")
+        manifest, _ = bands.write_wave_frontier(
+            spark, delta, str(tmp_path / f"w{w}"), cfg, manifest, [])
+    b5 = manifest["bands"]["5"]
+    assert len(b5["paths"]) <= cfg.band_max_paths + 1
+    assert b5["count"] == 60
+    assert bands.read_full_frontier(spark, manifest).count() == 60
+
+
+def test_lazy_band_reads_in_wave_metrics(spark, tmp_path):
+    """End-to-end pin: with a deep-enough frontier the wave metrics
+    show frontier_rows_read < frontier_size (the crawl is NOT reading
+    the whole frontier), and every metric still equals the oracle's."""
+    kw = dict(universe=50_000, n_seeds=64, budget_per_host=8,
+              wave_cap=64, n_waves=5)
+    d = str(tmp_path / "lazy_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, **kw)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(**kw)
+    assert summary["metrics"] == oracle.metrics
+    sizes = [kw["n_seeds"]] + [m["frontier_size"]
+                               for m in summary["metrics"]]
+    lazy_waves = [m for m, before in zip(summary["metrics"], sizes)
+                  if m["frontier_rows_read"] < before]
+    assert lazy_waves, "no wave exercised a partial frontier read"
     shutil.rmtree(d, ignore_errors=True)

@@ -78,13 +78,14 @@ def test_one_pass_multi_pattern_single_parse(spark, pages):
     no_single_var = {k: v for k, v in PATTERNS.items()
                      if k in ("all-tags", "p", "rs", "ref", "glen")}
     compiled = [compile_pattern(k, v) for k, v in no_single_var.items()]
-    plan = match_nodes(pages_to_nodes(pages), compiled)._jdf \
-        .queryExecution().optimizedPlan().toString()
+    from cuphic_spark.plans import optimized_plan
+
+    plan = optimized_plan(match_nodes(pages_to_nodes(pages), compiled))
     assert plan.count("MapInPandas") == 1
 
     all_compiled = [compile_pattern(k, v) for k, v in PATTERNS.items()]
-    plan_all = match_nodes(pages_to_nodes(pages), all_compiled)._jdf \
-        .queryExecution().optimizedPlan().toString()
+    plan_all = optimized_plan(match_nodes(pages_to_nodes(pages),
+                                          all_compiled))
     # match scan + assist references (cogroup targets, semi-join
     # targets, pruned reconstruction) — each re-parses when nodes is
     # ephemeral; over a materialized nodes table they are pruned
@@ -125,8 +126,9 @@ def test_head_filter_pushdown_on_materialized_nodes(spark, pages, tmp_path):
     pages_to_nodes(pages).write.parquet(path)
     nodes = spark.read.parquet(path)
     compiled = [compile_pattern("rs", PATTERNS["rs"])]
-    plan = match_nodes_union(nodes, compiled)._jdf \
-        .queryExecution().executedPlan().toString()
+    from cuphic_spark.plans import executed_plan
+
+    plan = executed_plan(match_nodes_union(nodes, compiled))
     assert "PushedFilters: [IsNotNull(tag), EqualTo(tag,rs)]" in plan \
         or "PushedFilters: [" in plan and "tag" in plan
 
@@ -231,3 +233,44 @@ def test_subtree_assist_missing_target_fails_loudly(spark, monkeypatch):
     compiled = [compile_pattern("pn", "[:persName {:ref ref} body]")]
     with pytest.raises(Exception, match="subtree assist missed"):
         match_nodes(pages_to_nodes(pages), compiled).collect()
+
+
+def test_literal_child_prefix_compiles_relationally(spark):
+    """Round-2 verdict item 3: fixed literal child prefixes like
+    [:li {} "•" body] become children[i] predicates on the relational
+    path (previously any literal child paid the kernel tax). Parity
+    with the kernel is pinned on a corpus exercising nil-bind, text
+    merge (adjacent text fuses into ONE node — "•x" is not a prefix
+    match), element subtree bind, over-length fail, and the exact/gap
+    variants."""
+    html = ("<ul>"
+            "<li>•</li>"                       # ["•"]: nil bind
+            "<li>•<b>x</b></li>"               # ["•", elem]: subtree
+            "<li>•first</li>"                  # ["•first"]: merged text
+            "<li>x</li>"                            # no match
+            "<li>•<b>x</b><b>y</b></li>"       # var fails, gap matches
+            "<li><b>•</b></li>"                # elem first: no prefix
+            "</ul>").encode("utf-8")
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    pats = {
+        "bullet_var": '[:li {} "•" body]',
+        "bullet_exact": '[:li {} "•"]',
+        "bullet_gap": '[:li {} "•" ???]',
+    }
+    compiled = [compile_pattern(k, v) for k, v in pats.items()]
+    assert all(c.strategy == "relational" for c in compiled), \
+        [(c.key, c.reason) for c in compiled]
+
+    rel = _canon(match_nodes(pages_to_nodes(pages), compiled)).cache()
+    ker = _canon(scrape_pages(pages, pats)).cache()
+    assert sorted(map(str, rel.collect())) == sorted(map(str, ker.collect()))
+
+    rows = match_nodes(pages_to_nodes(pages), compiled).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.pattern_key, []).append(dict(r.bindings))
+    # var: nil-bind on bare bullet, subtree on elem child
+    bodies = sorted(b.get("body") for b in by_key["bullet_var"])
+    assert bodies == ['[:b {} "x"]', "nil"]
+    assert len(by_key["bullet_exact"]) == 1      # only the bare bullet
+    assert len(by_key["bullet_gap"]) == 3        # bare, elem, two-elems
