@@ -45,6 +45,7 @@ GOLDEN_PATTERNS = {
     "term": "[:term {:type term/type} term/name]",
     "p_id": "[:p {:id ?id} ???]",
     "title": "[:title {:id title/id} title/text]",
+    "li": '[:li {} "•" body]',  # literal child prefix (round 3)
 }
 
 

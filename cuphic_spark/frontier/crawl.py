@@ -102,6 +102,9 @@ class CrawlConfig:
     # (untouched bands carry forward by manifest reference)
     band_max_paths: int = 16      # rewrite a band once its manifest
     # path list exceeds this (bounds read fan-in per band)
+    link_extract: str = "streaming"  # 'streaming' (tree-free expat
+    # twin of the fixed link pattern, default) | 'kernel' (general
+    # engine scan); results pinned identical by tests
     extra: dict = field(default_factory=dict)
 
 
@@ -147,8 +150,45 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
         F.lit(0).alias("discovered_wave"))
 
 
+class _HrefCollector:
+    """Streaming expat twin of the kernel scan for the crawl's FIXED
+    link pattern ``[:a {:href href} ???]``: every element whose
+    verbatim name is exactly ``a`` (keywordize('a') == :a; names with
+    a colon keywordize into a namespace and cannot match) and which
+    carries an ``href`` attribute binds that attribute, in preorder —
+    exactly the matches the kernel emits for this pattern, with no
+    tree materialized. Differentially pinned against the kernel path
+    (tests/test_frontier.py: streaming vs kernel link extraction on
+    webgraph + soup pages; the crawl oracle pins end-to-end order)."""
+
+    __slots__ = ("hrefs",)
+
+    def __init__(self):
+        self.hrefs: list[str] = []
+
+    def start(self, name, attrs):
+        if name == "a" and "href" in attrs:
+            self.hrefs.append(attrs["href"])
+
+
+def _hrefs_streaming(xml) -> list[str]:
+    """Raises on malformed input exactly like parse_xml (same expat),
+    so it slots into the lenient ladder."""
+    from xml.parsers import expat
+
+    if isinstance(xml, str):
+        xml = xml.encode("utf-8")
+    col = _HrefCollector()
+    p = expat.ParserCreate()
+    p.buffer_text = True
+    p.StartElementHandler = col.start
+    p.Parse(bytes(xml), True)
+    return col.hrefs
+
+
 def _fetch_extract(scheduled: DataFrame, universe: int,
-                   page_weight: int = 30, dropped_acc=None) -> DataFrame:
+                   page_weight: int = 30, dropped_acc=None,
+                   link_extract: str = "streaming") -> DataFrame:
     """Simulated fetch FUSED with link extraction: ONE Arrow stage
     generates the page body, parses it through the lenient ladder,
     and runs the cuphic kernel scan for ``[:a {:href href} ???]`` —
@@ -166,12 +206,15 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
     Output = scheduling columns + bytes + href array (~5 entries/
     page); a production variant that persists raw pages would write
     them from this same stage. Unsalvageable pages are counted via
-    ``dropped_acc`` (surfaced as the pages_dropped metric)."""
+    ``dropped_acc`` (surfaced as the pages_dropped metric).
+
+    ``link_extract='streaming'`` (default) runs the tree-free expat
+    twin of the link pattern through the same lenient ladder — the
+    fixed-pattern specialization of the fused scan (no Hiccup tree
+    per page). ``'kernel'`` keeps the general engine scan; both are
+    pinned identical by tests."""
     import pandas as pd
 
-    from ..kernel import reader
-    from ..kernel.match import Matcher
-    from ..kernel.scan import scan as kernel_scan
     from ..operators.parse import parse_html_lenient
 
     schema = T.StructType(scheduled.schema.fields + [
@@ -180,24 +223,41 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
     ])
 
     def gen(batches):
-        matcher = Matcher(reader.parse("[:a {:href href} ???]"))
+        if link_extract == "streaming":
+            def page_hrefs(data):
+                hrefs, _mode = parse_html_lenient(
+                    data, parser=_hrefs_streaming)
+                return hrefs
+        else:
+            from ..kernel import reader
+            from ..kernel.match import Matcher
+            from ..kernel.scan import scan as kernel_scan
+
+            matcher = Matcher(reader.parse("[:a {:href href} ???]"))
+
+            def page_hrefs(data):
+                tree, _mode = parse_html_lenient(data)
+                if tree is None:
+                    return None
+                hrefs: list[str] = []
+                for _nid, _node, results in kernel_scan(tree, matcher):
+                    b = results[0]
+                    if b is not None:
+                        for sym, val in b.items():
+                            if getattr(sym, "name", None) == "href":
+                                hrefs.append(val)
+                return hrefs
+
         for pdf in batches:
             pdf = pdf.copy()
             nbytes, hrefs_col = [], []
             for u in pdf["url"]:
                 data = webgraph.gen_html(u, universe, page_weight).encode()
-                tree, _mode = parse_html_lenient(data)
-                hrefs: list[str] = []
-                if tree is None:
+                hrefs = page_hrefs(data)
+                if hrefs is None:
                     if dropped_acc is not None:
                         dropped_acc.add(1)
-                else:
-                    for _nid, _node, results in kernel_scan(tree, matcher):
-                        b = results[0]
-                        if b is not None:
-                            for sym, val in b.items():
-                                if getattr(sym, "name", None) == "href":
-                                    hrefs.append(val)
+                    hrefs = []
                 nbytes.append(len(data))
                 hrefs_col.append(hrefs)
             pdf["bytes"] = nbytes
@@ -347,7 +407,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     obs_fetch = Observation(f"fetch_w{wave}_{tag}")
     dropped_acc = spark.sparkContext.accumulator(0)
     fetched = (_fetch_extract(scheduled, cfg.universe, cfg.page_weight,
-                              dropped_acc=dropped_acc)
+                              dropped_acc=dropped_acc,
+                              link_extract=cfg.link_extract)
                .observe(obs_fetch,
                         F.count(F.lit(1)).alias("n"),
                         F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))

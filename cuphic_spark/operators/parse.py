@@ -81,7 +81,7 @@ def encode_value(v) -> str:
 _BARE_AMP = None  # compiled lazily executor-side
 
 
-def parse_html_lenient(data) -> tuple[list | None, str]:
+def parse_html_lenient(data, parser=parse_xml) -> tuple[list | None, str]:
     """Parse with a LENIENT repair ladder — crawl reality is tag soup.
 
     Returns (tree, mode): mode is 'strict' when the page parses as-is
@@ -91,12 +91,18 @@ def parse_html_lenient(data) -> tuple[list | None, str]:
     when multiple roots needed a synthetic ``<root>`` wrapper, or
     'dropped' with tree None when nothing salvages the page. Callers
     surface drops through a ``pages_dropped`` counter rather than
-    silently shrinking the output."""
+    silently shrinking the output.
+
+    ``parser`` swaps the per-rung parse function (must raise on
+    malformed input, like ``parse_xml``): the extraction operator
+    passes ``extract_text_streaming`` so every rung of the SAME
+    ladder runs tree-free. The synthetic <root> wrapper is
+    text-invariant, so the rungs stay equivalent for extraction."""
     global _BARE_AMP
     raw = bytes(data) if isinstance(data, (bytes, bytearray, memoryview)) \
         else data
     try:
-        return parse_xml(raw), "strict"
+        return parser(raw), "strict"
     except Exception:
         pass
     import re as _re
@@ -111,12 +117,12 @@ def parse_html_lenient(data) -> tuple[list | None, str]:
     if lt > 0:
         fixed = fixed[lt:]
     try:
-        return parse_xml(fixed.encode("utf-8")), "fixup"
+        return parser(fixed.encode("utf-8")), "fixup"
     except Exception:
         pass
     try:
         wrapped = "<root>" + fixed + "</root>"
-        return parse_xml(wrapped.encode("utf-8")), "wrapped"
+        return parser(wrapped.encode("utf-8")), "wrapped"
     except Exception:
         return None, "dropped"
 
@@ -192,16 +198,27 @@ def pages_to_nodes(pages: DataFrame, dropped_acc=None) -> DataFrame:
 
 
 def pages_extract_text(pages: DataFrame, dropped_acc=None) -> DataFrame:
-    """pages -> (url, text): the byte-identity extraction operator."""
+    """pages -> (url, text): the byte-identity extraction operator.
+
+    Runs the STREAMING extractor through the lenient ladder — no
+    Hiccup tree is materialized per page (extract_text_streaming is
+    differentially pinned against parse+extract_text), which cuts the
+    extraction leg's per-page allocation ~2-3x and with it the
+    memory-bandwidth pressure that capped 8->32 scaling."""
+    from ..kernel.xmlparse import extract_text_streaming
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, texts = [], []
             for url, html in zip(pdf["url"], pdf["html"]):
-                tree = _html_to_tree(html, dropped_acc)
-                if tree is None:
+                text, _mode = parse_html_lenient(
+                    html, parser=extract_text_streaming)
+                if text is None:
+                    if dropped_acc is not None:
+                        dropped_acc.add(1)
                     continue
                 urls.append(url)
-                texts.append(kernel_extract_text(tree))
+                texts.append(text)
             yield pd.DataFrame({"url": urls, "text": texts})
 
     return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)

@@ -651,3 +651,54 @@ def test_lazy_band_reads_in_wave_metrics(spark, tmp_path):
                   if m["frontier_rows_read"] < before]
     assert lazy_waves, "no wave exercised a partial frontier read"
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_link_extraction_equals_kernel(spark, tmp_path,
+                                                 oracle_state):
+    """The tree-free streaming link extractor must emit EXACTLY the
+    kernel scan's hrefs — per page, in order — on webgraph pages and
+    tag soup, and a kernel-path crawl must equal the (default)
+    streaming crawl wave-for-wave."""
+    from cuphic_spark.frontier.crawl import _hrefs_streaming
+    from cuphic_spark.frontier import webgraph
+    from cuphic_spark.kernel import reader
+    from cuphic_spark.kernel.match import Matcher
+    from cuphic_spark.kernel.scan import scan as kernel_scan
+    from cuphic_spark.operators.parse import parse_html_lenient
+
+    matcher = Matcher(reader.parse("[:a {:href href} ???]"))
+
+    def kernel_hrefs(data):
+        tree, _m = parse_html_lenient(data)
+        if tree is None:
+            return None
+        out = []
+        for _nid, _node, results in kernel_scan(tree, matcher):
+            b = results[0]
+            if b is not None:
+                for sym, val in b.items():
+                    if getattr(sym, "name", None) == "href":
+                        out.append(val)
+        return out
+
+    pages = [webgraph.gen_html(webgraph.url_of(i), 5000, 30).encode()
+             for i in range(0, 300, 7)]
+    pages += [
+        b'<d><a href="x">t</a><a name="no-href">u</a></d>',
+        b'<d><a href="">empty</a><A href="upper">no</A></d>',  # case!
+        b'<d><svg:a href="ns">n</svg:a><a href="ok">y</a></d>',
+        b'<d><a href="outer"><a href="inner">nest</a></a></d>',
+        b'junk <a href="soup">s</a> &',    # fixup rung
+        b'<a href="r1">1</a><a href="r2">2</a>',  # wrapped rung
+        b'<<<hopeless',                           # dropped on both
+    ]
+    for data in pages:
+        got, _m = parse_html_lenient(data, parser=_hrefs_streaming)
+        assert got == kernel_hrefs(data), data
+
+    # end-to-end: kernel-path crawl == oracle (same as streaming)
+    d = str(tmp_path / "kernel_link_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, link_extract="kernel", **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    shutil.rmtree(d, ignore_errors=True)

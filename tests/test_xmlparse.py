@@ -83,3 +83,36 @@ def test_extract_text_tree_rules():
     # attrs-less nodes (hand-written hiccup) still walk children
     tree2 = p('[:a "x" [:b "y"]]')
     assert extract_text(tree2) == "xy"
+
+
+def test_streaming_extractor_matches_tree_extraction():
+    """extract_text_streaming must be byte-identical to
+    extract_text(parse(...)) — TEI corpus + edge shapes (comments
+    splitting text runs, CDATA, blank-only runs, deep nesting)."""
+    import pathlib
+
+    from cuphic_spark.kernel.xmlparse import (
+        extract_text,
+        extract_text_streaming,
+        parse,
+    )
+
+    tei_dir = pathlib.Path("/root/reference/resources/examples/tei")
+    n = 0
+    for f in sorted(tei_dir.glob("*.xml")):
+        data = f.read_bytes()
+        assert extract_text_streaming(data) == extract_text(parse(data)), f
+        n += 1
+    assert n >= 12
+
+    cases = [
+        b"<a>x<!--c-->y</a>",              # comment inside a text run
+        b"<a>  \n </a>",                    # blank-only run dropped
+        b"<a><![CDATA[ kept ]]></a>",       # CDATA verbatim
+        b"<a>pre<b>in</b>post</a>",
+        b"<a>\xc2\xa0</a>",                 # nbsp is NOT Java whitespace
+        b"<a><b></b>tail</a>",
+        ("<r>" + "<d>" * 2000 + "deep" + "</d>" * 2000 + "</r>").encode(),
+    ]
+    for data in cases:
+        assert extract_text_streaming(data) == extract_text(parse(data)), data
