@@ -148,7 +148,7 @@ shutil.rmtree(d, ignore_errors=True)
 
 
 def crawl_scaling(cases=((200_000, 0), (200_000, 30),
-                         (200_000, 300))) -> list[dict]:
+                         (200_000, 300), (200_000, 700))) -> list[dict]:
     """Efficiency as f(per-url compute): per-wave fixed cost (driver
     job latency, tiny-state maintenance) is a CONSTANT, while per-url
     work (fetch+parse+extract) parallelizes. Sweeping page weight

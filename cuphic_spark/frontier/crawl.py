@@ -105,6 +105,9 @@ class CrawlConfig:
     link_extract: str = "streaming"  # 'streaming' (tree-free expat
     # twin of the fixed link pattern, default) | 'kernel' (general
     # engine scan); results pinned identical by tests
+    robots_ttl_waves: int = 0     # robots-cache TTL in waves: epoch =
+    # wave // ttl selects the rules version (0 = static spec, the
+    # deterministic default); oracle models the same schedule
     extra: dict = field(default_factory=dict)
 
 
@@ -121,11 +124,20 @@ def score_py(url_id: int, depth: int, is_seed: bool) -> int:
     return (10000 - 1000 * min(depth, 9)) + url_id % 7 + (5000 if is_seed else 0)
 
 
-def robots_rules(spark: SparkSession) -> DataFrame:
-    """The robots cache: tiny dim table, broadcast at join time.
-    (Real deployments refresh it per TTL; here it is the graph spec.)"""
+def robots_rules(spark: SparkSession, version: int = 0) -> DataFrame:
+    """The robots CACHE: tiny dim table, broadcast at join time,
+    refreshed per TTL (SURVEY §2.H "cached with TTL").
+
+    ``version`` models a refresh epoch: epoch v denies hosts with
+    h % 7 == v % 7 under DENY_PREFIX (v=0 reproduces the static
+    spec). In production the refresh fetches robots.txt per host and
+    the version is a fetch timestamp bucket; in the deterministic
+    sandbox the spec is versioned closed-form so the oracle can
+    reproduce every epoch. The crawl derives the epoch from the wave
+    number (``CrawlConfig.robots_ttl_waves``): rules stay CACHED —
+    one tiny broadcast per wave, never per url."""
     rows = [(f"host{h}.example", webgraph.DENY_PREFIX)
-            for h in range(webgraph.N_HOSTS) if h % 7 == 0]
+            for h in range(webgraph.N_HOSTS) if h % 7 == version % 7]
     return spark.createDataFrame(rows, "host string, deny_prefix string")
 
 
@@ -302,7 +314,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     """
     from . import bands as bands_mod
 
-    robots = robots_rules(spark)
+    robots_version = (wave // cfg.robots_ttl_waves
+                      if cfg.robots_ttl_waves else 0)
+    robots = robots_rules(spark, version=robots_version)
     read_bands, unread, rows_read = bands_mod.plan_read_bands(
         manifest, cfg.wave_cap)
 

@@ -48,9 +48,11 @@ def path_of_url(url: str) -> str:
     return m.group(1) if m else "/"
 
 
-def robots_deny(url: str) -> bool:
+def robots_deny(url: str, version: int = 0) -> bool:
+    """Robots epoch ``version`` denies hosts h % 7 == version % 7
+    (v=0 = the static spec) — twin of crawl.robots_rules."""
     m = re.match(r"host(\d+)\.example$", host_of_url(url))
-    return (m is not None and int(m.group(1)) % 7 == 0
+    return (m is not None and int(m.group(1)) % 7 == version % 7
             and path_of_url(url).startswith(webgraph.DENY_PREFIX))
 
 
@@ -64,7 +66,7 @@ class OracleState:
 
 def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         n_waves: int, page_weight: int = 30,
-        band_width: int = 1000) -> OracleState:
+        band_width: int = 1000, robots_ttl_waves: int = 0) -> OracleState:
     st = OracleState()
     for i in range(n_seeds):
         url = webgraph.url_of(i)
@@ -88,9 +90,12 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
             read_bands.append(b)
             rows_read += len(by_band[b])
             i += 1
+        robots_version = (wave // robots_ttl_waves
+                          if robots_ttl_waves else 0)
         while True:
             read_urls = [u for b in read_bands for u in by_band[b]]
-            denied = [u for u in read_urls if robots_deny(u)]
+            denied = [u for u in read_urls
+                      if robots_deny(u, robots_version)]
             denied_set = set(denied)
             eligible = sorted(
                 ((u, st.frontier[u]) for u in read_urls

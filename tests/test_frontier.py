@@ -702,3 +702,27 @@ def test_streaming_link_extraction_equals_kernel(spark, tmp_path,
     summary = crawl(spark, cfg)
     assert summary["metrics"] == oracle_state.metrics
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_robots_ttl_refresh_matches_oracle(spark, tmp_path):
+    """SURVEY §2.H: the robots cache refreshes per TTL. With a 1-wave
+    TTL the deny epoch rotates every wave; the crawl must track the
+    versioned spec exactly (metrics + fetch ordering == oracle) and
+    the denied host set must actually CHANGE across waves
+    (non-vacuity)."""
+    kw = dict(universe=5000, n_seeds=12, budget_per_host=4, wave_cap=24,
+              n_waves=3)
+    d = str(tmp_path / "robots_ttl")
+    cfg = CrawlConfig(checkpoint_dir=d, robots_ttl_waves=1, **kw)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(robots_ttl_waves=1, **kw)
+    assert summary["metrics"] == oracle.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle.fetch_log]
+    # non-vacuous: epochs 0 and 1 deny different hosts, and the
+    # versioned schedule diverges from the static one
+    static = crawl_oracle.run(**kw)
+    assert oracle.metrics != static.metrics
+    shutil.rmtree(d, ignore_errors=True)
