@@ -129,6 +129,33 @@ def q_match_li_bullet(spark, sf_dir):
     return m.select("url", F.element_at("bindings", "body").alias("body"))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal decode gate: synthesize media payloads from
+    document ids EXECUTOR-side (real WAV/PPM bytes), decode them FOR
+    REAL (stdlib wave + numpy — operators/multimodal.py), and emit
+    integer facts the decode must recover: image dimensions, audio
+    duration, container byte sizes. The oracle recomputes every value
+    closed-form WITHOUT decoding — a value-exact round-trip check on
+    the decoders themselves."""
+    from cuphic_spark.operators.multimodal import (
+        extract_features,
+        synth_payloads,
+    )
+
+    ids = (_docs(spark, sf_dir).where(F.col("doc_id") < 150)
+           .select(F.col("doc_id").alias("media_id")))
+    feats = extract_features(synth_payloads(ids))
+    return feats.select(
+        "media_id", "kind", "format", "n_bytes",
+        F.when(F.col("kind") == "image",
+               F.col("feature")[0].cast("int")).alias("width"),
+        F.when(F.col("kind") == "image",
+               F.col("feature")[1].cast("int")).alias("height"),
+        F.when(F.col("kind") == "audio",
+               F.round(F.col("feature")[0] * 1000).cast("int"))
+        .alias("duration_ms"))
+
+
 def q_link_host_counts(spark, sf_dir):
     cp = [compile_pattern("links", GOLDEN_PATTERNS["links"])]
     m = match_nodes(_nodes(spark, sf_dir), cp)
@@ -437,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_term": q_match_term,
         "match_p_optional_id": q_match_p_optional_id,
         "match_li_bullet": q_match_li_bullet,
+        "media_features": q_media_features,
         "link_host_counts": q_link_host_counts,
         "tag_histogram": q_tag_histogram,
         "politeness_topk": q_politeness_topk,
@@ -518,6 +546,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN '[:b {{}} "' || li_bold || '"]'
                         ELSE 'nil' END AS body
             FROM pages WHERE li_case IN (0, 2)
+        """,
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     doc_id % 3 AS k,
+                     16 + (doc_id % 5) * 8 AS w,
+                     12 + (doc_id % 3) * 8 AS h,
+                     50 + (doc_id * 37) % 200 AS dur
+              FROM documents WHERE doc_id < 150)
+            SELECT media_id,
+                   CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                   CASE k WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+                          ELSE 'fake' END AS format,
+                   CASE k
+                     WHEN 0 THEN 9 + length(w::VARCHAR)
+                               + length(h::VARCHAR) + 3 * w * h
+                     WHEN 1 THEN 44 + 16 * dur
+                     ELSE 42 END::BIGINT AS n_bytes,
+                   CASE WHEN k = 0 THEN w END::INT AS width,
+                   CASE WHEN k = 0 THEN h END::INT AS height,
+                   CASE WHEN k = 1 THEN dur END::INT AS duration_ms
+            FROM m
         """,
         "link_host_counts": f"""
             WITH pages AS ({_PAGES_CTE})

@@ -1,12 +1,19 @@
 """Multimodal column operators: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED behind ``deterministic_fake=True`` (a seeded fake feature
-vector derived from the bytes) or raise NotImplementedError — but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-partition-parallel mapInPandas, metadata projection. Swapping the
-stub for PIL/librosa changes only the inner function.
+Decode is REAL for the codec-free formats:
+
+* **WAV (RIFF PCM)** — stdlib ``wave`` + numpy: duration, RMS,
+  zero-crossing rate, peak, and 4 FFT band energies;
+* **PPM/PGM (P6/P5 binary)** — pure-numpy header+raster decode,
+  channel means/std/aspect features, and a real area-average resize
+  re-encoded as PPM.
+
+Formats that genuinely need external codecs (JPEG/MP3/MP4 …) raise
+``NotImplementedError`` unless ``deterministic_fake=True`` routes
+them to a seeded fake feature (clearly marked; video container
+parsing stays faked — no codec libs in this container, swapping in
+PIL/librosa/ffmpeg changes only the inner functions).
 
 Scale shape: decode/feature-extract is a narrow map (no shuffle);
 frame sampling fans out rows via explode AFTER the cheap metadata
@@ -15,8 +22,10 @@ probe so the expensive decode only touches sampled frames.
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,29 +41,240 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
+    T.StructField("format", T.StringType()),     # wav | ppm | pgm | fake
     T.StructField("n_bytes", T.LongType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
+FEATURE_DIM = 8
+
+
+# --------------------------------------------------------------------------
+# codec-free decoders (executor-side, numpy only)
+# --------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF PCM WAV -> (mono float32 samples in [-1,1], sample_rate).
+    stdlib ``wave`` handles the chunk structure; only integer PCM is
+    accepted (the format's common case)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sw = w.getsampwidth()
+        n = w.getnframes()
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """[duration_s, rms, zero_crossing_rate, peak, band0..band3]
+    where bands are FFT energy fractions over 4 equal frequency
+    quarters of [0, nyquist]."""
+    x, rate = decode_wav(payload)
+    n = len(x)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                / max(1, n - 1))
+    peak = float(np.max(np.abs(x)))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    total = float(spec.sum()) or 1.0
+    qs = np.array_split(spec, 4)
+    bands = [float(q.sum()) / total for q in qs]
+    return [n / rate, rms, zcr, peak, *bands]
+
+
+def _read_pnm_header(payload: bytes):
+    """P5/P6 binary PNM header: magic, whitespace/comment-separated
+    width height maxval, one whitespace byte, raster."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals[0], vals[1], vals[2]
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    return magic, w, h, maxval, pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 -> (h, w, 3) uint8; P5 -> (h, w, 1) uint8. Pure numpy."""
+    magic, w, h, _maxval, pos = _read_pnm_header(payload)
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                           offset=pos)
+    return raster.reshape(h, w, ch)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> P6 bytes."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def pnm_features(payload: bytes) -> list[float]:
+    """[width, height, aspect, mean_c0, mean_c1, mean_c2, std, 0]
+    (grayscale repeats its single channel)."""
+    img = decode_pnm(payload).astype(np.float32)
+    h, w, ch = img.shape
+    means = [float(img[:, :, min(c, ch - 1)].mean()) / 255.0
+             for c in range(3)]
+    return [float(w), float(h), w / h, *means,
+            float(img.std()) / 255.0, 0.0]
+
+
+def resize_area(img: np.ndarray, out_w: int) -> np.ndarray:
+    """Area-average resize keeping aspect (pure numpy): box-filter by
+    integer binning over target cells — the standard downscale for
+    feature pipelines; upscale falls back to nearest-neighbor."""
+    h, w, ch = img.shape
+    out_h = max(1, round(h * out_w / w))
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.empty((out_h, out_w, ch), dtype=np.uint8)
+    fimg = img.astype(np.float32)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        row = fimg[y0:y1]
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            out[i, j] = row[:, x0:x1].mean(axis=(0, 1)).round()
+    return out
+
+
+def sniff_format(payload: bytes) -> str | None:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    return None
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic corpus (REAL payload bytes for wav/ppm)
+# --------------------------------------------------------------------------
+
+def synth_wav(media_id: int, rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit sine: freq/duration derive from the
+    id (closed-form, so tests can predict features)."""
+    import wave
+
+    freq = 220 + (media_id % 8) * 110
+    dur_ms = 50 + (media_id * 37) % 200
+    n = rate * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64)
+    x = (0.5 * 32767 * np.sin(2 * np.pi * freq * t / rate)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm(media_id: int) -> bytes:
+    """Deterministic gradient image, size derived from the id."""
+    w = 16 + (media_id % 5) * 8
+    h = 12 + (media_id % 3) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (xx * 255 // max(1, w - 1)),
+        (yy * 255 // max(1, h - 1)),
+        np.full((h, w), media_id % 256),
+    ], axis=-1).astype(np.uint8)
+    return encode_ppm(img)
+
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media corpus (payload = seeded bytes)."""
-    df = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.col("id") % 3 + 1).cast("int")).alias("kind"),
-        F.encode(F.concat(F.lit("payload-"), F.sha2(F.col("id").cast("string"), 256)),
-                 "UTF-8").alias("payload"),
-        F.create_map(F.lit("width"), (F.col("id") % 640).cast("string"),
-                     F.lit("duration_ms"),
-                     (F.col("id") * 37 % 10000).cast("string")).alias("meta"),
-    )
-    return df
+    """Deterministic media corpus: REAL WAV bytes for audio rows,
+    REAL PPM bytes for image rows, opaque seeded bytes for video
+    (no codec-free video container exists to synthesize)."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "audio":
+            payload = synth_wav(i)
+            meta = {"sample_rate": "8000",
+                    "duration_ms": str(50 + (i * 37) % 200)}
+        elif kind == "image":
+            payload = synth_ppm(i)
+            meta = {"width": str(16 + (i % 5) * 8),
+                    "height": str(12 + (i % 3) * 8)}
+        else:
+            payload = b"fakevideo-" + hashlib.sha256(
+                str(i).encode()).digest()
+            meta = {"duration_ms": str((i * 37) % 10000)}
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake 'decoder': bytes -> feature vector. Replace
-    with a real decoder (PIL/librosa/ffmpeg) in production."""
+def synth_payloads(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Distributed deterministic media synthesis: one media row per
+    input id, payloads built EXECUTOR-side in Arrow batches (the
+    scalable twin of the driver-side ``synth_media``; same closed
+    forms, so a DuckDB oracle can predict sizes/dimensions/durations
+    without decoding anything)."""
+    import hashlib
+
+    src = ids.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads, metas = [], [], []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "audio":
+                    payloads.append(synth_wav(i))
+                    metas.append({"sample_rate": "8000"})
+                elif kind == "image":
+                    payloads.append(synth_ppm(i))
+                    metas.append({})
+                else:
+                    payloads.append(b"fakevideo-" + hashlib.sha256(
+                        str(i).encode()).digest())
+                    metas.append({"duration_ms": str((i * 37) % 10000)})
+                kinds.append(kind)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": kinds, "payload": payloads,
+                                "meta": metas})
+
+    return src.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Seeded fake for formats with no codec-free decoder (video
+    containers here). Replace with ffmpeg/PIL/librosa in production."""
     import hashlib
 
     d = hashlib.sha256(payload).digest()
@@ -62,22 +282,43 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
             for i in range(dim)]
 
 
-def extract_features(media: DataFrame, dim: int = 8,
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                      deterministic_fake: bool = True) -> DataFrame:
-    """Decode + feature-extract via Arrow-batched mapInPandas."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "real media decoding requires PIL/librosa/ffmpeg — not "
-            "available in this container; use deterministic_fake=True")
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    WAV and PPM/PGM payloads decode FOR REAL (numpy/stdlib — see
+    module docstring); other formats take the seeded fake when
+    ``deterministic_fake=True`` and raise otherwise (exactly the
+    formats that need codec libs this container lacks)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            fmts, feats, sizes = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                sizes.append(len(b))
+                fmt = sniff_format(b)
+                if fmt == "wav":
+                    feats.append(wav_features(b))
+                elif fmt in ("ppm", "pgm"):
+                    feats.append(pnm_features(b))
+                elif deterministic_fake:
+                    fmt = "fake"
+                    feats.append(_fake_feature(b, dim))
+                else:
+                    raise NotImplementedError(
+                        "payload is not WAV/PNM — real decoding of "
+                        "compressed formats requires PIL/librosa/"
+                        "ffmpeg (absent in this container); pass "
+                        "deterministic_fake=True to route them to "
+                        "the seeded fake")
+                fmts.append(fmt)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "feature": [_fake_feature(bytes(p), dim)
-                            for p in pdf["payload"]],
+                "format": fmts,
+                "n_bytes": sizes,
+                "feature": feats,
             })
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
@@ -99,24 +340,41 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int = 224,
                   deterministic_fake: bool = True) -> DataFrame:
-    """Image resize stub: real implementation would decode, resize,
-    re-encode inside the same Arrow batch loop."""
-    if not deterministic_fake:
-        raise NotImplementedError("image resize requires PIL")
+    """REAL image resize for PNM payloads: decode -> area-average
+    resize to ``width`` (aspect kept) -> re-encode as P6, inside one
+    Arrow batch loop. Non-PNM images raise unless
+    ``deterministic_fake=True`` (seeded truncation stand-in)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("resized", T.BinaryType()),
         T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
     ])
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                # fake resize: truncate payload proportionally
-                "resized": [bytes(p)[:width] for p in pdf["payload"]],
-                "out_width": width,
-            })
+            ids, blobs, ws, hs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                fmt = sniff_format(b)
+                if fmt in ("ppm", "pgm"):
+                    img = decode_pnm(b)
+                    if img.shape[2] == 1:
+                        img = np.repeat(img, 3, axis=2)
+                    out = resize_area(img, width)
+                    blobs.append(encode_ppm(out))
+                    ws.append(out.shape[1])
+                    hs.append(out.shape[0])
+                elif deterministic_fake:
+                    blobs.append(b[:width])
+                    ws.append(width)
+                    hs.append(0)
+                else:
+                    raise NotImplementedError(
+                        "non-PNM image resize requires PIL")
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "resized": blobs,
+                                "out_width": ws, "out_height": hs})
 
     return (media.where(F.col("kind") == "image")
             .mapInPandas(gen, out_schema))

@@ -100,8 +100,15 @@ def test_ivf_topk_subset_of_brute(spark, emb):
     assert len(set(ivf) & set(brute)) / len(ivf) >= 0.2
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
+    """WAV and PPM payloads decode FOR REAL (stdlib wave + numpy):
+    features match the synthesis closed forms; resize is a true
+    area-average re-encoded as PPM; only codec-requiring formats
+    (the video rows) fall back to the seeded fake / strict raise."""
+    import math
+
     from cuphic_spark.operators.multimodal import (
+        decode_pnm,
         extract_features,
         resize_images,
         sample_frames,
@@ -109,23 +116,57 @@ def test_multimodal_plumbing(spark):
     )
 
     media = synth_media(spark, 30).cache()
-    feats = extract_features(media).collect()
+    feats = {r.media_id: r for r in extract_features(media).collect()}
     assert len(feats) == 30
-    assert all(len(r.feature) == 8 for r in feats)
-    assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+    assert all(len(r.feature) == 8 for r in feats.values())
+
+    for mid, r in feats.items():
+        if r.kind == "audio":
+            assert r.format == "wav"
+            dur, rms, zcr, peak, b0, b1, b2, b3 = r.feature
+            freq = 220 + (mid % 8) * 110
+            dur_ms = 50 + (mid * 37) % 200
+            assert abs(dur - (8000 * dur_ms // 1000) / 8000) < 1e-6
+            assert abs(rms - 0.5 / math.sqrt(2)) < 0.01   # sine RMS
+            assert abs(zcr - 2 * freq / 8000) < 0.02      # sine ZCR
+            assert b0 > 0.9  # 220-990 Hz lives in band [0, 1kHz)
+        elif r.kind == "image":
+            assert r.format == "ppm"
+            w, h, aspect, m0, m1, m2, std, _ = r.feature
+            assert (w, h) == (16 + (mid % 5) * 8, 12 + (mid % 3) * 8)
+            assert abs(m0 - 0.5) < 0.05  # x-gradient mean ~127.5/255
+            assert abs(m2 - (mid % 256) / 255.0) < 0.01  # constant B
+        else:
+            assert r.format == "fake"
+
     # determinism
-    feats2 = extract_features(media).collect()
-    assert {r.media_id: r.feature for r in feats} == \
-        {r.media_id: r.feature for r in feats2}
+    feats2 = {r.media_id: r.feature
+              for r in extract_features(media).collect()}
+    assert {m: r.feature for m, r in feats.items()} == feats2
 
     frames = sample_frames(media, every_ms=1000)
     assert frames.where(F.col("frame_ts_ms") % 1000 != 0).count() == 0
 
-    resized = resize_images(media, width=16).collect()
-    assert all(len(r.resized) == 16 for r in resized)
+    # REAL resize: output is a decodable PPM at the target width with
+    # aspect kept; a constant-color source stays constant
+    resized = {r.media_id: r for r in
+               resize_images(media, width=16).collect()}
+    for mid, r in resized.items():
+        img = decode_pnm(bytes(r.resized))
+        assert img.shape[1] == 16 == r.out_width
+        src_w, src_h = 16 + (mid % 5) * 8, 12 + (mid % 3) * 8
+        assert img.shape[0] == r.out_height == max(1, round(
+            src_h * 16 / src_w))
+        assert (img[:, :, 2] == mid % 256).all()  # constant B channel
 
-    with pytest.raises(NotImplementedError):
-        extract_features(media, deterministic_fake=False)
+    # strict mode: only the codec-requiring rows raise (executor-side)
+    video = media.where(F.col("kind") == "video")
+    with pytest.raises(Exception, match="NotImplementedError|requires"):
+        extract_features(video, deterministic_fake=False).collect()
+    # wav/ppm rows decode fine even in strict mode
+    ok = extract_features(media.where(F.col("kind") != "video"),
+                          deterministic_fake=False).count()
+    assert ok == 20
 
 
 def test_streaming_extraction(spark, tmp_path):
