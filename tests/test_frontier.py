@@ -726,3 +726,24 @@ def test_robots_ttl_refresh_matches_oracle(spark, tmp_path):
     static = crawl_oracle.run(**kw)
     assert oracle.metrics != static.metrics
     shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("bw", [3, 500, 20000])
+def test_band_width_invariance_vs_oracle(spark, tmp_path, oracle_state, bw):
+    """band_width is an IO knob, not a semantics knob: at any width
+    the wave metrics match the width-matched oracle AND the fetch
+    ordering is byte-identical to the default-width crawl (laziness
+    may delay robots-denied discovery, but can never change what
+    schedules). bw=3 splits the score jitter across bands (forces
+    multi-band reads + the extension loop); bw=20000 collapses all
+    scores into one band (full-scan degenerate case)."""
+    d = str(tmp_path / f"bw_{bw}")
+    cfg = CrawlConfig(checkpoint_dir=d, band_width=bw, **CFG)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(band_width=bw, **CFG)
+    assert summary["metrics"] == oracle.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]  # width-INDEPENDENT ordering
+    shutil.rmtree(d, ignore_errors=True)
