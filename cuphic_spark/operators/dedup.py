@@ -147,6 +147,67 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     )
 
 
+def connected_components(edges: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Undirected connected components — the dedup pipeline's final
+    step (LSH candidates -> Jaccard-verified edges -> duplicate
+    CLUSTERS; pairs alone under-merge transitive near-dups A~B~C).
+
+    Iterative min-label propagation: label(v) <- min(label(v),
+    min label over v's neighbors), to fixpoint. Deterministic:
+    component id = min node id in the component. Returns
+    (node, component) for every node incident to an edge.
+
+    Scale shape: each round is one join (labels ⋈ edges) + one
+    min-aggregation — two key-shuffles over O(|E|) rows; convergence
+    in O(max component diameter) rounds. Dedup clusters are
+    shallow (near-clique neighborhoods from OR-of-bands LSH), so
+    diameter is small in practice; for adversarial long-chain graphs
+    the same two primitives compose into large-star/small-star
+    (O(log n) rounds). The convergence check rides a cheap
+    changed-count per round (driver action on cached labels)."""
+    sym = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = (sym.unionByName(sym.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct().cache())
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")).cache())
+    for _ in range(max_iter):
+        msgs = (sym.join(labels, sym["u"] == labels["node"])
+                .select(F.col("v").alias("node"), "label"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("node")
+                      .agg(F.min("label").alias("label")).cache())
+        changed = (new_labels
+                   .join(labels.withColumnRenamed("label", "old"), "node")
+                   .where(F.col("label") != F.col("old"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("node", F.col("label").alias("component"))
+    sym.unpersist()
+    return out
+
+
+def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 8,
+                   band_size: int = 2,
+                   jaccard_milli_min: int = 800) -> DataFrame:
+    """The full near-dup resolution chain: MinHash LSH candidates ->
+    exact n-gram Jaccard verification -> connected components.
+    Returns (doc_id, component) for every doc in a verified cluster
+    (component = min doc_id of the cluster)."""
+    cand = minhash_lsh_pairs(docs, k=k, n_hashes=n_hashes,
+                             band_size=band_size)
+    verified = (ngram_jaccard_pairs(docs, cand)
+                .where(F.col("jaccard_milli") >= jaccard_milli_min)
+                .select("doc_a", "doc_b"))
+    return (connected_components(verified)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
 SIMHASH_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("simhash", T.LongType()),

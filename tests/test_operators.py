@@ -221,3 +221,38 @@ def test_minhash_lsh_hot_band_star_capped(spark):
                              max_bucket=0)
     n_hot_full = full.where(F.col("doc_b") < 1000).count()
     assert n_hot_full == 300 * 299 // 2
+
+
+def test_dedup_clusters_transitive_chains(spark, docs):
+    """Near-dup RESOLUTION must merge transitively: a chain
+    base ~ base+' tail' ~ base+' tail tail' is ONE cluster labeled by
+    the min doc_id, even if LSH misses some individual pair."""
+    from cuphic_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    base = docs.limit(12).select("doc_id", "text")
+    d1 = base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail")).alias("text"))
+    d2 = base.select((F.col("doc_id") + 20000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail tail")).alias("text"))
+    corpus = base.unionByName(d1).unionByName(d2)
+    comp = {r.doc_id: r.component for r in dedup_clusters(corpus).collect()}
+    ids = [r.doc_id for r in base.collect()]
+    hits = 0
+    for i in ids:
+        trio = [i, i + 10000, i + 20000]
+        if all(t in comp for t in trio):
+            assert len({comp[t] for t in trio}) == 1, trio
+            assert comp[i] == min(c for d, c in comp.items()
+                                  if comp[d] == comp[i])
+            hits += 1
+    assert hits >= len(ids) * 0.8  # LSH recall on planted chains
+
+    # pure-graph sanity: a 5-long path converges past one round
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                 "doc_a long, doc_b long")
+    cc = {r.node: r.component
+          for r in connected_components(path).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 6
