@@ -337,6 +337,20 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cand.select("doc_a", "doc_b"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-ball pairing gate: planted near-dups (one word
+    appended) must surface via the chunk pigeonhole join with their
+    exact hamming distance. The oracle recomputes the full 64-bit
+    bit-vote simhash AND the chunk/verify pipeline in SQL."""
+    from cuphic_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.concat("text", F.lit(" x")).alias("text")))
+    return simhash_pairs(docs.unionByName(planted), max_hamming=3)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full near-dup RESOLUTION chain (iterative!): MinHash LSH
     candidates -> exact Jaccard verify -> connected components
@@ -508,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
         "event_sessions": q_event_sessions,
         "quality_by_lang": q_quality_by_lang,
         "ann_ivf": q_ann_ivf,
@@ -723,6 +738,47 @@ def oracle_sql() -> dict[str, str]:
                     // len(list_distinct(list_concat(a.s, b.s))))::INTEGER
                      AS jaccard_milli
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "simhash_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text || ' x' FROM documents
+              WHERE doc_id % 25 = 0),
+            words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM corpus),
+            hashes AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM words),
+            bitvotes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM hashes
+              CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit),
+            sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN vote > 0
+                         THEN (1::HUGEINT << bit)
+                         ELSE 0::HUGEINT END)::UBIGINT AS u
+              FROM bitvotes GROUP BY doc_id),
+            chunks AS (
+              SELECT doc_id, u, i AS chunk_ix,
+                     (u >> (i * 16)) & 65535 AS chunk_val
+              FROM sig, UNNEST(range(4)) AS t(i)),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                     l.u AS ua, r.u AS ub
+              FROM chunks l JOIN chunks r
+                ON l.chunk_ix = r.chunk_ix
+               AND l.chunk_val = r.chunk_val
+               AND l.doc_id < r.doc_id)
+            SELECT doc_a, doc_b,
+                   bit_count(xor(ua, ub))::INT AS hamming
+            FROM cand WHERE bit_count(xor(ua, ub)) <= 3
         """,
         "dedup_clusters": """
             WITH RECURSIVE

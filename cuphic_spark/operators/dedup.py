@@ -249,6 +249,47 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, SIMHASH_SCHEMA)
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairing: split the 64-bit hash into
+    ``max_hamming + 1`` equal chunks — by pigeonhole, any pair within
+    hamming distance ``max_hamming`` agrees EXACTLY on at least one
+    chunk — equi-join on (chunk_idx, chunk_val), then verify the
+    exact distance with bit_count(xor). Full recall within the ball,
+    no cross join; returns (doc_a, doc_b, hamming).
+
+    Scale shape: the chunk join shuffles (max_hamming+1)·|docs| rows
+    on 16-bit-chunk keys; near-uniform hash chunks keep partitions
+    balanced (a degenerate corpus of identical docs concentrates one
+    chunk value — the same hot-key caveat as minhash banding; cap or
+    pre-dedup exact copies first)."""
+    nchunks = max_hamming + 1
+    if 64 % nchunks:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // nchunks
+    mask = (1 << width) - 1
+    sig = simhash64(docs)
+    parts = []
+    for i in range(nchunks):
+        parts.append(sig.select(
+            "doc_id", "simhash", F.lit(i).alias("chunk_ix"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask)).alias("chunk_val")))
+    chunks = parts[0]
+    for p in parts[1:]:
+        chunks = chunks.unionByName(p)
+    left = chunks.toDF("doc_a", "sim_a", "chunk_ix", "chunk_val")
+    right = chunks.toDF("doc_b", "sim_b", "chunk_ix", "chunk_val")
+    cand = (left.join(right, ["chunk_ix", "chunk_val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b")
+            .dropDuplicates(["doc_a", "doc_b"]))
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold_milli: int = 990,
                             n_bands: int = 4, band_bits: int = 8) -> DataFrame:
     """Embedding-cosine near-dup: MULTI-BAND sign LSH. Band i buckets

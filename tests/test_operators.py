@@ -256,3 +256,23 @@ def test_dedup_clusters_transitive_chains(spark, docs):
     cc = {r.node: r.component
           for r in connected_components(path).collect()}
     assert set(cc.values()) == {0} and len(cc) == 6
+
+
+def test_simhash_pairs_hamming_ball(spark, docs):
+    """Chunk-pigeonhole pairing has FULL recall within the hamming
+    ball: every planted one-word-appended near-dup within distance 3
+    must appear with its exact distance."""
+    from cuphic_spark.operators.dedup import simhash64, simhash_pairs
+
+    base = docs.limit(15).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                      F.concat("text", F.lit(" x")).alias("text"))
+    corpus = base.unionByName(dup)
+    sims = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_pairs(corpus, max_hamming=3).collect()}
+    for i in [r.doc_id for r in base.collect()]:
+        d = bin((sims[i] ^ sims[i + 10000]) & ((1 << 64) - 1)).count("1")
+        if d <= 3:  # pigeonhole guarantee applies
+            assert got[(i, i + 10000)] == d, (i, d)
+    assert all(h <= 3 for h in got.values())
