@@ -351,6 +351,15 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs.unionByName(planted), max_hamming=3)
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al.) — window-min
+    over k-gram hashes, leftmost tie-break; the oracle replicates the
+    selection with a SQL window min over the same string trick."""
+    from cuphic_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full near-dup RESOLUTION chain (iterative!): MinHash LSH
     candidates -> exact Jaccard verify -> connected components
@@ -523,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "event_sessions": q_event_sessions,
         "quality_by_lang": q_quality_by_lang,
         "ann_ivf": q_ann_ivf,
@@ -738,6 +748,24 @@ def oracle_sql() -> dict[str, str]:
                     // len(list_distinct(list_concat(a.s, b.s))))::INTEGER
                      AS jaccard_milli
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "winnow_fingerprint": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents WHERE len(string_split(text, ' ')) >= 6),
+            g AS (SELECT doc_id, i,
+                         md5(array_to_string(w[(i+1):(i+3)], ' ')) AS h,
+                         len(w) - 3 AS max_i
+                  FROM t, UNNEST(range(len(w) - 2)) AS u(i)),
+            m AS (SELECT doc_id, i, max_i,
+                         min(h || ':' || lpad(i::VARCHAR, 6, '0'))
+                           OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND 3 FOLLOWING) AS sel
+                  FROM g)
+            SELECT DISTINCT doc_id,
+                   substr(sel, 34, 6)::INT AS pos,
+                   substr(sel, 1, 32) AS gram_hash
+            FROM m WHERE i <= max_i - 3
         """,
         "simhash_pairs": """
             WITH corpus AS (

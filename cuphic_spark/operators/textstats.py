@@ -132,3 +132,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the standard fingerprint-selection scheme for
+    large-scale near-dup/overlap detection): hash every k-word gram,
+    slide a window of ``w`` consecutive hashes, select each window's
+    minimum (leftmost on ties). Guarantees any shared run of
+    w + k - 1 words between two documents shares a fingerprint,
+    while keeping ~2/(w+1) of the grams.
+
+    Pure column expressions (O(n·w) per doc, JVM-side): the selection
+    uses the string trick min(hash || ':' || zero-padded position) —
+    hex md5 is fixed-width so lexicographic = (hash asc, pos asc),
+    making the leftmost-min tie-break a plain array_min. Returns
+    (doc_id, pos, gram_hash), distinct. Docs with fewer than
+    k + w - 1 words yield no fingerprints (no full window)."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_words - k),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice(words, i + 1, k))))
+
+    def sel(i):
+        window = F.transform(
+            F.sequence(i, i + w - 1),
+            lambda j: F.concat(F.element_at(grams, j + 1),
+                               F.lit(":"),
+                               F.lpad(j.cast("string"), 6, "0")))
+        return F.array_min(window)
+
+    fps = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n_words - k - w + 1),
+                    lambda i: sel(i)))
+    return (docs
+            .where(n_words >= k + w - 1)
+            .select("doc_id", F.explode(fps).alias("fp"))
+            .select("doc_id",
+                    F.substring("fp", 34, 6).cast("int").alias("pos"),
+                    F.substring("fp", 1, 32).alias("gram_hash"))
+            .distinct())

@@ -747,3 +747,35 @@ def test_band_width_invariance_vs_oracle(spark, tmp_path, oracle_state, bw):
         [(e["wave"], e["rank_in_wave"], e["url"])
          for e in oracle_state.fetch_log]  # width-INDEPENDENT ordering
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_crash_mid_wave_resume_identical(spark, tmp_path, oracle_state):
+    """A crash AFTER some of a wave's checkpoint files are written but
+    BEFORE its _lineage.json commits must leave a resumable state: the
+    wave replays idempotently (mode=overwrite everywhere) and the
+    final crawl is byte-identical to an uninterrupted run."""
+    import os
+
+    d = str(tmp_path / "crash_mid")
+    cfg = CrawlConfig(checkpoint_dir=d, **CFG)
+    crawl(spark, cfg)
+
+    # simulate the crash: wave 2 wrote data but never committed its
+    # lineage marker (delete it + one of its outputs to make the
+    # partial state genuinely inconsistent)
+    w2 = os.path.join(d, "wave=00002")
+    os.remove(os.path.join(w2, "_lineage.json"))
+    import shutil as _sh
+    _sh.rmtree(os.path.join(w2, "seen_delta"))
+    assert last_complete_wave(cfg) == 1
+
+    summary = crawl(spark, cfg)  # replays wave 2 only
+    assert summary["start_wave"] == 2
+    assert summary["metrics"] == oracle_state.metrics[2:]
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    from cuphic_spark.frontier.snapshots import verify_lineage
+    assert verify_lineage(cfg) == []
+    shutil.rmtree(d, ignore_errors=True)

@@ -276,3 +276,27 @@ def test_simhash_pairs_hamming_ball(spark, docs):
         if d <= 3:  # pigeonhole guarantee applies
             assert got[(i, i + 10000)] == d, (i, d)
     assert all(h <= 3 for h in got.values())
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's core property (Schleimer et al.): documents
+    sharing a run of >= w + k - 1 words share at least one selected
+    fingerprint HASH; and selection density is ~2/(w+1)."""
+    from cuphic_spark.operators.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight " + shared + " nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert by_doc[1] & by_doc[2]          # the guarantee
+    assert not (by_doc[1] & by_doc[3])
+    # density: far fewer fingerprints than grams
+    n_grams_1 = len(rows[0][1].split()) - 2
+    assert len(by_doc[1]) <= n_grams_1 * 0.75
