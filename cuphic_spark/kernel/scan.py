@@ -15,7 +15,18 @@ test letter yields exactly 123 matches = its element count
 from __future__ import annotations
 
 from .match import Matcher, get_bindings
-from .values import Bindings, is_vector
+from .values import Bindings, Keyword, is_vector
+
+
+def head_tag_of(matcher: Matcher):
+    """The matcher's LITERAL head tag (a Keyword), or None when the
+    tag position is a variable/wildcard (or anything non-Keyword).
+    A literal-Keyword-headed pattern can only ever match nodes whose
+    tag equals it: the normalised pattern's first fixed section pins
+    pattern[0] against node[0] (section_bindings -> node_bindings
+    equality), so gating on it changes no result."""
+    head = matcher.pattern[0]
+    return head if isinstance(head, Keyword) else None
 
 
 def iterate_nodes(root):
@@ -54,12 +65,48 @@ def scan(hiccup, *patterns):
     Yields rows ``(node_id, node, [bindings_or_None, ...])`` for
     every node where at least one pattern matches. Patterns are
     precompiled once (Matcher) — the per-node hot loop never
-    re-derives normalisation/sections."""
+    re-derives normalisation/sections.
+
+    Head-tag gate (the reference's documented performance lever:
+    "Performant Cuphic should be written to be as specific as
+    possible with the outer head", README.md:130-131,144): matchers
+    with a LITERAL Keyword head are indexed by tag and only run on
+    nodes bearing that tag — a dict probe per node replaces a full
+    match attempt per pattern. Variable/wildcard-headed matchers
+    always run. Results are identical by construction (see
+    head_tag_of); parity is pinned by the golden suite, which runs
+    both this scan and direct get_bindings."""
     matchers = [p if isinstance(p, Matcher) else Matcher(p)
                 for p in patterns]
+    n = len(matchers)
+    by_tag: dict[Keyword, list[int]] = {}
+    generic: list[int] = []
+    for ix, m in enumerate(matchers):
+        tag = head_tag_of(m)
+        if tag is None:
+            generic.append(ix)
+        else:
+            by_tag.setdefault(tag, []).append(ix)
+    if not by_tag:  # no literal heads: original dense loop
+        for node_id, node in iterate_nodes(hiccup):
+            results = [m.match(node) for m in matchers]
+            if any(r is not None for r in results):
+                yield node_id, node, results
+        return
     for node_id, node in iterate_nodes(hiccup):
-        results = [m.match(node) for m in matchers]
-        if any(r is not None for r in results):
+        tag = node[0] if node else None
+        candidates = generic
+        tagged = by_tag.get(tag) if isinstance(tag, Keyword) else None
+        if tagged is not None:
+            candidates = generic + tagged if generic else tagged
+        hit = False
+        results = [None] * n
+        for ix in candidates:
+            r = matchers[ix].match(node)
+            if r is not None:
+                results[ix] = r
+                hit = True
+        if hit:
             yield node_id, node, results
 
 
