@@ -54,3 +54,18 @@ def run_to_sink(df: DataFrame, out_dir: str, checkpoint_dir: str,
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup_exact(pages_stream: DataFrame,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.exact_dedup_groups``: content-digest keyed
+    ``dropDuplicatesWithinWatermark``, so duplicate pages arriving in
+    later micro-batches are dropped while the dedup STATE stays
+    bounded (digests older than the watermark age out — at crawl
+    scale an unbounded exact-dedup state would grow with the whole
+    corpus)."""
+    return (pages_stream
+            .withColumn("digest", F.md5(F.col("html")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["digest"]))

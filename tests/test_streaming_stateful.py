@@ -35,3 +35,36 @@ def test_stateful_lang_accounting(spark, tmp_path):
                 .agg(F.count("*").alias("n"),
                      F.sum(F.length("html")).alias("b")).collect()}
     assert got == expected
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicate page content arriving in LATER micro-batches must be
+    dropped; distinct content passes. State is watermark-bounded."""
+    import datetime
+    import os
+
+    from cuphic_spark.sources.tei import PAGES_SCHEMA
+    from cuphic_spark.streaming.pages_stream import (
+        read_pages_stream,
+        run_to_sink,
+        streaming_dedup_exact,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    b1 = [("u1", ts, b"<d>alpha</d>", "", "en"),
+          ("u2", ts, b"<d>beta</d>", "", "en")]
+    b2 = [("u3", ts, b"<d>beta</d>", "", "en"),     # dup content
+          ("u4", ts, b"<d>gamma</d>", "", "en")]
+    spark.createDataFrame(b1, PAGES_SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, PAGES_SCHEMA).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    out_dir = str(tmp_path / "out")
+    q = run_to_sink(streaming_dedup_exact(stream), out_dir,
+                    str(tmp_path / "ckpt"), once=True)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    contents = sorted(bytes(r.html) for r in rows)
+    assert contents == [b"<d>alpha</d>", b"<d>beta</d>", b"<d>gamma</d>"]
