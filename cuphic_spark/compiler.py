@@ -171,7 +171,11 @@ def _lit_prefix_cond(head: HeadPlan) -> Column:
     explicit size bounds below make the intent visible anyway."""
     cond = F.lit(True)
     for i, lit in enumerate(head.child_lits):
-        c = F.col("children")[i]
+        # F.get, not [i]: ANSI mode (Spark 4 default) THROWS on
+        # out-of-bounds indexing, and AND conjuncts evaluate left to
+        # right — a too-short children array must read as NULL (filter
+        # false), not kill the task (found by the fuzz parity sweep)
+        c = F.get(F.col("children"), i)
         cond = cond & (c["kind"] == "text") & (c["text"] == lit)
     return cond
 
@@ -197,7 +201,7 @@ def head_filter(cp: CompiledPattern) -> Column:
         if k:
             cond = cond & (F.size("children") >= k)
         cond = cond & ((F.size("children") == k)
-                       | (F.col("children")[k]["kind"] == "text"))
+                       | (F.get(F.col("children"), k)["kind"] == "text"))
     return cond
 
 
@@ -208,7 +212,7 @@ def elem_child_filter(cp: CompiledPattern) -> Column:
     k = len(cp.head.child_lits)
     return (_head_common(cp) & _lit_prefix_cond(cp.head)
             & (F.size("children") == k + 1)
-            & (F.col("children")[k]["kind"] == "elem"))
+            & (F.get(F.col("children"), k)["kind"] == "elem"))
 
 
 def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
@@ -230,7 +234,7 @@ def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
         k = len(head.child_lits)
         pairs.append((F.lit(head.child_binding),
                       F.when(F.size("children") == k + 1,
-                             F.col("children")[k]["text"])
+                             F.get(F.col("children"), k)["text"])
                       .otherwise(F.lit("nil"))))
     if not pairs:
         return F.create_map().cast("map<string,string>")
@@ -363,7 +367,7 @@ def match_nodes(nodes: DataFrame,
             elem_struct = F.struct(
                 F.lit(cp.key).alias("pattern_key"),
                 bindings_expr(cp, include_child=False).alias("bindings"),
-                F.col("children")[k]["child_id"].alias("target_id"),
+                F.get(F.col("children"), k)["child_id"].alias("target_id"),
                 F.lit(cp.head.child_binding).alias("binding_key"))
             e = e.when(elem_child_filter(cp), elem_struct)
         entry_structs.append(e)

@@ -36,6 +36,15 @@ Counts come from parquet FOOTERS (pyarrow, metadata-only) at write
 time — the same bookkeeping an Iceberg commit records in its
 manifest files; no Spark job is spent counting.
 
+Sizing rule: ``band_width`` is the IO granularity — a wave reads
+whole bands, so pick a width that keeps expected band populations
+near the wave cap (with the default depth-decayed scoring, one band
+per crawl depth; for denser score functions, narrower bands). Any
+width is SAFE: the scheduled set is provably width-independent
+(tests pin metrics parity and byte-identical fetch ordering at
+widths 3 / 500 / 20000), widths only trade read amplification
+against manifest size.
+
 Determinism: which bands a wave reads is a pure function of the
 manifest counts and the wave cap, so the single-process oracle
 (tests/oracle/crawl_oracle.py) replicates the protocol exactly and

@@ -274,3 +274,63 @@ def test_literal_child_prefix_compiles_relationally(spark):
     assert bodies == ['[:b {} "x"]', "nil"]
     assert len(by_key["bullet_exact"]) == 1      # only the bare bullet
     assert len(by_key["bullet_gap"]) == 3        # bare, elem, two-elems
+
+
+def test_random_head_pattern_parity_sweep(spark):
+    """Seeded sweep: 30 random head-shaped patterns (tag lit/var/
+    wildcard x attr lit/var/?var/wildcard slots x literal child
+    prefixes x exact/gap/var tails) over a random nested corpus must
+    produce IDENTICAL rows through the relational compiler and the
+    kernel scan — the compiler's classification surface, fuzzed."""
+    import random
+
+    rng = random.Random(42)
+    tags = ["a", "b", "c", "li", "p"]
+    keys = ["x", "y", "z"]
+    vals = ["v0", "v1", "v2", "v3"]
+    texts = ["•", "t1", "t2", "lead"]
+
+    def rand_elem(depth):
+        tag = rng.choice(tags)
+        attrs = "".join(
+            f' {k}="{rng.choice(vals)}"'
+            for k in rng.sample(keys, rng.randint(0, 2)))
+        kids = []
+        for _ in range(rng.randint(0, 3)):
+            if depth < 2 and rng.random() < 0.4:
+                kids.append(rand_elem(depth + 1))
+            else:
+                kids.append(rng.choice(texts))
+        return f"<{tag}{attrs}>" + "".join(kids) + f"</{tag}>"
+
+    pages_rows = [(f"u{i}", ("<root>" + rand_elem(0) + rand_elem(0)
+                             + "</root>").encode())
+                  for i in range(60)]
+    pages = spark.createDataFrame(pages_rows, "url string, html binary")
+
+    def rand_pattern(i):
+        tag = rng.choice(tags + ["_", "the-tag"])
+        attrs = []
+        for k in rng.sample(keys, rng.randint(0, 2)):
+            slot = rng.choice([f'"{rng.choice(vals)}"', f"a{i}",
+                               f"?a{i}", "_"])
+            attrs.append(f":{k} {slot}")
+        lits = [f'"{rng.choice(texts)}"'
+                for _ in range(rng.randint(0, 2))]
+        tail = rng.choice(["", "???", f"body{i}"])
+        parts = ([f":{tag}" if tag not in ("_", "the-tag") else tag,
+                  "{" + " ".join(attrs) + "}"] + lits
+                 + ([tail] if tail else []))
+        return "[" + " ".join(parts) + "]"
+
+    pats = {f"p{i}": rand_pattern(i) for i in range(30)}
+    compiled = [compile_pattern(k, v) for k, v in pats.items()]
+    assert all(c.strategy == "relational" for c in compiled), \
+        [(c.key, c.source, c.reason) for c in compiled
+         if c.strategy != "relational"]
+
+    rel = sorted(map(str, _canon(
+        match_nodes(pages_to_nodes(pages), compiled)).collect()))
+    ker = sorted(map(str, _canon(scrape_pages(pages, pats)).collect()))
+    assert rel == ker
+    assert len(rel) > 100  # the sweep actually matched things
