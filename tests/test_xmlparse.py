@@ -116,3 +116,59 @@ def test_streaming_extractor_matches_tree_extraction():
     ]
     for data in cases:
         assert extract_text_streaming(data) == extract_text(parse(data)), data
+
+
+def test_streaming_extractors_fuzz_random_trees():
+    """Seeded random-XML sweep: the tree-free streaming extractors
+    (text + hrefs) must agree with the tree path on arbitrary nesting,
+    attr placement, blank runs, comments, and CDATA."""
+    import random
+
+    from cuphic_spark.frontier.crawl import _hrefs_streaming
+    from cuphic_spark.kernel import reader as kreader
+    from cuphic_spark.kernel.match import Matcher
+    from cuphic_spark.kernel.scan import scan
+    from cuphic_spark.kernel.xmlparse import (
+        extract_text,
+        extract_text_streaming,
+        parse,
+    )
+
+    rng = random.Random(1307)
+    tags = ["a", "b", "div", "A", "svg:a"]
+    texts = ["x", "  ", "t&amp;t", " ", ""]
+
+    def elem(depth):
+        tag = rng.choice(tags)
+        attrs = ""
+        if rng.random() < 0.5:
+            attrs = f' href="h{rng.randint(0, 9)}"'
+        if rng.random() < 0.2:
+            attrs += f' k="v{rng.randint(0, 3)}"'
+        kids = []
+        for _ in range(rng.randint(0, 3)):
+            r = rng.random()
+            if depth < 4 and r < 0.45:
+                kids.append(elem(depth + 1))
+            elif r < 0.75:
+                kids.append(rng.choice(texts))
+            elif r < 0.85:
+                kids.append("<!--c-->")
+            else:
+                kids.append("<![CDATA[ cd ]]>")
+        close = tag  # tags chosen contain no spaces
+        return f"<{tag}{attrs}>" + "".join(kids) + f"</{close}>"
+
+    matcher = Matcher(kreader.parse("[:a {:href href} ???]"))
+    for i in range(200):
+        data = ("<root>" + elem(0) + "</root>").encode()
+        tree = parse(data)
+        assert extract_text_streaming(data) == extract_text(tree), data
+        want = []
+        for _nid, _node, results in scan(tree, matcher):
+            b = results[0]
+            if b is not None:
+                for sym, val in b.items():
+                    if getattr(sym, "name", None) == "href":
+                        want.append(val)
+        assert _hrefs_streaming(data) == want, data
