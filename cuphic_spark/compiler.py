@@ -218,7 +218,7 @@ def elem_child_filter(cp: CompiledPattern) -> Column:
 def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
     """map<string,string> column with the same encoding as the kernel
     path (operators/parse.py encode_value). ``include_child=False``
-    omits the single_var child pair (the subtree assist fills it)."""
+    omits the 'var'-tail child pair (the subtree assist fills it)."""
     head = cp.head
     pairs: list[tuple[Column, Column]] = []
     if head.tag_binding:
@@ -264,7 +264,7 @@ def subtree_edn(nodes: DataFrame, targets: DataFrame) -> DataFrame:
 
     Scale shape: the nodes scan is pruned to target urls by a
     broadcast semi-join (the target set is tiny — only pages where a
-    single_var pattern matched an element child), then ONE cogroup
+    'var'-tail pattern matched an element child), then ONE cogroup
     shuffle keyed by url rebuilds each requested subtree executor-side
     in Arrow batches.
     """
@@ -338,7 +338,7 @@ def match_nodes(nodes: DataFrame,
     upstream parse once per pattern; this executes it exactly once
     regardless of pattern count.
 
-    single_var patterns whose matched child is an ELEMENT bind the
+    'var'-tail patterns whose matched child is an ELEMENT bind the
     child's whole subtree (kernel semantics). Those rows are emitted
     from the SAME scan with a ``target_id`` and completed by joining
     ``subtree_edn``. Cost model: the assist re-references ``nodes``
@@ -396,7 +396,7 @@ def match_nodes(nodes: DataFrame,
     # (target derivation), so a bare self-join would be ambiguous
     sub = subtree_edn(nodes, targets).toDF("s_url", "s_target_id", "edn")
     # broadcast: the assist side holds only element-child matches of
-    # single_var patterns — rare rows, never the full match set
+    # 'var'-tail patterns — rare rows, never the full match set
     # an elem-child row whose subtree lookup MISSES would silently
     # diverge from the kernel path (bindings without the child key) —
     # if the targets/nodes invariant is ever broken, fail LOUDLY

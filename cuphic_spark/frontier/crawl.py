@@ -455,11 +455,26 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     over_candidate_cap = (prev_links_hint is not None
                           and prev_links_hint > cfg.broadcast_max_candidates)
     if cfg.seen_check == "auto":
-        seen_strategy = ("broadcast"
-                         if (n_seen_hint is not None
-                             and n_seen_hint >= cfg.broadcast_seen_min
-                             and not over_candidate_cap)
-                         else "shuffle")
+        big_seen = (n_seen_hint is not None
+                    and n_seen_hint >= cfg.broadcast_seen_min)
+        if big_seen and not over_candidate_cap:
+            seen_strategy = "broadcast"
+        elif big_seen and over_candidate_cap and seen_paths is not None:
+            # candidates too big to broadcast against a huge seen
+            # table: if they cluster in few host partitions, a
+            # footer-pruned read of just those partitions beats
+            # shuffling the whole seen side. The parts probe is a
+            # <= cfg.partitions-row collect off the cached candidate
+            # chain; the decision depends only on DATA (deterministic
+            # at any parallelism).
+            from .seen import candidate_parts
+
+            parts_probe = candidate_parts(distinct_links, cfg.partitions)
+            seen_strategy = ("pruned"
+                             if len(parts_probe) <= cfg.partitions // 2
+                             else "shuffle")
+        else:
+            seen_strategy = "shuffle"
     else:
         seen_strategy = cfg.seen_check
         if seen_strategy == "broadcast" and over_candidate_cap:

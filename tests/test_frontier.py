@@ -779,3 +779,24 @@ def test_crash_mid_wave_resume_identical(spark, tmp_path, oracle_state):
     from cuphic_spark.frontier.snapshots import verify_lineage
     assert verify_lineage(cfg) == []
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_auto_seen_strategy_picks_pruned_when_local(spark, tmp_path,
+                                                    oracle_state):
+    """auto seen_check: candidates over the broadcast ceiling that
+    cluster in few host partitions route to the footer-pruned read
+    (data-dependent, parallelism-independent decision); results stay
+    oracle-exact. broadcast_seen_min=0 + broadcast_max_candidates=1
+    force the over-cap branch from wave 1 on; 10 synthetic hosts in
+    64 partitions satisfy the locality rule."""
+    d = str(tmp_path / "auto_pruned")
+    cfg = CrawlConfig(checkpoint_dir=d, seen_check="auto",
+                      broadcast_seen_min=0, broadcast_max_candidates=1,
+                      partitions=64, **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
