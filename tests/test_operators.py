@@ -300,3 +300,46 @@ def test_winnowing_shared_run_guarantee(spark):
     # density: far fewer fingerprints than grams
     n_grams_1 = len(rows[0][1].split()) - 2
     assert len(by_doc[1]) <= n_grams_1 * 0.75
+
+
+def test_ivf_indexed_prunes_partitions_and_matches(spark, emb, tmp_path):
+    """The persisted IVF index must (a) return exactly what the
+    in-memory ivf_topk returns and (b) physically read ONLY the
+    probed cell directories (partition pruning, via inputFiles)."""
+    import os
+
+    from cuphic_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, bits=4)
+    n_cells_total = sum(1 for d in os.listdir(path)
+                        if d.startswith("cell="))
+
+    queries = (emb.where(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    got = ivf_topk_indexed(spark, path, queries, k=5, bits=4)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cos_micro)
+            for r in ivf_topk(emb, queries, k=5, bits=4).collect()}
+    got_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cos_micro)
+                for r in got.collect()}
+    assert got_rows == want
+
+    # the physical scan must carry a PartitionFilter on cell (the
+    # probe set), i.e. only probed directories are read. inputFiles()
+    # reports the UNPRUNED file index, so assert on the executed plan.
+    import re
+
+    from cuphic_spark.plans import executed_plan
+
+    m = re.search(r"PartitionFilters: \[cell[^\]]*IN \(([^)]*)\)",
+                  executed_plan(got))
+    assert m, "no cell PartitionFilter in the probe scan"
+    pruned_to = len(m.group(1).split(","))
+    # 2 queries x (1 own + 4 neighbor) cells, deduped — far fewer
+    # than the index's cell count
+    assert pruned_to <= 10 < n_cells_total
