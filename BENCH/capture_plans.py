@@ -96,6 +96,36 @@ def main() -> None:
         "10^10 seen rows this is the difference between a map-side "
         "pass and shuffling the whole membership table every wave.")
 
+    from cuphic_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    ivf_path = "/tmp/cuphic_plan_ivf"
+    build_ivf_index(emb, ivf_path, bits=4)
+    add("Persisted IVF probe (cell-partitioned index)",
+        ivf_topk_indexed(spark, ivf_path, q, k=5, bits=4),
+        "The probe-cell set becomes a literal partition filter: "
+        "check PartitionFilters: [cell IN (...)] on the index scan — "
+        "only probed directories are read; the 100TB ANN shape.")
+
+    from cuphic_spark.frontier.seen import prune_seen_paths
+
+    seen_dir = "/tmp/cuphic_plan_seen"
+    (spark.range(2000).selectExpr(
+        "concat('https://h', id % 50, '.x/', id) as url",
+        "0 as added_wave", "concat('h', id % 50, '.x') as host",
+        "cast(id % 8 as int) as part")
+     .repartition(8, "part")
+     .sortWithinPartitions("part", "url")
+     .write.mode("overwrite").parquet(seen_dir))
+    add("Partition-pruned seen read (footer-stat file selection)",
+        prune_seen_paths(spark, [seen_dir], [2, 5]),
+        "File list selected driver-side from parquet footer part "
+        "stats (manifest-style pruning), then a pushed part IN (...) "
+        "filter skips row groups inside kept files: check "
+        "PushedFilters on part and the bounded file count.")
+
     (REPO / "BENCH" / "PLANS.md").write_text(
         "# Physical plans of the key operators (captured, sf0.001)\n\n"
         + "\n".join(sections))
