@@ -80,19 +80,26 @@ def main() -> None:
     n_pages = pages.count()
 
     # every section runs once discarded (codegen compile, classload,
-    # python-worker spawn) then once timed — the BASELINE.md protocol;
-    # one-time JVM warmup would otherwise dominate and mask scaling
-    reps = int(os.environ.get("CUPHIC_BENCH_REPS", "1"))
+    # python-worker spawn) then REPS timed legs, min-of-N — the
+    # BASELINE.md protocol. REPS defaults to 2 (round-3 verdict #1):
+    # this VM's neighbor load swings 4-7x in minute-scale windows, so
+    # a single leg is not a measurement — BENCH_r03 carried a throttled
+    # window as the official number. All raw legs are emitted in the
+    # JSON so the artifact carries its own noise control.
+    reps = int(os.environ.get("CUPHIC_BENCH_REPS", "2"))
+    legs: dict[str, list[float]] = {}
 
     def timed(name, fn, warm: bool = True):
         if warm:
             fn()
         best = None
         out = None
+        legs[name] = []
         for _ in range(reps):  # min-of-N: the box has noisy neighbors
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
+            legs[name].append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return out
@@ -148,22 +155,43 @@ def main() -> None:
                              wave_cap=64, n_waves=1, checkpoint_dir=warm_dir))
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
-    cfg = CrawlConfig(universe=1_000_000,
-                      n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS",
-                                                 "200000")),
-                      budget_per_host=int(
-                          os.environ.get("CUPHIC_BENCH_BUDGET", "65536")),
-                      wave_cap=wave_cap, n_waves=waves,
-                      checkpoint_dir=crawl_dir, partitions=max(cpus, 8))
-    t0 = time.perf_counter()
-    summary = crawl(spark, cfg)
-    timings["crawl"] = round(time.perf_counter() - t0, 3)
+    # the crawl leg is min-of-N too — each leg is a FULL fresh crawl
+    # in its own checkpoint dir (identical input by construction), and
+    # the min leg's summary supplies the reported metrics/IO counters
+    legs["crawl"] = []
+    best_summary = None
+    best_dt = None
+    for _ in range(reps):
+        crawl_dir = tempfile.mkdtemp(prefix="cuphic_bench_crawl_")
+        cfg = CrawlConfig(universe=1_000_000,
+                          n_seeds=int(os.environ.get("CUPHIC_BENCH_SEEDS",
+                                                     "200000")),
+                          budget_per_host=int(
+                              os.environ.get("CUPHIC_BENCH_BUDGET",
+                                             "65536")),
+                          wave_cap=wave_cap, n_waves=waves,
+                          checkpoint_dir=crawl_dir,
+                          partitions=max(cpus, 8))
+        t0 = time.perf_counter()
+        summary = crawl(spark, cfg)
+        dt = time.perf_counter() - t0
+        legs["crawl"].append(round(dt, 3))
+        if best_dt is None or dt < best_dt:
+            best_dt, best_summary = dt, summary
+        shutil.rmtree(crawl_dir, ignore_errors=True)
+    timings["crawl"] = round(best_dt, 3)
+    summary = best_summary
     scheduled = sum(m["scheduled"] for m in summary["metrics"])
     throughput["urls_scheduled_extracted_per_sec"] = round(
         scheduled / timings["crawl"], 1)
     crawl_timings = summary["timings"]
-    shutil.rmtree(crawl_dir, ignore_errors=True)
+    # per-wave frontier/seen IO counters (round-3 verdict #7): lets
+    # the banded-read / pruned-seen IO claims be verified from the
+    # bench artifact alone (each counter is oracle-pinned in tests)
+    crawl_io = [{k: m[k] for k in
+                 ("wave", "scheduled", "new_urls", "frontier_rows_read",
+                  "frontier_rows_written", "frontier_size")}
+                for m in summary["metrics"]]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -174,9 +202,12 @@ def main() -> None:
         "sf": sf,
         "n_pages": n_pages,
         "cpus": cpus,
+        "reps": reps,
+        "legs_sec": legs,
         "throughput": throughput,
         "crawl_scheduled": scheduled,
         "crawl_phase_sec": crawl_timings,
+        "crawl_io": crawl_io,
     }))
     sys.stdout.flush()
 

@@ -454,6 +454,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     # the configured ceiling (advisor round-2 finding).
     over_candidate_cap = (prev_links_hint is not None
                           and prev_links_hint > cfg.broadcast_max_candidates)
+    parts_hit = None  # auto's probe is reused by the pruned branch —
+    # candidate_parts is a Spark job on the candidate chain; computing
+    # it twice per wave was a redundant action (advisor round-3, low)
     if cfg.seen_check == "auto":
         big_seen = (n_seen_hint is not None
                     and n_seen_hint >= cfg.broadcast_seen_min)
@@ -469,9 +472,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             # at any parallelism).
             from .seen import candidate_parts
 
-            parts_probe = candidate_parts(distinct_links, cfg.partitions)
+            parts_hit = candidate_parts(distinct_links, cfg.partitions)
             seen_strategy = ("pruned"
-                             if len(parts_probe) <= cfg.partitions // 2
+                             if len(parts_hit) <= cfg.partitions // 2
                              else "shuffle")
         else:
             seen_strategy = "shuffle"
@@ -504,7 +507,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                 "pruned")
         from .seen import candidate_parts, prune_seen_paths
 
-        parts_hit = candidate_parts(distinct_links, cfg.partitions)
+        if parts_hit is None:  # explicit seen_check='pruned' (auto
+            # already computed the probe while routing)
+            parts_hit = candidate_parts(distinct_links, cfg.partitions)
         seen_for_check = prune_seen_paths(spark, seen_paths, parts_hit)
 
     candidates = distinct_links

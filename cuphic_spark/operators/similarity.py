@@ -134,21 +134,34 @@ def build_ivf_index(emb: DataFrame, path: str, bits: int = 4) -> None:
 
 
 def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
-                     bits: int = 4) -> DataFrame:
+                     bits: int = 4,
+                     max_probe_cells: int = 4096) -> DataFrame:
     """Probe a PERSISTED IVF index (see build_ivf_index): the probe
     cell set (own cell + Hamming-1 neighbors per query) is collected
     driver-side — queries are small by the ANN contract — and applied
     as a literal partition filter, so the scan plans with
     PartitionFilters on ``cell`` and touches only probed directories
     (test-asserted via inputFiles). Ranking is identical to
-    ``ivf_topk``."""
+    ``ivf_topk``.
+
+    ``max_probe_cells`` guards the driver-side collect (advisor
+    round-3): the probe-cell count is bounded by |queries|·(bits+1)
+    under the contract, but nothing stops a caller passing a huge
+    query set — above the ceiling the literal partition filter is
+    skipped and the probe becomes a plain equi-join on cell (identical
+    results, no driver-side cell list; the scan loses partition
+    pruning but the join itself still prunes rows)."""
     probes = (queries
               .withColumn("cell", F.explode(_probe_cells_expr(bits)))
               .select("query_id", "q_embedding", "cell"))
-    cells = sorted({int(r.cell) for r in
-                    probes.select("cell").distinct().collect()})
-    corpus = (spark.read.parquet(path)
-              .where(F.col("cell").isin(cells)))
+    # limit(max+1) bounds the collect itself — the guard must not cost
+    # an unbounded driver transfer to discover it should have tripped
+    probe_rows = (probes.select("cell").distinct()
+                  .limit(max_probe_cells + 1).collect())
+    corpus = spark.read.parquet(path)
+    if len(probe_rows) <= max_probe_cells:
+        cells = sorted({int(r.cell) for r in probe_rows})
+        corpus = corpus.where(F.col("cell").isin(cells))
     j = corpus.join(F.broadcast(probes), "cell").where(
         F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (

@@ -800,3 +800,48 @@ def test_auto_seen_strategy_picks_pruned_when_local(spark, tmp_path,
         [(e["wave"], e["rank_in_wave"], e["url"])
          for e in oracle_state.fetch_log]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prune_seen_paths_keeps_partless_file_rows(spark, tmp_path):
+    """Advisor round-3 (medium): a kept file WITHOUT a part column
+    (select_seen_files keeps it conservatively) reads back with
+    part=NULL under the pinned schema — the pruned read must KEEP
+    those rows (a bare isin() evaluates NULL as false and would
+    silently drop every row of the kept file, re-emitting seen urls
+    as new)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuphic_spark.frontier.seen import (
+        prune_seen_paths,
+        select_seen_files,
+    )
+
+    root = tmp_path / "seen_mixed"
+    os.makedirs(root)
+    # two modern files with part stats + one legacy file without part
+    for p in (0, 1):
+        pq.write_table(pa.table({
+            "url": [f"https://h{p}.x/{i}" for i in range(5)],
+            "added_wave": pa.array([0] * 5, type=pa.int32()),
+            "host": [f"h{p}.x"] * 5,
+            "part": pa.array([p] * 5, type=pa.int32()),
+        }), root / f"part-{p:05d}.parquet")
+    pq.write_table(pa.table({
+        "url": [f"https://legacy.x/{i}" for i in range(5)],
+        "added_wave": pa.array([0] * 5, type=pa.int32()),
+        "host": ["legacy.x"] * 5,
+    }), root / "legacy.parquet")
+
+    # selection keeps part=1 and (conservatively) the legacy file
+    kept = select_seen_files([str(root)], [1])
+    assert str(root / "legacy.parquet") in kept
+    assert str(root / "part-00001.parquet") in kept
+    assert str(root / "part-00000.parquet") not in kept
+
+    got = {r.url for r in
+           prune_seen_paths(spark, [str(root)], [1]).collect()}
+    assert got == ({f"https://h1.x/{i}" for i in range(5)}
+                   | {f"https://legacy.x/{i}" for i in range(5)})

@@ -343,3 +343,85 @@ def test_ivf_indexed_prunes_partitions_and_matches(spark, emb, tmp_path):
     # 2 queries x (1 own + 4 neighbor) cells, deduped — far fewer
     # than the index's cell count
     assert pruned_to <= 10 < n_cells_total
+
+
+def test_simhash_pairs_hot_chunk_star_capped(spark):
+    """Hot-chunk guard (round-3 verdict item 3): a degenerate chunk
+    value (here: 200 identical docs — every chunk collides) must emit
+    O(n) star pairs to the bucket representative, never the O(n^2)
+    all-pairs blowup; small buckets keep full in-ball recall."""
+    from cuphic_spark.operators.dedup import simhash_pairs
+
+    boiler = "identical boilerplate words for every single document"
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, "unique alpha beta gamma delta epsilon zeta eta"),
+             (1001, "unique alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = simhash_pairs(docs, max_hamming=3, max_bucket=50)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    hot = {p for p in got if p[1] < 1000}
+    # identical docs -> identical simhash -> every star pair verifies
+    # at hamming 0, so the capped bucket yields exactly the rep star
+    assert hot == {(0, i) for i in range(1, 200)}
+    assert all(got[p] == 0 for p in hot)
+    # the small bucket (two near-dup uniques) is unaffected — same
+    # result as with the guard off
+    small_on = {p: h for p, h in got.items() if p[0] >= 1000}
+    full = simhash_pairs(docs, max_hamming=3, max_bucket=0)
+    small_off = {(r.doc_a, r.doc_b): r.hamming
+                 for r in full.collect() if r.doc_a >= 1000}
+    assert small_on == small_off
+
+    # guard off: the hot bucket IS quadratic (documented contract)
+    n_hot_full = full.where(F.col("doc_b") < 1000).count()
+    assert n_hot_full == 200 * 199 // 2
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Advisor round-3: a component whose diameter exceeds max_iter
+    must fail LOUDLY instead of silently returning split clusters."""
+    import pytest as _pytest
+
+    from cuphic_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # enough rounds: one component labeled by the min node
+    cc = {r.node: r.component
+          for r in connected_components(chain, max_iter=15).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 10
+
+
+def test_ivf_indexed_probe_cap_falls_back(spark, emb, tmp_path):
+    """Round-3 verdict item 4: above max_probe_cells the driver-side
+    cell collect is skipped and the probe becomes a plain equi-join on
+    cell — results identical to the literal-partition-filter path."""
+    from cuphic_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from cuphic_spark.plans import executed_plan
+
+    path = str(tmp_path / "ivf_cap")
+    build_ivf_index(emb, path, bits=4)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+
+    pruned = ivf_topk_indexed(spark, path, queries, k=5, bits=4)
+    capped = ivf_topk_indexed(spark, path, queries, k=5, bits=4,
+                              max_probe_cells=1)  # force the fallback
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(lambda r: (key(r), r.neighbor_id, r.cos_micro),
+                      capped.collect())) == \
+        sorted(map(lambda r: (key(r), r.neighbor_id, r.cos_micro),
+                   pruned.collect()))
+    # the fallback plan must NOT carry the driver-collected literal
+    # cell IN-list (runtime/dynamic pruning from the join is fine)
+    import re
+
+    assert not re.search(r"cell#\d+L? IN \(", executed_plan(capped))
+    assert re.search(r"cell#\d+L? IN \(", executed_plan(pruned))
