@@ -9,61 +9,87 @@ with an Iceberg-style MANIFEST over immutable band files:
 
 * the frontier is partitioned by SCORE BAND (``band = score div
   band_width``; scores are non-negative by the crawl's scoring
-  contract) — bands are the unit of both IO and scheduling;
-* a wave READS only the top bands needed to fill its cap (greedy
-  descent over manifest counts, with a deterministic extension loop
-  when politeness/robots eat into the read set — see
-  ``plan_read_bands`` / the loop in ``crawl.run_wave``);
-* a wave WRITES only (a) the residual of the bands it read and
-  (b) the bands its newly discovered urls land in — every untouched
-  band is carried forward BY REFERENCE (its path list is copied into
+  contract) — and INSIDE each band by score-sorted RUNS (round-3
+  verdict, Missing #1): a wave's delta is split into runs of about
+  ``band_split_rows`` rows each covering a disjoint score range, so
+  a wave whose top band vastly exceeds its cap reads a band PREFIX
+  (the top runs), not the whole band;
+* a wave READS only the top segments needed to cover its cap
+  (greedy descent over manifest counts with a score-cut refinement
+  inside the last band — see ``plan_read``), deterministically
+  extended when politeness/robots eat into the read set;
+* a wave WRITES only (a) the residual of the segments it read and
+  (b) the runs its newly discovered urls land in — every untouched
+  segment is carried forward BY REFERENCE (its entry is copied into
   the new manifest verbatim). Wave checkpoint write volume is
   O(rows_read + new), never O(|frontier|);
 * a band that accumulates more than ``band_max_paths`` referenced
-  files (new-url deltas appended over many waves while the band goes
-  unread) is consolidated into one file set under the CURRENT wave
-  dir — amortized-O(1) maintenance that keeps read fan-in bounded
-  and stays rollback-safe (the consolidation lives in the newest
-  wave dir, so rolling back past it resurrects the raw references).
+  files (new-url run deltas appended over many waves while the band
+  goes unread) is consolidated into a fresh run set under the
+  CURRENT wave dir — amortized-O(1) maintenance that keeps read
+  fan-in bounded and stays rollback-safe (the consolidation lives
+  in the newest wave dir, so rolling back past it resurrects the
+  raw references).
 
 Manifest JSON (``_frontier_manifest.json`` inside each wave's
 ``frontier/`` dir, plus the seed's ``frontier_seed/``)::
 
-    {"band_width": 1000, "partitions": 8,
-     "bands": {"15": {"paths": [...abs dirs...], "count": 12}, ...}}
+    {"band_width": 1000, "partitions": 8, "band_split_rows": 64,
+     "next_seq": 7,
+     "bands": {"15": {"count": 12, "paths": [...derived...],
+                      "segments": [{"paths": [...abs dirs...],
+                                    "count": 12, "lo": 15003,
+                                    "hi": 15006, "seq": 3}]}, ...}}
 
 Counts come from parquet FOOTERS (pyarrow, metadata-only) at write
 time — the same bookkeeping an Iceberg commit records in its
-manifest files; no Spark job is spent counting.
+manifest files; no Spark job is spent counting. Segment ``lo``/``hi``
+(min/max score) come from the run-split aggregation that is computed
+anyway.
 
-Sizing rule: ``band_width`` is the IO granularity — a wave reads
-whole bands, so pick a width that keeps expected band populations
-near the wave cap (with the default depth-decayed scoring, one band
-per crawl depth; for denser score functions, narrower bands). Any
-width is SAFE: the scheduled set is provably width-independent
-(tests pin metrics parity and byte-identical fetch ordering at
-widths 3 / 500 / 20000), widths only trade read amplification
-against manifest size.
+Sizing rules: ``band_width`` is the coarse IO granularity and
+``band_split_rows`` (default: the crawl's wave cap) the fine one —
+a wave reads whole runs, so runs sized near the cap bound read
+amplification at ~2x cap regardless of how dense the score function
+packs a band. Any width/split is SAFE for WHAT schedules: the
+scheduled set is provably layout-independent — the read set is
+always a score-PREFIX of the frontier (rows below the cut inside
+consumed runs pass through untouched), per-host ranks of prefix
+rows equal full-frontier ranks, and the extension loop guarantees
+the prefix holds >= cap budgeted rows whenever the full frontier
+does (tests pin metrics parity and byte-identical fetch ordering at
+widths 3 / 500 / 20000 and across split sizes). Layout only trades
+read amplification against manifest size.
 
-Determinism: which bands a wave reads is a pure function of the
-manifest counts and the wave cap, so the single-process oracle
-(tests/oracle/crawl_oracle.py) replicates the protocol exactly and
-the fetch ordering stays identical at any parallelism level. The
-SCHEDULED SET is provably identical to the full-scan protocol:
-per-host ranks of read rows cannot be changed by unread lower-score
-rows, and the extension loop guarantees the read set holds >= cap
-budgeted rows whenever the full frontier does. The only semantic
-shift is WHEN robots-denied rows are discovered and dropped — at
-first READ of their band rather than eagerly every wave (they can
-never schedule either way; the oracle models the same).
+One caveat (advisor round-3): layout-independence of the scheduled
+set holds per wave unconditionally, but WHICH wave a robots-denied
+row is dropped in depends on when its segment is first read — with
+static robots (``robots_ttl_waves=0``) denial is
+evaluation-time-independent so the multi-wave trajectory is fully
+layout-independent; with TTL epochs the epoch applying to a denied
+row depends on when its segment is read, so denied COUNTS per wave
+(never the scheduled set's correctness) can vary with layout. Tests
+pin width invariance at ttl=0 and TTL parity at a matched layout.
+
+Determinism: which segments a wave reads is a pure function of the
+manifest (counts, score ranges, seq order) and the wave cap, so the
+single-process oracle (tests/oracle/crawl_oracle.py) replicates the
+protocol exactly — including the run split, which is a pure function
+of the delta's per-score row counts — and the fetch ordering stays
+identical at any parallelism level. The only semantic shift vs a
+full scan is WHEN robots-denied rows are discovered and dropped —
+at first eligible read of their segment rather than eagerly every
+wave (they can never schedule either way; the oracle models the
+same).
 """
 
 from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_frontier_manifest.json"
@@ -77,8 +103,15 @@ def band_expr(width: int):
     return F.expr(f"cast(score div {int(width)} as int)")
 
 
+def split_rows_of(cfg) -> int:
+    """Resolved run size: ``band_split_rows`` (0 = auto = wave cap)."""
+    return int(getattr(cfg, "band_split_rows", 0) or
+               max(int(cfg.wave_cap), 1))
+
+
 def empty_manifest(cfg) -> dict:
     return {"band_width": cfg.band_width, "partitions": cfg.partitions,
+            "band_split_rows": split_rows_of(cfg), "next_seq": 0,
             "bands": {}}
 
 
@@ -107,41 +140,110 @@ def bands_desc(manifest: dict) -> list[int]:
     return sorted((int(b) for b in manifest["bands"]), reverse=True)
 
 
-def plan_read_bands(manifest: dict, need: int) -> tuple[list[int], list[int], int]:
-    """Greedy top-down read plan: take bands (highest score band
-    first) until their manifest counts reach ``need``. Returns
-    (read_bands, unread_bands, rows_read). Deterministic — mirrored
-    by the oracle."""
-    order = bands_desc(manifest)
-    read: list[int] = []
+def band_segments(manifest: dict, band: int) -> list[dict]:
+    """A band's segments; a pre-split manifest entry (bare paths +
+    count) is adapted to one whole-band segment."""
+    entry = manifest["bands"][str(band)]
+    if "segments" in entry:
+        return entry["segments"]
+    width = int(manifest["band_width"])
+    return [{"paths": list(entry["paths"]), "count": entry["count"],
+             "lo": band * width, "hi": (band + 1) * width - 1, "seq": 0}]
+
+
+def _segments_desc(manifest: dict, band: int) -> list[dict]:
+    """Read order within a band: highest score range first; ties
+    (same hi, same lo) broken by creation seq — mirrored verbatim by
+    the oracle."""
+    return sorted(band_segments(manifest, band),
+                  key=lambda s: (-s["hi"], -s["lo"], s["seq"]))
+
+
+@dataclass
+class ReadPlan:
+    """A wave's deterministic read set (see ``plan_read``).
+
+    ``s_cut`` is the wave's eligibility threshold: scheduling sees
+    exactly the frontier rows with ``score >= s_cut`` — a score
+    PREFIX of the whole frontier (closure over consumed segments
+    guarantees every such row is physically read). Consumed-segment
+    rows BELOW the cut are pass-through residual: physically
+    rewritten into the wave delta, semantically untouched (not
+    robots-checked, not rankable) — they count toward ``rows_read``
+    (they are real IO) but never change what schedules.
+    """
+
+    consumed: dict[int, list[dict]] = field(default_factory=dict)
+    s_cut: int = 0
+    rows_read: int = 0
+    exhausted: bool = True  # no unconsumed segments remain
+
+    @property
+    def read_bands(self) -> list[int]:
+        return sorted(self.consumed, reverse=True)
+
+    def consumed_keys(self) -> set[tuple[int, int]]:
+        return {(b, s["seq"]) for b, segs in self.consumed.items()
+                for s in segs}
+
+    def paths(self) -> list[str]:
+        return [p for b in self.read_bands
+                for s in self.consumed[b] for p in s["paths"]]
+
+
+def plan_read(manifest: dict, need: int) -> ReadPlan:
+    """Greedy top-down read plan at SEGMENT granularity: descend
+    bands (highest first); a band whose whole count still fits under
+    ``need`` is consumed entirely; inside the final band, descend
+    candidate score cuts (distinct segment ``lo`` values, then the
+    band floor) and stop at the highest cut whose covering segments
+    (every segment with ``hi >= cut`` — the closure that makes the
+    eligible set an exact score prefix) reach ``need``.
+
+    Deterministic and monotone in ``need`` (a larger need consumes a
+    superset), so the crawl's extension loop is just a re-plan with
+    ``need = rows_read + deficit``. Mirrored by the oracle.
+    """
+    plan = ReadPlan()
+    width = int(manifest["band_width"])
     total = 0
-    i = 0
-    while i < len(order) and total < need:
-        b = order[i]
-        read.append(b)
-        total += manifest["bands"][str(b)]["count"]
-        i += 1
-    return read, order[i:], total
+    order = bands_desc(manifest)
+    for i, b in enumerate(order):
+        segs = _segments_desc(manifest, b)
+        bcount = sum(s["count"] for s in segs)
+        if total + bcount < need or bcount == 0:
+            # whole band consumed, still under need: keep descending
+            plan.consumed[b] = segs
+            total += bcount
+            plan.s_cut = b * width
+            continue
+        # final band: highest cut whose closure covers the need
+        cuts = sorted({s["lo"] for s in segs}, reverse=True) + [b * width]
+        for cut in cuts:
+            cover = [s for s in segs if s["hi"] >= cut]
+            if total + sum(s["count"] for s in cover) >= need:
+                break
+        plan.consumed[b] = cover
+        total += sum(s["count"] for s in cover)
+        plan.s_cut = b * width if len(cover) == len(segs) else cut
+        plan.exhausted = (len(cover) == len(segs)
+                          and i == len(order) - 1)
+        plan.rows_read = total
+        return plan
+    plan.rows_read = total
+    plan.exhausted = True
+    return plan
 
 
-def extend_read_bands(manifest: dict, read: list[int], unread: list[int],
-                      deficit: int) -> int:
-    """Mutates ``read``/``unread``: move bands over until their counts
-    cover ``deficit``. Returns rows added. Deterministic."""
-    added = 0
-    while unread and added < deficit:
-        b = unread.pop(0)
-        read.append(b)
-        added += manifest["bands"][str(b)]["count"]
-    return added
+def read_plan_df(spark: SparkSession, manifest: dict,
+                 plan: ReadPlan) -> DataFrame:
+    """Union read of the plan's consumed segment paths, schema-pinned
+    (an empty plan must not hit schema inference — frontier
+    exhaustion writes zero files)."""
+    return _read_paths(spark, plan.paths())
 
 
-def read_bands_df(spark: SparkSession, manifest: dict,
-                  bands: list[int]) -> DataFrame:
-    """Union read of the given bands' path lists, schema-pinned (an
-    empty plan must not hit schema inference — frontier exhaustion
-    writes zero files)."""
-    paths = [p for b in bands for p in manifest["bands"][str(b)]["paths"]]
+def _read_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
     if not paths:
         return (spark.createDataFrame([], BAND_FILE_SCHEMA)
                 .select("url", "host", "depth", "score", "discovered_wave"))
@@ -150,7 +252,9 @@ def read_bands_df(spark: SparkSession, manifest: dict,
 
 
 def read_full_frontier(spark: SparkSession, manifest: dict) -> DataFrame:
-    return read_bands_df(spark, manifest, bands_desc(manifest))
+    paths = [p for b in bands_desc(manifest)
+             for s in band_segments(manifest, b) for p in s["paths"]]
+    return _read_paths(spark, paths)
 
 
 def _dir_row_count(path: str) -> int:
@@ -164,74 +268,167 @@ def _dir_row_count(path: str) -> int:
     return total
 
 
+def _with_runs(df: DataFrame, split_rows: int):
+    """Assign each delta row its RUN: within a band, rows are grouped
+    by score (descending) and cut into runs of ~``split_rows`` rows —
+    every distinct score lands wholly in one run, so runs cover
+    disjoint contiguous score ranges (the property the prefix read
+    protocol needs). The run id is a pure function of the delta's
+    per-score counts: one tiny aggregation (distinct (band, score) is
+    bounded by the coarse-score contract the crawl already enforces
+    via max_score_histogram), a per-band running sum over it, and a
+    broadcast join back — no full-delta window, no driver collect.
+
+    Returns (df + run column, run metadata df (band, run, lo, hi,
+    cnt))."""
+    counts = df.groupBy("band", "score").agg(F.count("*").alias("cnt"))
+    w = (Window.partitionBy("band").orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    runs = (counts
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+            .withColumn("run",
+                        (F.col("cum_before") / F.lit(int(split_rows)))
+                        .cast("int"))
+            .select("band", "score", "cnt", "run"))
+    meta = (runs.groupBy("band", "run")
+            .agg(F.min("score").alias("lo"), F.max("score").alias("hi"),
+                 F.sum("cnt").alias("cnt")))
+    out = df.join(F.broadcast(runs.select("band", "score", "run")),
+                  ["band", "score"])
+    return out, meta
+
+
+def _write_run_partitioned(df: DataFrame, path: str, cfg,
+                           split_rows: int) -> list[dict]:
+    """Write a (sub)delta as band/run-partitioned files with the
+    north rule's physical layout INSIDE each run: files partitioned
+    by pmod(xxhash64(host), P) with intra-host salt, score-sorted
+    within files ("priority queue as host-salted, score-sorted
+    partitions" — now per run). Returns run records
+    [{band, run, path, count, lo, hi}] in (band, run) order, counts
+    from parquet footers."""
+    with_run, meta = _with_runs(df, split_rows)
+    (with_run.repartition(cfg.partitions, "part")
+     .sortWithinPartitions(F.desc("score"), F.asc("url"))
+     .write.mode("overwrite").partitionBy("band", "run").parquet(path))
+    meta_rows = {(int(r.band), int(r.run)): (int(r.lo), int(r.hi))
+                 for r in meta.collect()}
+    records: list[dict] = []
+    for bname in sorted(os.listdir(path)):
+        if not bname.startswith("band="):
+            continue
+        b = int(bname.split("=", 1)[1])
+        bdir = os.path.join(path, bname)
+        for rname in sorted(os.listdir(bdir)):
+            if not rname.startswith("run="):
+                continue
+            r = int(rname.split("=", 1)[1])
+            rdir = os.path.join(bdir, rname)
+            count = _dir_row_count(rdir)
+            if not count:
+                continue
+            lo, hi = meta_rows[(b, r)]
+            records.append({"band": b, "run": r, "path": rdir,
+                            "count": count, "lo": lo, "hi": hi})
+    records.sort(key=lambda rec: (rec["band"], rec["run"]))
+    return records
+
+
+def _prep_delta(delta: DataFrame, cfg) -> DataFrame:
+    return (delta
+            .withColumn("part",
+                        F.pmod(F.xxhash64("host"),
+                               F.lit(cfg.partitions)).cast("int"))
+            .withColumn("host_salt",
+                        F.pmod(F.xxhash64("url"),
+                               F.lit(cfg.salt_buckets)).cast("int"))
+            .withColumn("band", band_expr(cfg.band_width)))
+
+
 def write_wave_frontier(spark: SparkSession, delta: DataFrame,
                         frontier_dir: str, cfg, prev_manifest: dict,
-                        read_bands: list[int]) -> tuple[dict, int]:
-    """Write a wave's frontier DELTA (residual of read bands ∪ newly
-    discovered rows) as band-partitioned files and derive the next
-    manifest. Returns (manifest, rows_written) where rows_written
-    counts ONLY the delta (consolidation maintenance is reported by
-    its own band rewrite, not as wave delta — the oracle twins the
-    delta count).
+                        consumed) -> tuple[dict, int]:
+    """Write a wave's frontier DELTA (residual of consumed segments ∪
+    newly discovered rows) as band/run-partitioned files and derive
+    the next manifest. Returns (manifest, rows_written) where
+    rows_written counts ONLY the delta (consolidation maintenance is
+    reported by its own band rewrite, not as wave delta — the oracle
+    twins the delta count).
 
-    Band dirs keep the north rule's physical layout INSIDE each band:
-    files partitioned by pmod(xxhash64(host), P) with intra-host salt,
-    score-sorted within files ("priority queue as host-salted,
-    score-sorted partitions" — now per band).
+    ``consumed`` names the segments this wave replaced: a ``ReadPlan``,
+    a set of ``(band, seq)`` keys, or a plain list of band ids (all
+    segments of those bands — the whole-band convenience form).
+    Unconsumed segments are carried forward BY REFERENCE.
     """
-    df = (delta
-          .withColumn("part",
-                      F.pmod(F.xxhash64("host"),
-                             F.lit(cfg.partitions)).cast("int"))
-          .withColumn("host_salt",
-                      F.pmod(F.xxhash64("url"),
-                             F.lit(cfg.salt_buckets)).cast("int"))
-          .withColumn("band", band_expr(cfg.band_width)))
-    (df.repartition(cfg.partitions, "part")
-       .sortWithinPartitions(F.desc("score"), F.asc("url"))
-       .write.mode("overwrite").partitionBy("band").parquet(frontier_dir))
+    if isinstance(consumed, ReadPlan):
+        consumed_keys = consumed.consumed_keys()
+    elif all(isinstance(c, int) for c in consumed):
+        consumed_keys = {(b, s["seq"]) for b in consumed
+                         for s in band_segments(prev_manifest, b)}
+    else:
+        consumed_keys = set(consumed)
 
-    written: dict[int, dict] = {}
-    rows_written = 0
-    for name in sorted(os.listdir(frontier_dir)):
-        if not name.startswith("band="):
-            continue
-        b = int(name.split("=", 1)[1])
-        path = os.path.join(frontier_dir, name)
-        count = _dir_row_count(path)
-        rows_written += count
-        if count:
-            written[b] = {"paths": [path], "count": count}
+    split_rows = split_rows_of(cfg)
+    records = _write_run_partitioned(_prep_delta(delta, cfg),
+                                     frontier_dir, cfg, split_rows)
+    rows_written = sum(r["count"] for r in records)
 
-    read = set(read_bands)
-    bands: dict[int, dict] = {}
-    for bs, info in prev_manifest["bands"].items():
+    next_seq = int(prev_manifest.get("next_seq", 0))
+    bands: dict[int, list[dict]] = {}
+    for bs in prev_manifest["bands"]:
         b = int(bs)
-        if b in read:
-            continue  # replaced by this wave's residual (or consumed)
-        bands[b] = {"paths": list(info["paths"]), "count": info["count"]}
-    for b, w in written.items():
-        if b in bands:  # carried band receiving a new-url delta
-            bands[b]["paths"].extend(w["paths"])
-            bands[b]["count"] += w["count"]
-        else:
-            bands[b] = w
-    bands = {b: v for b, v in bands.items() if v["count"] > 0}
+        keep = [dict(s) for s in band_segments(prev_manifest, b)
+                if (b, s["seq"]) not in consumed_keys]
+        if keep:
+            bands[b] = keep
+    # new run segments appended in (band, run) order — the seq
+    # assignment the oracle mirrors
+    for rec in records:
+        seg = {"paths": [rec["path"]], "count": rec["count"],
+               "lo": rec["lo"], "hi": rec["hi"], "seq": next_seq}
+        next_seq += 1
+        bands.setdefault(rec["band"], []).append(seg)
 
     # bounded read fan-in: consolidate any band whose reference list
-    # outgrew band_max_paths (amortized maintenance; lives under THIS
-    # wave's dir so rollback discards it with the manifest)
-    for b, v in bands.items():
-        if len(v["paths"]) > cfg.band_max_paths:
-            cdir = os.path.join(frontier_dir + "_band_compact",
-                                f"band={b}")
-            (spark.read.schema(BAND_FILE_SCHEMA).parquet(*v["paths"])
-             .repartition(cfg.partitions, "part")
-             .sortWithinPartitions(F.desc("score"), F.asc("url"))
-             .write.mode("overwrite").parquet(cdir))
-            v["paths"] = [cdir]
-            v["count"] = _dir_row_count(cdir)
+    # outgrew its IDEAL run count (ceil(count / split_rows) — the
+    # fan-in the run structure inherently needs) by more than
+    # band_max_paths — i.e. the bound is on FRAGMENTATION, not on
+    # runs (amortized maintenance; lives under THIS wave's dir so
+    # rollback discards it with the manifest). The band is re-split
+    # into fresh runs — deterministic: the run split is a pure
+    # function of the band's per-score counts.
+    for b in sorted(bands):
+        segs = bands[b]
+        ideal = -(-sum(s["count"] for s in segs) // split_rows)
+        if sum(len(s["paths"]) for s in segs) <= (ideal
+                                                  + cfg.band_max_paths):
+            continue
+        cdir = os.path.join(frontier_dir + "_band_compact", f"b{b}")
+        merged = _read_paths(spark,
+                             [p for s in segs for p in s["paths"]])
+        recs = _write_run_partitioned(_prep_delta(merged, cfg), cdir,
+                                      cfg, split_rows)
+        fresh = []
+        for rec in recs:
+            fresh.append({"paths": [rec["path"]], "count": rec["count"],
+                          "lo": rec["lo"], "hi": rec["hi"],
+                          "seq": next_seq})
+            next_seq += 1
+        bands[b] = fresh
 
-    manifest = {"band_width": cfg.band_width, "partitions": cfg.partitions,
-                "bands": {str(b): v for b, v in sorted(bands.items())}}
+    out_bands = {}
+    for b in sorted(bands):
+        segs = bands[b]
+        out_bands[str(b)] = {
+            "count": sum(s["count"] for s in segs),
+            # derived flat path list: lineage verification + humans
+            "paths": [p for s in segs for p in s["paths"]],
+            "segments": segs,
+        }
+    manifest = {"band_width": cfg.band_width,
+                "partitions": cfg.partitions,
+                "band_split_rows": split_rows,
+                "next_seq": next_seq,
+                "bands": out_bands}
     return manifest, rows_written

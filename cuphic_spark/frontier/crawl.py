@@ -18,19 +18,21 @@ Determinism contract (identical at ANY parallelism level):
 * bloom/cuckoo structures only prune — membership truth is always
   the anti-join against the seen table.
 
-Wave w, given the frontier MANIFEST (score-band files — see
-frontier/bands.py) and seen_w:
+Wave w, given the frontier MANIFEST (score-band files split into
+score-sorted runs — see frontier/bands.py) and seen_w:
 
-0. read    = top score bands whose manifest counts cover W (greedy
-   descent; deterministically extended if robots/politeness leave
-   fewer than W budgeted rows) — unread bands are never touched
-1. denied   = read rows whose (host, path) hits a robots deny rule
-   (dropped+counted at first READ of their band; they can never
-   schedule either way)
-2. eligible = read - denied
+0. read    = top segments whose manifest counts cover W (greedy
+   descent with a score-cut refinement inside the last band —
+   plan_read; deterministically extended if robots/politeness leave
+   fewer than W budgeted rows) — unread segments are never touched;
+   consumed rows BELOW the cut pass straight through to the residual
+1. denied   = eligible-prefix rows (score >= cut) whose (host, path)
+   hits a robots deny rule (dropped+counted at first eligible read
+   of their segment; they can never schedule either way)
+2. eligible = prefix - denied
 3. per-host rank by (score desc, url asc); keep rank <= budget B
-   (ranks over the read set equal full-frontier ranks: unread rows
-   all score strictly below every read band)
+   (ranks over the prefix equal full-frontier ranks: every row
+   outside the prefix scores strictly below every prefix row)
 4. global top-W by (score desc, url asc) -> scheduled (rank_in_wave)
 5. fetch scheduled (simulated: webgraph.gen_html)
 6. extract hrefs with the cuphic engine ([:a {:href href} ???]),
@@ -102,6 +104,10 @@ class CrawlConfig:
     # (untouched bands carry forward by manifest reference)
     band_max_paths: int = 16      # rewrite a band once its manifest
     # path list exceeds this (bounds read fan-in per band)
+    band_split_rows: int = 0      # sub-band run size: a wave delta is
+    # split per band into score-sorted runs of ~this many rows, so a
+    # band far larger than the wave cap is read as a run PREFIX, not
+    # whole (round-3 verdict item 2). 0 = auto (the wave cap)
     link_extract: str = "streaming"  # 'streaming' (tree-free expat
     # twin of the fixed link pattern, default) | 'kernel' (general
     # engine scan); results pinned identical by tests
@@ -287,16 +293,21 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              prev_links_hint: int | None = None,
              seen_paths: list[str] | None = None):
     """Returns (frontier_delta, seen_delta, fetch_log, finish, caches,
-    read_bands, rows_read).
+    plan).
 
     The wave never touches the whole frontier: ``manifest`` (see
-    frontier/bands.py) describes the frontier as score-band files, and
-    the wave reads only the top bands whose counts cover wave_cap —
-    extending deterministically when robots/politeness eat into the
-    read set (rare: one extra stats pass per extension round). The
-    returned ``frontier_delta`` is the residual of the READ bands ∪
-    newly discovered rows; crawl() writes it band-partitioned and
-    carries every unread band forward by manifest reference — wave
+    frontier/bands.py) describes the frontier as score-band files
+    split into score-sorted RUNS, and the wave reads only the top
+    segments whose counts cover wave_cap — a band larger than the cap
+    is read as a PREFIX of its runs, never whole — extending
+    deterministically when robots/politeness eat into the read set
+    (rare: one extra stats pass per extension round). Scheduling sees
+    exactly the frontier rows with ``score >= plan.s_cut`` (an exact
+    score prefix — see bands.ReadPlan); consumed rows below the cut
+    pass through to the residual untouched. The returned
+    ``frontier_delta`` is the residual of the READ segments ∪ newly
+    discovered rows; crawl() writes it band/run-partitioned and
+    carries every unread segment forward by manifest reference — wave
     checkpoint write volume is O(rows_read + new), never O(|frontier|).
 
     Spark-job budget per wave — the crawl's FIXED cost, which is what
@@ -317,25 +328,25 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     robots_version = (wave // cfg.robots_ttl_waves
                       if cfg.robots_ttl_waves else 0)
     robots = robots_rules(spark, version=robots_version)
-    read_bands, unread, rows_read = bands_mod.plan_read_bands(
-        manifest, cfg.wave_cap)
+    plan = bands_mod.plan_read(manifest, cfg.wave_cap)
 
     # ONE window ranks eligible rows per host; denied rows rank inside
     # their own (host, den) group so eligible ranks are unaffected —
     # this lets a single aggregation job return the score histogram
     # AND the denied count (previously two frontier scans). Per-host
-    # ranks over the READ subset equal full-frontier ranks for read
-    # rows (unread rows all score strictly below every read band).
+    # ranks over the ELIGIBLE prefix (score >= plan.s_cut) equal
+    # full-frontier ranks: every row outside the prefix scores
+    # strictly below every prefix row.
     w_host = Window.partitionBy("host", "den").orderBy(
         F.desc("score"), F.asc("url"))
     frontier = ranked = None
     while True:
-        if ranked is not None:  # extension round: rebuild over more bands
+        if ranked is not None:  # extension round: rebuild over more segments
             ranked.unpersist()
             frontier.unpersist()
-        frontier = bands_mod.read_bands_df(spark, manifest,
-                                           read_bands).cache()
-        fr = frontier.withColumn("path", path_col(F.col("url")))
+        frontier = bands_mod.read_plan_df(spark, manifest, plan).cache()
+        eligible_src = frontier.where(F.col("score") >= plan.s_cut)
+        fr = eligible_src.withColumn("path", path_col(F.col("url")))
         joined = fr.join(F.broadcast(robots), "host", "left")
         is_denied = (F.col("deny_prefix").isNotNull()
                      & F.col("path").startswith(F.col("deny_prefix")))
@@ -357,11 +368,18 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                 "O(|frontier|) driver transfer). Coarsen score_expr or "
                 "raise cfg.max_score_histogram deliberately.")
         n_budgeted = sum(r.cnt for r in stats if not r.den)
-        if n_budgeted >= cfg.wave_cap or not unread:
+        if n_budgeted >= cfg.wave_cap or plan.exhausted:
             break
-        rows_read += bands_mod.extend_read_bands(
-            manifest, read_bands, unread, cfg.wave_cap - n_budgeted)
+        # deterministic extension: re-plan with a larger coverage
+        # target (plan_read is monotone in need — the new read set is
+        # a superset, so the rebuild only ever adds rows)
+        plan = bands_mod.plan_read(
+            manifest, plan.rows_read + (cfg.wave_cap - n_budgeted))
     n_denied = sum(r.cnt for r in stats if r.den)
+    # consumed rows BELOW the cut: physically read (their runs span
+    # the cut) but semantically unread — pass through to the residual
+    # delta verbatim, outside robots/politeness/scheduling
+    passthrough = frontier.where(F.col("score") < plan.s_cut)
     budgeted = (ranked
                 .where(~F.col("den")
                        & (F.col("host_rank") <= cfg.budget_per_host))
@@ -553,12 +571,14 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                    .where(~F.col("den")
                           & (F.col("host_rank") > cfg.budget_per_host))
                    .select(*cols))
-    # the wave's frontier DELTA: residual of the read bands (over-
-    # budget ∪ unscheduled — denied rows drop here, at first read of
-    # their band) plus new discoveries; unread bands never appear —
-    # crawl() carries them forward by manifest reference
+    # the wave's frontier DELTA: residual of the consumed segments
+    # (over-budget ∪ unscheduled ∪ below-cut passthrough — denied
+    # rows drop here, at first eligible read of their segment) plus
+    # new discoveries; unread segments never appear — crawl() carries
+    # them forward by manifest reference
     frontier_delta = (over_budget
                       .unionByName(unscheduled.select(*cols))
+                      .unionByName(passthrough.select(*cols))
                       .unionByName(new_rows))
     # every frontier url is already in seen (added at discovery), so
     # denied rows need no re-insert; seen grows only by new discoveries
@@ -623,8 +643,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     caches = [frontier, ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
         caches.append(with_rank)
-    return (frontier_delta, seen_delta, fetch_log, finish, caches,
-            read_bands, rows_read)
+    return (frontier_delta, seen_delta, fetch_log, finish, caches, plan)
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -729,7 +748,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         # every later wave; nothing was read, so nothing is carried)
         manifest, _ = bands_mod.write_wave_frontier(
             spark, seeds, seed_frontier_dir, cfg,
-            bands_mod.empty_manifest(cfg), read_bands=[])
+            bands_mod.empty_manifest(cfg), consumed=[])
         bands_mod.write_manifest(seed_frontier_dir, manifest)
         seen = _read_seen(spark, cfg, -1)
         n_seen = cfg.n_seeds
@@ -755,6 +774,15 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 f"written with band_width={manifest['band_width']} but "
                 f"cfg.band_width={cfg.band_width}; the read protocol "
                 "(and its oracle) is a function of the band layout")
+        prev_split = manifest.get("band_split_rows")
+        if (prev_split is not None
+                and prev_split != bands_mod.split_rows_of(cfg)):
+            raise ValueError(
+                f"resume band_split_rows mismatch: checkpoint {prev} "
+                f"was written with run size {prev_split} but cfg "
+                f"resolves to {bands_mod.split_rows_of(cfg)}; the read "
+                "protocol (and its oracle) is a function of the run "
+                "layout — resume with the recorded value")
         seen = _read_seen(spark, cfg, start - 1)
         n_seen = seen.count()  # parquet footer count — cheap
         seen_paths = _seen_delta_paths(cfg, start - 1)
@@ -793,7 +821,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             bloom = build_bloom(seen, cfg.bloom_bits)  # first activation
         _mark("bloom_build")
         (frontier_delta, seen_delta, fetch_log, finish, caches,
-         read_bands, rows_read) = run_wave(
+         plan) = run_wave(
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths)
@@ -816,7 +844,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             os.path.join(d, "seen_delta"), cfg, dir_partitioned=False)
         _mark("seen_delta_write")
         metrics = finish()
-        metrics["frontier_rows_read"] = rows_read
+        metrics["frontier_rows_read"] = plan.rows_read
         n_seen += metrics["new_urls"]
 
         from concurrent.futures import ThreadPoolExecutor
@@ -824,7 +852,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         def write_frontier():
             return bands_mod.write_wave_frontier(
                 spark, frontier_delta, os.path.join(d, "frontier"),
-                cfg, manifest, read_bands)
+                cfg, manifest, plan)
 
         def fold_bloom():
             if cfg.use_bloom and bloom is not None:
@@ -879,12 +907,15 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             "seen_deltas": _seen_delta_paths(cfg, wave),
             "frontier_manifest": bands_mod.manifest_path(
                 os.path.join(d, "frontier")),
-            "frontier_bands_read": read_bands,
+            "frontier_bands_read": plan.read_bands,
+            "frontier_segments_read": sorted(plan.consumed_keys()),
+            "frontier_score_cut": plan.s_cut,
             "metrics": metrics,
             "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
                        "budget_per_host": cfg.budget_per_host,
                        "wave_cap": cfg.wave_cap,
-                       "band_width": cfg.band_width},
+                       "band_width": cfg.band_width,
+                       "band_split_rows": bands_mod.split_rows_of(cfg)},
         }
         with open(os.path.join(d, "_lineage.json"), "w") as fh:
             json.dump(lineage, fh, indent=1)

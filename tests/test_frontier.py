@@ -555,7 +555,11 @@ def test_band_manifest_write_volume_is_o_read_plus_new(spark, tmp_path):
 
     from cuphic_spark.frontier import bands
 
-    cfg = CrawlConfig(partitions=4, band_width=1000)
+    # band_split_rows=1000 = one run per 1000-row band (the
+    # whole-band degenerate layout; prefix reads are pinned by
+    # test_subband_prefix_read_is_o_cap)
+    cfg = CrawlConfig(partitions=4, band_width=1000,
+                      band_split_rows=1000)
 
     # synthetic frontier: 10 bands x 1000 rows = 10k rows
     base = spark.range(10_000).selectExpr(
@@ -572,11 +576,12 @@ def test_band_manifest_write_volume_is_o_read_plus_new(spark, tmp_path):
     assert len(manifest["bands"]) == 10
 
     # plan a 100-row wave: only the top band (1000 rows) is read
-    read, unread, n_read = bands.plan_read_bands(manifest, 100)
-    assert read == [9] and n_read == 1000 and len(unread) == 9
+    plan = bands.plan_read(manifest, 100)
+    assert plan.read_bands == [9] and plan.rows_read == 1000
+    assert not plan.exhausted
 
     # delta = top band residual (900) + 50 new rows in a lower band
-    top = bands.read_bands_df(spark, manifest, read)
+    top = bands.read_plan_df(spark, manifest, plan)
     residual = top.orderBy(F.desc("score"), F.asc("url")).limit(900)
     new = spark.range(50).selectExpr(
         "concat('https://hostN.example/new/', id) as url",
@@ -585,7 +590,7 @@ def test_band_manifest_write_volume_is_o_read_plus_new(spark, tmp_path):
         "cast(2 as int) as discovered_wave")
     d1 = str(tmp_path / "f1")
     manifest2, written2 = bands.write_wave_frontier(
-        spark, residual.unionByName(new), d1, cfg, manifest, read)
+        spark, residual.unionByName(new), d1, cfg, manifest, plan)
 
     # THE assertion: 950 rows written, not 9950
     assert written2 == 950
@@ -845,3 +850,85 @@ def test_prune_seen_paths_keeps_partless_file_rows(spark, tmp_path):
            prune_seen_paths(spark, [str(root)], [1]).collect()}
     assert got == ({f"https://h1.x/{i}" for i in range(5)}
                    | {f"https://legacy.x/{i}" for i in range(5)})
+
+
+def test_subband_prefix_read_is_o_cap(spark, tmp_path):
+    """Round-3 verdict item 2 — THE dense-band scale property: a band
+    holding 100x the wave cap is read as a score-sorted run PREFIX
+    (O(cap) rows), never whole; residual write volume stays
+    O(rows_read + new); and the consumed set is an exact score-prefix
+    closure (every frontier row at or above the cut is read)."""
+    from cuphic_spark.frontier import bands
+
+    cfg = CrawlConfig(partitions=4, band_width=1000, wave_cap=100)
+    # dense score function: 10k rows, 900 distinct scores, ONE band
+    base = spark.range(10_000).selectExpr(
+        "concat('https://host', id % 20, '.example/doc/', id) as url",
+        "concat('host', id % 20, '.example') as host",
+        "cast(1 as int) as depth",
+        "cast(5000 + id % 900 as long) as score",
+        "cast(1 as int) as discovered_wave")
+    d0 = str(tmp_path / "dense0")
+    manifest, written = bands.write_wave_frontier(
+        spark, base, d0, cfg, bands.empty_manifest(cfg), [])
+    assert written == 10_000
+    assert list(manifest["bands"]) == ["5"]
+    segs = manifest["bands"]["5"]["segments"]
+    assert len(segs) > 50  # ~100 runs of ~100 rows
+    # runs cover disjoint, descending score ranges
+    ordered = sorted(segs, key=lambda s: -s["hi"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["lo"] > b["hi"]
+
+    # THE assertion: a 100-row wave reads ~100 rows, not 10,000
+    plan = bands.plan_read(manifest, 100)
+    assert 100 <= plan.rows_read <= 300, plan.rows_read
+    assert not plan.exhausted
+    consumed = bands.read_plan_df(spark, manifest, plan)
+    rows = consumed.collect()
+    assert len(rows) == plan.rows_read
+    # exact prefix closure: every frontier row at/above the cut is in
+    # the consumed set
+    n_above = base.where(F.col("score") >= plan.s_cut).count()
+    got_above = sum(1 for r in rows if r.score >= plan.s_cut)
+    assert got_above == n_above
+
+    # residual round-trip: schedule the top 100 eligible rows, write
+    # the rest of the consumed set back — write volume O(rows_read)
+    eligible = sorted((r for r in rows if r.score >= plan.s_cut),
+                      key=lambda r: (-r.score, r.url))
+    sched = {r.url for r in eligible[:100]}
+    residual = consumed.where(~F.col("url").isin(list(sched)))
+    d1 = str(tmp_path / "dense1")
+    manifest2, written2 = bands.write_wave_frontier(
+        spark, residual, d1, cfg, manifest, plan)
+    assert written2 == plan.rows_read - 100
+    assert bands.manifest_total(manifest2) == 9_900
+    full = bands.read_full_frontier(spark, manifest2)
+    assert full.count() == 9_900
+    assert full.select("url").distinct().count() == 9_900
+    # untouched segments still reference the original wave-0 files
+    carried = [s for s in manifest2["bands"]["5"]["segments"]
+               if s["paths"][0].startswith(d0)]
+    assert len(carried) >= len(segs) - len(plan.consumed[5])
+
+
+@pytest.mark.parametrize("split", [8, 10_000])
+def test_band_split_invariance_vs_oracle(spark, tmp_path, oracle_state,
+                                         split):
+    """band_split_rows is an IO knob, not a semantics knob: at any
+    run size the wave metrics match the split-matched oracle AND the
+    fetch ordering is byte-identical to the default-layout crawl.
+    split=8 forces multi-run partial-band reads with below-cut
+    passthrough rows every wave; split=10000 collapses each band to
+    one run (the whole-band degenerate case)."""
+    d = str(tmp_path / f"split_{split}")
+    cfg = CrawlConfig(checkpoint_dir=d, band_split_rows=split, **CFG)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(band_split_rows=split, **CFG)
+    assert summary["metrics"] == oracle.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]  # layout-INDEPENDENT ordering
+    shutil.rmtree(d, ignore_errors=True)
