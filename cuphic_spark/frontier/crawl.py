@@ -111,6 +111,12 @@ class CrawlConfig:
     link_extract: str = "streaming"  # 'streaming' (tree-free expat
     # twin of the fixed link pattern, default) | 'kernel' (general
     # engine scan); results pinned identical by tests
+    pruned_seen_byte_frac: float = 0.5  # auto routing: take the
+    # footer-pruned seen read only when the kept files' byte footprint
+    # is at most this fraction of the full seen footprint (the cost
+    # signal comes from the same footer walk the pruned read needs
+    # anyway — round-3 verdict item 5 replaced the old partition-count
+    # ratio, which ignored how bytes actually cluster across files)
     robots_ttl_waves: int = 0     # robots-cache TTL in waves: epoch =
     # wave // ttl selects the rules version (0 = static spec, the
     # deterministic default); oracle models the same schedule
@@ -475,6 +481,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     parts_hit = None  # auto's probe is reused by the pruned branch —
     # candidate_parts is a Spark job on the candidate chain; computing
     # it twice per wave was a redundant action (advisor round-3, low)
+    kept_files = None  # ditto for the footer walk
     if cfg.seen_check == "auto":
         big_seen = (n_seen_hint is not None
                     and n_seen_hint >= cfg.broadcast_seen_min)
@@ -486,14 +493,21 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             # footer-pruned read of just those partitions beats
             # shuffling the whole seen side. The parts probe is a
             # <= cfg.partitions-row collect off the cached candidate
-            # chain; the decision depends only on DATA (deterministic
-            # at any parallelism).
-            from .seen import candidate_parts
+            # chain; the cost model compares BYTES the pruned read
+            # would open vs the full seen footprint, from the same
+            # footer walk the pruned read needs anyway — the decision
+            # depends only on DATA (file sizes are deterministic
+            # functions of the partitioned writes: deterministic at
+            # any parallelism).
+            from .seen import candidate_parts, select_seen_files
 
             parts_hit = candidate_parts(distinct_links, cfg.partitions)
-            seen_strategy = ("pruned"
-                             if len(parts_hit) <= cfg.partitions // 2
-                             else "shuffle")
+            kept_files, kept_b, total_b = select_seen_files(
+                seen_paths, parts_hit, with_stats=True)
+            seen_strategy = (
+                "pruned"
+                if kept_b <= cfg.pruned_seen_byte_frac * total_b
+                else "shuffle")
         else:
             seen_strategy = "shuffle"
     else:
@@ -528,7 +542,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         if parts_hit is None:  # explicit seen_check='pruned' (auto
             # already computed the probe while routing)
             parts_hit = candidate_parts(distinct_links, cfg.partitions)
-        seen_for_check = prune_seen_paths(spark, seen_paths, parts_hit)
+        seen_for_check = prune_seen_paths(spark, seen_paths, parts_hit,
+                                          kept=kept_files)
 
     candidates = distinct_links
     use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
@@ -643,7 +658,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     caches = [frontier, ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
         caches.append(with_rank)
-    return (frontier_delta, seen_delta, fetch_log, finish, caches, plan)
+    return (frontier_delta, seen_delta, fetch_log, finish, caches, plan,
+            seen_strategy)
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -821,7 +837,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             bloom = build_bloom(seen, cfg.bloom_bits)  # first activation
         _mark("bloom_build")
         (frontier_delta, seen_delta, fetch_log, finish, caches,
-         plan) = run_wave(
+         plan, seen_strategy) = run_wave(
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths)
@@ -910,6 +926,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             "frontier_bands_read": plan.read_bands,
             "frontier_segments_read": sorted(plan.consumed_keys()),
             "frontier_score_cut": plan.s_cut,
+            "seen_strategy": seen_strategy,
             "metrics": metrics,
             "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
                        "budget_per_host": cfg.budget_per_host,

@@ -180,43 +180,61 @@ def candidate_parts(candidates: DataFrame, n_partitions: int) -> list[int]:
     return sorted(int(r.p) for r in rows)
 
 
-def select_seen_files(seen_paths: list[str], parts: list[int]) -> list[str]:
+def select_seen_files(seen_paths: list[str], parts: list[int],
+                      with_stats: bool = False):
     """File-level pruning via parquet FOOTER stats (pyarrow, metadata-
     only — no row IO): keep a file iff at least one of its row groups
     has a ``part`` min/max range intersecting ``parts``. Files without
     stats (or without the column) are conservatively kept — pruning
-    may only ever widen, never lose rows."""
+    may only ever widen, never lose rows.
+
+    ``with_stats=True`` additionally returns the kept and total byte
+    footprints ``(kept, kept_bytes, total_bytes)`` — the cost signal
+    the crawl's auto routing uses (one footer walk serves both the
+    decision and the read; file sizes are deterministic functions of
+    the partitioned write, so the decision is parallelism-independent).
+    """
     import os
 
     import pyarrow.parquet as pq
 
     wanted = set(int(p) for p in parts)
     kept: list[str] = []
+    kept_bytes = 0
+    total_bytes = 0
     for root in seen_paths:
         for name in sorted(os.listdir(root)):
             if not name.endswith(".parquet"):
                 continue
             fpath = os.path.join(root, name)
+            fsize = os.path.getsize(fpath) if with_stats else 0
+            total_bytes += fsize
             md = pq.ParquetFile(fpath).metadata
             col_idx = {md.schema.column(i).name: i
                        for i in range(md.num_columns)}
             if "part" not in col_idx:
                 kept.append(fpath)  # legacy file without part: keep
+                kept_bytes += fsize
                 continue
             ci = col_idx["part"]
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or st.min is None:
                     kept.append(fpath)
+                    kept_bytes += fsize
                     break
                 if any(st.min <= p <= st.max for p in wanted):
                     kept.append(fpath)
+                    kept_bytes += fsize
                     break
+    if with_stats:
+        return kept, kept_bytes, total_bytes
     return kept
 
 
 def prune_seen_paths(spark, seen_paths: list[str],
-                     parts: list[int]) -> "DataFrame":
+                     parts: list[int],
+                     kept: list[str] | None = None) -> "DataFrame":
     """Partition-pruned seen read: ``select_seen_files`` picks the
     files whose footer stats intersect the candidates' partition ids;
     kept files are read with an explicit schema plus a pushed
@@ -229,9 +247,12 @@ def prune_seen_paths(spark, seen_paths: list[str],
     manifests; at 10^10-url scale the footer listing is replaced by
     the catalog's manifest files, same plan shape. The file list is
     computed driver-side, so tests can assert untouched partitions
-    are literally never opened for row IO.
+    are literally never opened for row IO. A caller that already ran
+    ``select_seen_files`` (the auto router) passes ``kept`` to skip
+    the second footer walk.
     """
-    kept = select_seen_files(seen_paths, parts)
+    if kept is None:
+        kept = select_seen_files(seen_paths, parts)
     if not kept:
         return (spark.createDataFrame([], SEEN_FILE_SCHEMA)
                 .select("url", "added_wave"))
