@@ -223,19 +223,99 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
     return out
 
 
+def connected_components_star(edges: DataFrame, a: str = "doc_a",
+                              b: str = "doc_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Undirected connected components by alternating large-star /
+    small-star contraction — the O(log n)-round formulation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond"), for
+    graphs whose component DIAMETER is too deep for min-label
+    propagation (``connected_components`` needs one round per hop; a
+    million-link chain needs a million rounds, this needs ~20).
+
+    Per round (edges kept canonical as (hi, lo)):
+
+    * large-star: every node attaches its strictly LARGER neighbors
+      to the minimum of its closed neighborhood;
+    * small-star: every node attaches its smaller neighbors and
+      itself to the minimum of its smaller neighborhood.
+
+    Both preserve connectivity; the unique fixpoint per component is
+    a star centered at its minimum node. Each half-round is one
+    aggregation + one join over O(|E|) rows; lineage is truncated per
+    round (localCheckpoint) like the min-label loop. Deterministic:
+    component id = min node id. Returns (node, component) for every
+    node incident to an input edge. Raises on non-convergence (same
+    loud-failure contract as ``connected_components``)."""
+    raw = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    nodes = (raw.select(F.col("u").alias("node"))
+             .unionByName(raw.select(F.col("v").alias("node")))
+             .distinct())
+    e = (raw.where(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (sym.where(F.col("v") > F.col("u"))
+                 .join(mins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # small-star over the (hi -> lo) orientation large emits
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(mins2, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .unionByName(mins2.select("u", F.col("m").alias("v")))
+                 .distinct().localCheckpoint(eager=True))
+        same = (small.count() == e.count()
+                and small.join(e, ["u", "v"], "left_anti")
+                .limit(1).count() == 0)
+        e = small
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"connected_components_star did not converge in max_iter="
+            f"{max_iter} alternating rounds — returning here would "
+            "silently emit non-star (under-merged) components. This "
+            "needs O(log n) rounds; raise max_iter.")
+    # converged: every non-center node has exactly one (node, center)
+    # edge; centers (and self-loop-only nodes) label themselves
+    non_roots = e.select(F.col("u").alias("node"),
+                         F.col("v").alias("component"))
+    roots = (nodes.join(non_roots, "node", "left_anti")
+             .select("node", F.col("node").alias("component")))
+    return non_roots.unionByName(roots)
+
+
 def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 8,
                    band_size: int = 2,
-                   jaccard_milli_min: int = 800) -> DataFrame:
+                   jaccard_milli_min: int = 800,
+                   method: str = "label") -> DataFrame:
     """The full near-dup resolution chain: MinHash LSH candidates ->
     exact n-gram Jaccard verification -> connected components.
     Returns (doc_id, component) for every doc in a verified cluster
-    (component = min doc_id of the cluster)."""
+    (component = min doc_id of the cluster).
+
+    ``method``: 'label' (min-label propagation — right for the
+    shallow near-clique neighborhoods LSH emits) or 'star'
+    (large-star/small-star — O(log n) rounds, right when verified
+    edges can chain into deep components). Identical results."""
     cand = minhash_lsh_pairs(docs, k=k, n_hashes=n_hashes,
                              band_size=band_size)
     verified = (ngram_jaccard_pairs(docs, cand)
                 .where(F.col("jaccard_milli") >= jaccard_milli_min)
                 .select("doc_a", "doc_b"))
-    return (connected_components(verified)
+    cc = (connected_components_star if method == "star"
+          else connected_components)
+    return (cc(verified)
             .select(F.col("node").alias("doc_id"), "component"))
 
 

@@ -1022,3 +1022,19 @@ def test_select_seen_files_byte_stats(tmp_path):
     assert tb == sum(sizes.values())
     # plain call keeps its original signature
     assert select_seen_files([str(root)], [1, 3]) == kept
+
+
+def test_iceberg_probe_documents_absence(monkeypatch):
+    """Round-3 verdict item 8: the Iceberg swap-in is gated on an
+    explicit runtime probe. In this sandbox the probe must report
+    absence with an actionable reason, and CUPHIC_ICEBERG=1 must fail
+    loudly instead of silently running without a catalog."""
+    from cuphic_spark.session import get_spark, iceberg_available
+
+    ok, detail = iceberg_available()
+    assert not ok
+    assert "iceberg-spark-runtime" in detail
+
+    monkeypatch.setenv("CUPHIC_ICEBERG", "1")
+    with pytest.raises(RuntimeError, match="CUPHIC_ICEBERG=1 but"):
+        get_spark()

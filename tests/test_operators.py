@@ -426,3 +426,50 @@ def test_ivf_indexed_probe_cap_falls_back(spark, emb, tmp_path):
     # (Catalyst renders short lists as `IN (...)`, longer as `INSET`)
     assert not re.search(r"cell#\d+L? IN(SET| \()", executed_plan(capped))
     assert re.search(r"cell#\d+L? IN(SET| \()", executed_plan(pruned))
+
+
+def test_connected_components_star_deep_chain(spark):
+    """Large-star/small-star must resolve a 300-hop chain in O(log n)
+    alternating rounds — the graph shape where min-label propagation
+    (one hop per round) would need 299 rounds and loudly refuses."""
+    from cuphic_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(299)],
+                                  "doc_a long, doc_b long")
+    got = {r.node: r.component
+           for r in connected_components_star(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 300
+    with _pytest_raises_nonconverge():
+        connected_components(chain, max_iter=5)
+
+
+def _pytest_raises_nonconverge():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError, match="did not converge")
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star contraction and min-label propagation are the same
+    operator: identical (node, component) output on a random graph
+    with multiple components, self-loops, and isolated pairs."""
+    import random
+
+    from cuphic_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(200), rng.randrange(200))
+             for _ in range(150)}
+    edges |= {(500, 501), (600, 600)}  # isolated pair + self-loop
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    star = {(r.node, r.component)
+            for r in connected_components_star(df).collect()}
+    label = {(r.node, r.component)
+             for r in connected_components(df, max_iter=100).collect()}
+    assert star == label
