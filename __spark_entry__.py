@@ -848,9 +848,13 @@ def oracle_sql() -> dict[str, str]:
             sig AS (
               SELECT doc_id,
                      [list_aggregate(list_transform(s,
-                        x -> md5((2*b) || ':' || x)), 'min') || '|' ||
+                        x -> substr(md5(((2*b) // 4) || ':' || x),
+                                    ((2*b) % 4) * 8 + 1, 8)),
+                        'min') || '|' ||
                       list_aggregate(list_transform(s,
-                        x -> md5((2*b+1) || ':' || x)), 'min')
+                        x -> substr(md5(((2*b+1) // 4) || ':' || x),
+                                    ((2*b+1) % 4) * 8 + 1, 8)),
+                        'min')
                       FOR b IN [0, 1, 2, 3]] AS bands
               FROM sh),
             bandrows AS (
@@ -897,9 +901,13 @@ def oracle_sql() -> dict[str, str]:
             sig AS (
               SELECT doc_id,
                      [list_aggregate(list_transform(s,
-                        x -> md5((2*b) || ':' || x)), 'min') || '|' ||
+                        x -> substr(md5(((2*b) // 4) || ':' || x),
+                                    ((2*b) % 4) * 8 + 1, 8)),
+                        'min') || '|' ||
                       list_aggregate(list_transform(s,
-                        x -> md5((2*b+1) || ':' || x)), 'min')
+                        x -> substr(md5(((2*b+1) // 4) || ':' || x),
+                                    ((2*b+1) % 4) * 8 + 1, 8)),
+                        'min')
                       FOR b IN [0, 1, 2, 3]] AS bands
               FROM sh),
             bandrows AS (
@@ -961,13 +969,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": """
             SELECT doc_id,
-                   list_aggregate(list_transform(sh, s -> md5('0:' || s)),
+                   list_aggregate(list_transform(sh,
+                     s -> substr(md5('0:' || s), 1, 8)),
                                   'min') AS minhash_0,
-                   list_aggregate(list_transform(sh, s -> md5('1:' || s)),
+                   list_aggregate(list_transform(sh,
+                     s -> substr(md5('0:' || s), 9, 8)),
                                   'min') AS minhash_1,
-                   list_aggregate(list_transform(sh, s -> md5('2:' || s)),
+                   list_aggregate(list_transform(sh,
+                     s -> substr(md5('0:' || s), 17, 8)),
                                   'min') AS minhash_2,
-                   list_aggregate(list_transform(sh, s -> md5('3:' || s)),
+                   list_aggregate(list_transform(sh,
+                     s -> substr(md5('0:' || s), 25, 8)),
                                   'min') AS minhash_3
             FROM (SELECT doc_id,
                          list_transform(range(len(w) - 2),

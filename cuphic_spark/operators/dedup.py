@@ -48,22 +48,41 @@ def _shingles(text_col, k: int = 3):
 
 def minhash_signature(docs: DataFrame, k: int = 3,
                       n_hashes: int = 4) -> DataFrame:
-    """MinHash over k-word shingles. Hash family h_j(s) =
-    md5(j || ':' || s) (hex strings compare lexicographically =
-    numerically). Returns doc_id + minhash_0..n-1.
+    """MinHash over k-word shingles. Hash family: ONE md5 digest per
+    (seed, shingle) yields FOUR independent 32-bit hashes — hash i is
+    the 8-hex-char slice ``md5((i div 4) || ':' || s)[(i mod 4)*8 :]``
+    (hex slices compare lexicographically = numerically). Returns
+    doc_id + minhash_0..n-1.
+
+    The digest-slicing is a deliberate hot-path optimization: the
+    exploded shingle stream is the bench's heaviest section, and the
+    naive family (one full md5 PER hash) pays n_hashes digests per
+    shingle where ceil(n_hashes/4) suffice — a ~4x cut in hashing
+    with the standard one-digest-many-hashes construction (32-bit
+    slices keep min-collision probability negligible at shingle
+    counts this pipeline sees).
 
     Physical shape: explode shingles once, then group-min per doc —
     the shingle array is built ONCE (an array_min-per-hash projection
-    would rebuild it n_hashes times), and the groupBy gets map-side
+    would rebuild it n_hashes times), the per-seed digest is computed
+    ONCE across its four slices, and the groupBy gets map-side
     partial aggregation, so the shuffle carries only one row per
     (doc, hash) pair worth of state."""
     sh = _shingles(F.col("text"), k)
     exploded = (docs
                 .where(F.size(F.split(F.col("text"), " ")) >= k)
                 .select("doc_id", F.explode(sh).alias("s")))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))))
-            .alias(f"minhash_{j}") for j in range(n_hashes)]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    # digests PROJECTED before the aggregate: an agg expression is
+    # evaluated per aggregate function, so slicing md5 inline would
+    # recompute the digest once per slice — the projection pins one
+    # md5 per (seed, shingle)
+    n_seeds = -(-n_hashes // 4)
+    digested = exploded.select(
+        "doc_id", *[F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))
+                    .alias(f"d{j}") for j in range(n_seeds)])
+    aggs = [F.min(F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8))
+            .alias(f"minhash_{i}") for i in range(n_hashes)]
+    return digested.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
