@@ -1038,3 +1038,88 @@ def test_iceberg_probe_documents_absence(monkeypatch):
     monkeypatch.setenv("CUPHIC_ICEBERG", "1")
     with pytest.raises(RuntimeError, match="CUPHIC_ICEBERG=1 but"):
         get_spark()
+
+
+def test_plan_read_properties_and_oracle_mirror():
+    """Randomized pin of the read plan's invariants AND its oracle
+    mirror: for arbitrary segment layouts and needs, bands.plan_read
+    and the oracle's _plan must agree exactly (consumed seqs, score
+    cut, rows_read, exhaustion), the consumed set must be closure-
+    complete (every segment overlapping the cut is consumed), and
+    plans must be monotone in need (a larger need consumes a
+    superset) — the property the extension loop relies on."""
+    import random
+
+    from cuphic_spark.frontier import bands
+    from tests.oracle import crawl_oracle
+
+    rng = random.Random(42)
+    for trial in range(200):
+        width = rng.choice([10, 100, 1000])
+        n_bands = rng.randint(1, 4)
+        manifest = {"band_width": width, "partitions": 4,
+                    "band_split_rows": 8, "next_seq": 0, "bands": {}}
+        oracle_segs = {}
+        seq = 0
+        for b in rng.sample(range(0, 20), n_bands):
+            segs = []
+            for _ in range(rng.randint(1, 5)):
+                lo = b * width + rng.randrange(width)
+                hi = min(b * width + width - 1,
+                         lo + rng.randrange(width))
+                segs.append({"paths": [f"/p{seq}"],
+                             "count": rng.randint(1, 50),
+                             "lo": lo, "hi": hi, "seq": seq})
+                seq += 1
+            manifest["bands"][str(b)] = {
+                "count": sum(s["count"] for s in segs),
+                "paths": [s["paths"][0] for s in segs],
+                "segments": segs}
+            oracle_segs[b] = [dict(s, urls=[]) for s in segs]
+        total = bands.manifest_total(manifest)
+        needs = sorted({rng.randint(1, total + 10), rng.randint(1, total + 10)})
+
+        prev_keys = None
+        for need in needs:
+            plan = bands.plan_read(manifest, need)
+            consumed, s_cut, rows, exhausted = crawl_oracle._plan(
+                oracle_segs, width, need)
+            # 1. exact oracle mirror
+            assert plan.consumed_keys() == {
+                (b, s["seq"]) for b, segs in consumed.items()
+                for s in segs}, trial
+            assert (plan.s_cut, plan.rows_read, plan.exhausted) == \
+                (s_cut, rows, exhausted), trial
+            # 2. bookkeeping: rows_read = sum of consumed counts
+            assert plan.rows_read == sum(
+                s["count"] for segs in plan.consumed.values()
+                for s in segs), trial
+            # 3. closure: every segment with hi >= s_cut is consumed
+            keys = plan.consumed_keys()
+            for b in manifest["bands"]:
+                for s in manifest["bands"][b]["segments"]:
+                    if s["hi"] >= plan.s_cut:
+                        assert (int(b), s["seq"]) in keys, (trial, b, s)
+            # 4. coverage: enough rows unless the manifest ran dry
+            assert plan.rows_read >= need or plan.exhausted, trial
+            # 5. monotone in need
+            if prev_keys is not None:
+                assert prev_keys <= keys, trial
+            prev_keys = keys
+
+
+def test_resume_band_split_mismatch_raises(spark, tmp_path):
+    """Resuming with a different run size must fail loudly: the read
+    protocol (and its oracle) is a function of the run layout."""
+    d = str(tmp_path / "resume_split")
+    cfg = CrawlConfig(checkpoint_dir=d, **{**CFG, "n_waves": 2})
+    crawl(spark, cfg)
+
+    bad = CrawlConfig(checkpoint_dir=d, band_split_rows=7, **CFG)
+    with pytest.raises(ValueError, match="band_split_rows mismatch"):
+        crawl(spark, bad)
+
+    good = CrawlConfig(checkpoint_dir=d, **CFG)
+    summary = crawl(spark, good)
+    assert summary["start_wave"] == 2
+    shutil.rmtree(d, ignore_errors=True)
