@@ -1123,3 +1123,26 @@ def test_resume_band_split_mismatch_raises(spark, tmp_path):
     summary = crawl(spark, good)
     assert summary["start_wave"] == 2
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_robots_ttl_with_subband_layout_matches_matched_oracle(
+        spark, tmp_path):
+    """Advisor round-3 caveat, pinned: with robots TTL epochs the
+    wave in which a denied row drops depends on when its segment is
+    first read, so denied counts are LAYOUT-dependent — the crawl
+    must still match an oracle run at the SAME (ttl, run-size)
+    layout exactly."""
+    kw = dict(universe=5000, n_seeds=12, budget_per_host=4, wave_cap=24,
+              n_waves=3)
+    d = str(tmp_path / "ttl_split")
+    cfg = CrawlConfig(checkpoint_dir=d, robots_ttl_waves=1,
+                      band_split_rows=8, **kw)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(robots_ttl_waves=1, band_split_rows=8,
+                              **kw)
+    assert summary["metrics"] == oracle.metrics
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
