@@ -79,6 +79,65 @@ def compact_seen(spark, cfg: CrawlConfig, upto_wave: int | None = None) -> str:
     return out_dir
 
 
+def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
+    """Offline maintenance: RE-PRIORITIZE every pending url — the
+    operation a real crawl runs when scheduling policy changes
+    (domain quotas shift, a quality model updates, a depth penalty is
+    retuned). Reads the last complete wave's frontier through its
+    manifest, recomputes ``score`` from ``new_score_col`` (a Column
+    over url/host/depth/score/discovered_wave), and rewrites the
+    frontier as fresh band/run-partitioned files + manifest.
+
+    Deliberately O(|frontier|) — like ``compact_seen`` this is an
+    explicit offline maintenance job, never part of the wave loop
+    (waves stay O(rows_read + new)). The swap is rollback-safe: the
+    previous manifest is archived next to the new one
+    (``_frontier_manifest.json.pre_rescore``) and the old band files
+    — which live in OLDER wave dirs — are never deleted, so the
+    archived manifest remains fully readable. The seen set, bloom,
+    and cuckoo shards are untouched (they are url-keyed, not
+    score-keyed). Subsequent waves schedule by the new scores; the
+    scheduled set stays layout-independent by the same prefix
+    argument as always (bands.ReadPlan).
+
+    Raises if any new score is negative (the banding contract
+    requires non-negative scores) — one tiny aggregation, acceptable
+    for an offline job."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from . import bands
+
+    last = last_complete_wave(cfg)
+    if last >= 0:
+        fdir = os.path.join(_wave_dir(cfg, last), "frontier")
+        out_dir = os.path.join(_wave_dir(cfg, last), "frontier_rescored")
+    else:
+        fdir = os.path.join(cfg.checkpoint_dir, "frontier_seed")
+        out_dir = os.path.join(cfg.checkpoint_dir,
+                               "frontier_seed_rescored")
+    manifest = bands.load_manifest(fdir)
+    df = (bands.read_full_frontier(spark, manifest)
+          .withColumn("score", new_score_col.cast("long")))
+    bad = df.where(F.col("score") < 0).limit(1).count()
+    if bad:
+        raise ValueError(
+            "rescore_frontier: new_score_col produced a NEGATIVE "
+            "score — the score-band layout (band = score div width) "
+            "requires non-negative scores; shift or clamp the "
+            "expression")
+    new_manifest, rows = bands.write_wave_frontier(
+        spark, df, out_dir, cfg, bands.empty_manifest(cfg), [])
+    # archive-then-swap: write_manifest's os.replace is the atomic
+    # commit point; a crash before it leaves the old manifest intact
+    _shutil.copyfile(bands.manifest_path(fdir),
+                     bands.manifest_path(fdir) + ".pre_rescore")
+    bands.write_manifest(fdir, new_manifest)
+    return {"rows": rows, "out_dir": out_dir, "manifest_dir": fdir,
+            "archived": bands.manifest_path(fdir) + ".pre_rescore"}
+
+
 def read_frontier_asof(spark, cfg: CrawlConfig, wave: int):
     """The frontier AS OF the end of ``wave`` (``-1`` = seed state),
     through its committed manifest — the snapshot-id-addressed read

@@ -1146,3 +1146,71 @@ def test_robots_ttl_with_subband_layout_matches_matched_oracle(
         [(e["wave"], e["rank_in_wave"], e["url"])
          for e in oracle.fetch_log]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rescore_frontier_noop_and_repriorities(spark, tmp_path,
+                                                oracle_state):
+    """Frontier re-prioritization (offline maintenance, like
+    compact_seen): (a) rescoring with the IDENTITY expression is a
+    semantic no-op — the resumed crawl reproduces the uninterrupted
+    oracle byte-for-byte; (b) rescoring with an inverted priority
+    makes the next wave schedule exactly the politeness-budgeted
+    top-cap under the NEW scores (computed independently in plain
+    Python over the as-of read)."""
+    from cuphic_spark.frontier.snapshots import (
+        read_frontier_asof,
+        rescore_frontier,
+    )
+
+    # (a) identity rescore between waves changes nothing
+    d1 = str(tmp_path / "rescore_noop")
+    cfg = CrawlConfig(checkpoint_dir=d1, **{**CFG, "n_waves": 2})
+    crawl(spark, cfg)
+    info = rescore_frontier(spark, cfg, F.col("score"))
+    assert info["rows"] > 0
+    summary = crawl(spark, CrawlConfig(checkpoint_dir=d1, **CFG))
+    assert summary["start_wave"] == 2
+    log = read_fetch_log(
+        spark, CrawlConfig(checkpoint_dir=d1, **CFG)).orderBy(
+        "wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d1, ignore_errors=True)
+
+    # (b) inverted priority actually re-orders the next wave
+    d2 = str(tmp_path / "rescore_inv")
+    cfg = CrawlConfig(checkpoint_dir=d2, **{**CFG, "n_waves": 2})
+    crawl(spark, cfg)
+    rescore_frontier(spark, cfg, F.lit(20000) - F.col("score"))
+    pending = {r.url: r.score
+               for r in read_frontier_asof(spark, cfg, 1).collect()}
+    # independent expectation: robots filter + per-host budget +
+    # global top-cap under (new score desc, url asc)
+    budgeted, per_host = [], {}
+    for url in sorted(pending, key=lambda u: (-pending[u], u)):
+        if crawl_oracle.robots_deny(url):
+            continue
+        h = crawl_oracle.host_of_url(url)
+        if per_host.get(h, 0) < CFG["budget_per_host"]:
+            per_host[h] = per_host.get(h, 0) + 1
+            budgeted.append(url)
+    expected = budgeted[:CFG["wave_cap"]]
+
+    summary = crawl(spark, CrawlConfig(checkpoint_dir=d2, **CFG))
+    assert summary["start_wave"] == 2
+    w2 = (read_fetch_log(spark, CrawlConfig(checkpoint_dir=d2, **CFG))
+          .where(F.col("wave") == 2).orderBy("rank_in_wave").collect())
+    assert [r.url for r in w2] == expected
+    # and the inverted order genuinely differs from the unrescored run
+    assert expected != [e["url"] for e in oracle_state.fetch_log
+                        if e["wave"] == 2]
+    shutil.rmtree(d2, ignore_errors=True)
+
+    # negative scores refuse loudly (banding contract)
+    d3 = str(tmp_path / "rescore_neg")
+    cfg = CrawlConfig(checkpoint_dir=d3, **{**CFG, "n_waves": 1})
+    crawl(spark, cfg)
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        rescore_frontier(spark, cfg, F.col("score") - F.lit(10 ** 9))
+    shutil.rmtree(d3, ignore_errors=True)
