@@ -7,9 +7,14 @@ Decode is REAL for the codec-free formats:
   zero-crossing rate, peak, and 4 FFT band energies;
 * **PPM/PGM (P6/P5 binary)** — pure-numpy header+raster decode,
   channel means/std/aspect features, and a real area-average resize
-  re-encoded as PPM.
+  re-encoded as PPM;
+* **baseline JPEG (SOF0, 4:4:4/grayscale)** — a from-scratch
+  pure-numpy codec (operators/jpeg.py, ITU T.81 subset): real
+  Huffman + dequant + IDCT decode feeding the same feature/resize
+  paths; non-baseline streams (progressive, subsampled, restart
+  intervals) raise NotImplementedError naming the feature.
 
-Formats that genuinely need external codecs (JPEG/MP3/MP4 …) raise
+Formats that genuinely need external codecs (MP3/MP4/WebP …) raise
 ``NotImplementedError`` unless ``deterministic_fake=True`` routes
 them to a seeded fake feature (clearly marked; video container
 parsing stays faked — no codec libs in this container, swapping in
@@ -174,7 +179,21 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
+
+
+def jpeg_features(payload: bytes) -> list[float]:
+    """Same feature shape as pnm_features, over the REAL baseline
+    JPEG decode (operators/jpeg.py)."""
+    from .jpeg import decode_jpeg
+
+    img = decode_jpeg(payload).astype(np.float32)
+    h, w, _ = img.shape
+    means = [float(img[:, :, c].mean()) / 255.0 for c in range(3)]
+    return [float(w), float(h), w / h, *means,
+            float(img.std()) / 255.0, 0.0]
 
 
 # --------------------------------------------------------------------------
@@ -286,10 +305,11 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                      deterministic_fake: bool = True) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
-    WAV and PPM/PGM payloads decode FOR REAL (numpy/stdlib — see
-    module docstring); other formats take the seeded fake when
-    ``deterministic_fake=True`` and raise otherwise (exactly the
-    formats that need codec libs this container lacks)."""
+    WAV, PPM/PGM, and baseline JPEG payloads decode FOR REAL
+    (numpy/stdlib — see module docstring); other formats take the
+    seeded fake when ``deterministic_fake=True`` and raise otherwise
+    (exactly the formats that need codec libs this container
+    lacks)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -302,13 +322,15 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                     feats.append(wav_features(b))
                 elif fmt in ("ppm", "pgm"):
                     feats.append(pnm_features(b))
+                elif fmt == "jpeg":
+                    feats.append(jpeg_features(b))
                 elif deterministic_fake:
                     fmt = "fake"
                     feats.append(_fake_feature(b, dim))
                 else:
                     raise NotImplementedError(
-                        "payload is not WAV/PNM — real decoding of "
-                        "compressed formats requires PIL/librosa/"
+                        "payload is not WAV/PNM/baseline-JPEG — real "
+                        "decoding of other formats requires PIL/librosa/"
                         "ffmpeg (absent in this container); pass "
                         "deterministic_fake=True to route them to "
                         "the seeded fake")
@@ -342,8 +364,9 @@ def resize_images(media: DataFrame, width: int = 224,
                   deterministic_fake: bool = True) -> DataFrame:
     """REAL image resize for PNM payloads: decode -> area-average
     resize to ``width`` (aspect kept) -> re-encode as P6, inside one
-    Arrow batch loop. Non-PNM images raise unless
-    ``deterministic_fake=True`` (seeded truncation stand-in)."""
+    Arrow batch loop. Baseline JPEG decodes through the from-scratch
+    codec; other formats raise unless ``deterministic_fake=True``
+    (seeded truncation stand-in)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("resized", T.BinaryType()),
@@ -357,8 +380,13 @@ def resize_images(media: DataFrame, width: int = 224,
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
                 fmt = sniff_format(b)
-                if fmt in ("ppm", "pgm"):
-                    img = decode_pnm(b)
+                if fmt in ("ppm", "pgm", "jpeg"):
+                    if fmt == "jpeg":
+                        from .jpeg import decode_jpeg
+
+                        img = decode_jpeg(b)
+                    else:
+                        img = decode_pnm(b)
                     if img.shape[2] == 1:
                         img = np.repeat(img, 3, axis=2)
                     out = resize_area(img, width)
@@ -371,7 +399,7 @@ def resize_images(media: DataFrame, width: int = 224,
                     hs.append(0)
                 else:
                     raise NotImplementedError(
-                        "non-PNM image resize requires PIL")
+                        "non-PNM/JPEG image resize requires PIL")
                 ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "resized": blobs,
                                 "out_width": ws, "out_height": hs})

@@ -473,3 +473,68 @@ def test_connected_components_star_matches_label(spark):
     label = {(r.node, r.component)
              for r in connected_components(df, max_iter=100).collect()}
     assert star == label
+
+
+def test_jpeg_codec_roundtrip_and_pipeline(spark):
+    """From-scratch baseline JPEG codec (ITU T.81 subset, pure
+    numpy): encode->decode roundtrips within quantization error,
+    deterministic bytes, grayscale support, loud refusal of
+    non-baseline streams — and the Spark multimodal paths (feature
+    extraction, resize) decode it for real."""
+    import numpy as np
+
+    from cuphic_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cuphic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_pnm,
+        extract_features,
+        resize_images,
+        sniff_format,
+    )
+
+    w, h = 48, 36
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                    np.full((h, w), 77)], axis=-1).astype(np.uint8)
+    for q, bound in ((95, 10), (85, 16), (60, 24)):
+        data = encode_jpeg(img, quality=q)
+        assert sniff_format(data) == "jpeg"
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= bound, (q, err.max())
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)  # deterministic
+
+    gray = (xx * 255 // (w - 1)).astype(np.uint8)
+    g = decode_jpeg(encode_jpeg(gray, 90))
+    assert g.shape == (h, w, 3)
+    assert np.abs(g[:, :, 0].astype(int) - gray.astype(int)).max() <= 8
+
+    # non-baseline: progressive SOF2 refuses by name
+    import pytest as _pytest
+
+    progressive = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
+                   b"\x01\x01\x11\x00")
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(progressive + b"\xff\xd9")
+
+    # Spark paths: features + resize decode the real pixels
+    rows = [(100, "image", encode_jpeg(img, 90), {}),
+            (101, "image", encode_jpeg(img, 60), {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in
+             extract_features(media, deterministic_fake=False).collect()}
+    for mid, r in feats.items():
+        assert r.format == "jpeg"
+        fw, fh, aspect, m0, m1, m2, _std, _ = r.feature
+        assert (fw, fh) == (48.0, 36.0)
+        assert abs(m0 - 0.5) < 0.05      # x-gradient mean
+        assert abs(m2 - 77 / 255) < 0.05  # near-constant B channel
+
+    resized = {r.media_id: r for r in
+               resize_images(media, width=16,
+                             deterministic_fake=False).collect()}
+    for mid, r in resized.items():
+        out = decode_pnm(bytes(r.resized))
+        assert out.shape[1] == 16 == r.out_width
+        assert abs(int(out[:, :, 2].mean()) - 77) <= 12
