@@ -142,13 +142,20 @@ def bands_desc(manifest: dict) -> list[int]:
 
 def band_segments(manifest: dict, band: int) -> list[dict]:
     """A band's segments; a pre-split manifest entry (bare paths +
-    count) is adapted to one whole-band segment."""
+    count) is adapted to one whole-band segment. The adapted segment
+    gets a NEGATIVE per-band seq (-1 - band): new run segments are
+    numbered from ``next_seq`` (>= 0), which a legacy manifest does
+    not carry, so a seq of 0 here would collide with the first new
+    run appended to the same band — and consumed-key filtering by
+    (band, seq) would then drop BOTH segments, silently losing the
+    unconsumed one's rows."""
     entry = manifest["bands"][str(band)]
     if "segments" in entry:
         return entry["segments"]
     width = int(manifest["band_width"])
     return [{"paths": list(entry["paths"]), "count": entry["count"],
-             "lo": band * width, "hi": (band + 1) * width - 1, "seq": 0}]
+             "lo": band * width, "hi": (band + 1) * width - 1,
+             "seq": -1 - band}]
 
 
 def _segments_desc(manifest: dict, band: int) -> list[dict]:
@@ -268,19 +275,25 @@ def _dir_row_count(path: str) -> int:
     return total
 
 
+MAX_RUN_MAP_ROWS = 200_000  # loud-failure guard: the run map is one
+# row per distinct (band, score) — bounded by the coarse-score
+# contract the crawl enforces via max_score_histogram; a fine-grained
+# score would silently turn the collect + broadcast below into an
+# O(|delta|) driver transfer
+
+
 def _with_runs(df: DataFrame, split_rows: int):
     """Assign each delta row its RUN: within a band, rows are grouped
     by score (descending) and cut into runs of ~``split_rows`` rows —
     every distinct score lands wholly in one run, so runs cover
     disjoint contiguous score ranges (the property the prefix read
     protocol needs). The run id is a pure function of the delta's
-    per-score counts: one tiny aggregation (distinct (band, score) is
-    bounded by the coarse-score contract the crawl already enforces
-    via max_score_histogram), a per-band running sum over it, and a
-    broadcast join back — no full-delta window, no driver collect.
+    per-score counts: ONE tiny aggregation (collected once — the run
+    metadata derives from the same rows driver-side, so the agg is
+    never re-executed by a second action), then a broadcast join of
+    the literal score->run map back onto the delta.
 
-    Returns (df + run column, run metadata df (band, run, lo, hi,
-    cnt))."""
+    Returns (df + run column, {(band, run): (lo, hi)})."""
     counts = df.groupBy("band", "score").agg(F.count("*").alias("cnt"))
     w = (Window.partitionBy("band").orderBy(F.desc("score"))
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -290,12 +303,25 @@ def _with_runs(df: DataFrame, split_rows: int):
             .withColumn("run",
                         (F.col("cum_before") / F.lit(int(split_rows)))
                         .cast("int"))
-            .select("band", "score", "cnt", "run"))
-    meta = (runs.groupBy("band", "run")
-            .agg(F.min("score").alias("lo"), F.max("score").alias("hi"),
-                 F.sum("cnt").alias("cnt")))
-    out = df.join(F.broadcast(runs.select("band", "score", "run")),
-                  ["band", "score"])
+            .select("band", "score", "run"))
+    rows = runs.collect()  # the ONE execution of the split agg
+    if len(rows) > MAX_RUN_MAP_ROWS:
+        raise ValueError(
+            f"run map has {len(rows)} distinct (band, score) rows > "
+            f"{MAX_RUN_MAP_ROWS}: the run split assumes COARSE scores "
+            "(same contract as max_score_histogram); coarsen the "
+            "score function or widen band_split_rows deliberately")
+    meta: dict[tuple[int, int], tuple[int, int]] = {}
+    for r in rows:
+        key = (int(r.band), int(r.run))
+        sc = int(r.score)
+        lo, hi = meta.get(key, (sc, sc))
+        meta[key] = (min(lo, sc), max(hi, sc))
+    spark = df.sparkSession
+    run_map = spark.createDataFrame(
+        [(int(r.band), int(r.score), int(r.run)) for r in rows],
+        "band int, score long, run int")
+    out = df.join(F.broadcast(run_map), ["band", "score"])
     return out, meta
 
 
@@ -308,12 +334,10 @@ def _write_run_partitioned(df: DataFrame, path: str, cfg,
     partitions" — now per run). Returns run records
     [{band, run, path, count, lo, hi}] in (band, run) order, counts
     from parquet footers."""
-    with_run, meta = _with_runs(df, split_rows)
+    with_run, meta_rows = _with_runs(df, split_rows)
     (with_run.repartition(cfg.partitions, "part")
      .sortWithinPartitions(F.desc("score"), F.asc("url"))
      .write.mode("overwrite").partitionBy("band", "run").parquet(path))
-    meta_rows = {(int(r.band), int(r.run)): (int(r.lo), int(r.hi))
-                 for r in meta.collect()}
     records: list[dict] = []
     for bname in sorted(os.listdir(path)):
         if not bname.startswith("band="):

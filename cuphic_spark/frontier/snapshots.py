@@ -112,11 +112,22 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
     last = last_complete_wave(cfg)
     if last >= 0:
         fdir = os.path.join(_wave_dir(cfg, last), "frontier")
-        out_dir = os.path.join(_wave_dir(cfg, last), "frontier_rescored")
+        out_base = os.path.join(_wave_dir(cfg, last),
+                                "frontier_rescored")
     else:
         fdir = os.path.join(cfg.checkpoint_dir, "frontier_seed")
-        out_dir = os.path.join(cfg.checkpoint_dir,
-                               "frontier_seed_rescored")
+        out_base = os.path.join(cfg.checkpoint_dir,
+                                "frontier_seed_rescored")
+    # versioned output dir: a SECOND rescore before the next wave
+    # would otherwise read the frontier from frontier_rescored while
+    # overwriting that same directory in one Spark job (the leaf-dir
+    # reads dodge Spark's overwrite-read check — input files deleted
+    # mid-job). Each rescore writes a fresh _vN dir and archives the
+    # manifest under a matching suffix.
+    n = 0
+    while os.path.isdir(f"{out_base}_v{n}"):
+        n += 1
+    out_dir = f"{out_base}_v{n}"
     manifest = bands.load_manifest(fdir)
     df = (bands.read_full_frontier(spark, manifest)
           .withColumn("score", new_score_col.cast("long")))
@@ -131,11 +142,11 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
         spark, df, out_dir, cfg, bands.empty_manifest(cfg), [])
     # archive-then-swap: write_manifest's os.replace is the atomic
     # commit point; a crash before it leaves the old manifest intact
-    _shutil.copyfile(bands.manifest_path(fdir),
-                     bands.manifest_path(fdir) + ".pre_rescore")
+    archive = bands.manifest_path(fdir) + f".pre_rescore_v{n}"
+    _shutil.copyfile(bands.manifest_path(fdir), archive)
     bands.write_manifest(fdir, new_manifest)
     return {"rows": rows, "out_dir": out_dir, "manifest_dir": fdir,
-            "archived": bands.manifest_path(fdir) + ".pre_rescore"}
+            "archived": archive}
 
 
 def read_frontier_asof(spark, cfg: CrawlConfig, wave: int):

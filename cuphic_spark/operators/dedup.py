@@ -173,6 +173,35 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     )
 
 
+def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+    """localCheckpoint(eager) + the block-manager RDD ids it created.
+
+    DataFrame.unpersist() does NOT free a localCheckpoint's blocks
+    (verified: the RDD stays in getRDDStorageInfo), so an iterative
+    loop that checkpoints per round would pin O(rounds * |V|) storage
+    — the ids let the loop free the PREVIOUS round's blocks once the
+    new round has materialized. Freeing a localCheckpoint makes it
+    unrecoverable (lineage is truncated), so callers must only free
+    checkpoints no later action reads."""
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in
+              sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(i) for i in
+             sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, after - before
+
+
+def _free_rdd_ids(spark_df_or_session, ids: set) -> None:
+    sc = getattr(spark_df_or_session, "sparkSession",
+                 spark_df_or_session).sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(edges: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
                          max_iter: int = 25) -> DataFrame:
@@ -209,22 +238,26 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
     # and at scale the driver dies in analysis long before that
     # (found by the chain-graph test). On a cluster with executor
     # loss, swap for checkpoint() on reliable storage.
-    labels = (sym.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+    labels, label_ids = _tracked_local_checkpoint(
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node")))
     changed = None
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym["u"] == labels["node"])
                 .select(F.col("v").alias("node"), "label"))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("node")
-                      .agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels, new_ids = _tracked_local_checkpoint(
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label")))
         changed = (new_labels
                    .join(labels.withColumnRenamed("label", "old"), "node")
                    .where(F.col("label") != F.col("old"))
                    .limit(1).count())
-        labels = new_labels
+        # the changed-count was the last reader of the previous
+        # round's checkpoint — free its blocks (the final round's
+        # labels stay persisted: they ARE the result)
+        _free_rdd_ids(labels, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
     if changed != 0:
@@ -270,10 +303,11 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a",
     nodes = (raw.select(F.col("u").alias("node"))
              .unionByName(raw.select(F.col("v").alias("node")))
              .distinct())
-    e = (raw.where(F.col("u") != F.col("v"))
-         .select(F.greatest("u", "v").alias("u"),
-                 F.least("u", "v").alias("v"))
-         .distinct().localCheckpoint(eager=True))
+    e, e_ids = _tracked_local_checkpoint(
+        raw.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"))
+        .distinct())
     converged = False
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood
@@ -287,15 +321,19 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a",
                  .distinct())
         # small-star over the (hi -> lo) orientation large emits
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (large.join(mins2, "u")
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .where(F.col("u") != F.col("v"))
-                 .unionByName(mins2.select("u", F.col("m").alias("v")))
-                 .distinct().localCheckpoint(eager=True))
+        small, small_ids = _tracked_local_checkpoint(
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct())
         same = (small.count() == e.count()
                 and small.join(e, ["u", "v"], "left_anti")
                 .limit(1).count() == 0)
-        e = small
+        # the convergence check was the last reader of the previous
+        # round's edge checkpoint — free its blocks
+        _free_rdd_ids(e, e_ids)
+        e, e_ids = small, small_ids
         if same:
             converged = True
             break

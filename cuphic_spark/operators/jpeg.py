@@ -484,8 +484,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 k += 1
     planes = []
     for ci, (_cid, tq) in enumerate(comps):
+        # coefs hold ZIGZAG-ordered values; bring them to natural
+        # order FIRST, then dequantize with the natural-order table
+        # (multiplying zigzag values by the natural-order table pairs
+        # every AC coefficient with the wrong quant step — caught by
+        # the noise-image roundtrip test)
         q = qtabs[tq].reshape(64).astype(np.float64)
-        deq = (coefs[ci].astype(np.float64) * q)[:, UNZIGZAG] \
+        deq = (coefs[ci].astype(np.float64)[:, UNZIGZAG] * q) \
             .reshape(n_blocks, 8, 8)
         spatial = np.einsum("xu,nuv,yv->nxy", _A.T, deq, _A.T) + 128.0
         planes.append(_unblocks(spatial, h, w))

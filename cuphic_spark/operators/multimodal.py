@@ -323,7 +323,17 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                 elif fmt in ("ppm", "pgm"):
                     feats.append(pnm_features(b))
                 elif fmt == "jpeg":
-                    feats.append(jpeg_features(b))
+                    # the from-scratch decoder covers BASELINE jpeg;
+                    # progressive/subsampled/corrupt streams must not
+                    # kill the task when the fake fallback is on (the
+                    # pre-jpeg contract: undecodable -> seeded fake)
+                    try:
+                        feats.append(jpeg_features(b))
+                    except Exception:
+                        if not deterministic_fake:
+                            raise
+                        fmt = "fake"
+                        feats.append(_fake_feature(b, dim))
                 elif deterministic_fake:
                     fmt = "fake"
                     feats.append(_fake_feature(b, dim))
@@ -380,13 +390,20 @@ def resize_images(media: DataFrame, width: int = 224,
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
                 fmt = sniff_format(b)
-                if fmt in ("ppm", "pgm", "jpeg"):
-                    if fmt == "jpeg":
+                img = None
+                if fmt in ("ppm", "pgm"):
+                    img = decode_pnm(b)
+                elif fmt == "jpeg":
+                    try:
                         from .jpeg import decode_jpeg
 
                         img = decode_jpeg(b)
-                    else:
-                        img = decode_pnm(b)
+                    except Exception:
+                        # non-baseline/corrupt jpeg: fall through to
+                        # the fake stand-in (or raise in strict mode)
+                        if not deterministic_fake:
+                            raise
+                if img is not None:
                     if img.shape[2] == 1:
                         img = np.repeat(img, 3, axis=2)
                     out = resize_area(img, width)

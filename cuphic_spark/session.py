@@ -36,10 +36,13 @@ def iceberg_available() -> tuple[bool, str]:
         jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
     except Exception as e:  # pragma: no cover - pyspark is baked in
         return False, f"pyspark not importable: {e}"
-    hits = glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar"))
+    # the explicit override WINS over any bundled jar (the user may
+    # need a specific runtime version to match their catalog)
+    hits = []
     extra = os.environ.get("CUPHIC_ICEBERG_JAR")
     if extra and os.path.exists(extra):
         hits.append(extra)
+    hits += glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar"))
     if hits:
         return True, hits[0]
     return False, (f"no iceberg-spark-runtime jar under {jars} "

@@ -1214,3 +1214,77 @@ def test_rescore_frontier_noop_and_repriorities(spark, tmp_path,
     with pytest.raises(ValueError, match="NEGATIVE"):
         rescore_frontier(spark, cfg, F.col("score") - F.lit(10 ** 9))
     shutil.rmtree(d3, ignore_errors=True)
+
+
+def test_legacy_manifest_segment_seq_no_collision(spark, tmp_path):
+    """Review finding: a pre-split (legacy) manifest entry adapts to
+    a whole-band segment whose seq must NOT collide with the first
+    new run appended to the same band (both were seq 0 — consuming
+    one then dropped BOTH from the carried manifest, silently losing
+    the other's rows)."""
+    from cuphic_spark.frontier import bands
+
+    cfg = CrawlConfig(partitions=2, band_width=1000,
+                      band_split_rows=1000)
+    base = spark.range(20).selectExpr(
+        "concat('https://h', id % 3, '.example/doc/', id) as url",
+        "concat('h', id % 3, '.example') as host",
+        "cast(1 as int) as depth",
+        "cast(5000 + id % 7 as long) as score",
+        "cast(1 as int) as discovered_wave")
+    d0 = str(tmp_path / "legacy0")
+    manifest, _ = bands.write_wave_frontier(
+        spark, base, d0, cfg, bands.empty_manifest(cfg), [])
+    # flatten to the legacy (round-3) format: bare paths + count
+    legacy = {"band_width": 1000, "partitions": 2,
+              "bands": {b: {"paths": v["paths"], "count": v["count"]}
+                        for b, v in manifest["bands"].items()}}
+
+    # a new delta lands in the SAME band
+    delta = spark.range(10).selectExpr(
+        "concat('https://new.example/doc/', id) as url",
+        "'new.example' as host", "cast(2 as int) as depth",
+        "cast(5100 + id % 7 as long) as score",
+        "cast(2 as int) as discovered_wave")
+    d1 = str(tmp_path / "legacy1")
+    m2, _ = bands.write_wave_frontier(spark, delta, d1, cfg, legacy, [])
+    segs = bands.band_segments(m2, 5)
+    seqs = [(5, s["seq"]) for s in segs]
+    assert len(seqs) == len(set(seqs)) == 2, seqs  # distinct keys
+
+    # a whole-band legacy segment spans the band's full score range,
+    # so the closure rule consumes the ENTIRE band whenever the plan
+    # touches it — consumed-key filtering must then drop exactly the
+    # consumed segments (with duplicate (band, seq) keys it dropped
+    # extras on any future protocol change); totals stay exact
+    plan = bands.plan_read(m2, 5)
+    assert {(5, s["seq"]) for s in plan.consumed[5]} == set(seqs)
+    residual = bands.read_plan_df(spark, m2, plan)
+    d2 = str(tmp_path / "legacy2")
+    m3, _ = bands.write_wave_frontier(spark, residual, d2, cfg, m2, plan)
+    assert bands.manifest_total(m3) == 30  # nothing silently lost
+    assert bands.read_full_frontier(spark, m3).count() == 30
+    assert bands.read_full_frontier(
+        spark, m3).select("url").distinct().count() == 30
+
+
+def test_rescore_twice_before_next_wave(spark, tmp_path):
+    """Review finding: a second rescore before the next wave must not
+    read and overwrite the same directory in one job — each rescore
+    writes a fresh versioned dir; content stays intact."""
+    from cuphic_spark.frontier.snapshots import (
+        read_frontier_asof,
+        rescore_frontier,
+    )
+
+    d = str(tmp_path / "rescore_twice")
+    cfg = CrawlConfig(checkpoint_dir=d, **{**CFG, "n_waves": 1})
+    crawl(spark, cfg)
+    before = {r.url for r in read_frontier_asof(spark, cfg, 0).collect()}
+    i1 = rescore_frontier(spark, cfg, F.col("score") + F.lit(1))
+    i2 = rescore_frontier(spark, cfg, F.col("score") + F.lit(1))
+    assert i1["out_dir"] != i2["out_dir"]
+    after = {r.url: r.score
+             for r in read_frontier_asof(spark, cfg, 0).collect()}
+    assert set(after) == before  # every pending url survived
+    shutil.rmtree(d, ignore_errors=True)

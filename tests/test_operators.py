@@ -496,7 +496,7 @@ def test_jpeg_codec_roundtrip_and_pipeline(spark):
     yy, xx = np.mgrid[0:h, 0:w]
     img = np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
                     np.full((h, w), 77)], axis=-1).astype(np.uint8)
-    for q, bound in ((95, 10), (85, 16), (60, 24)):
+    for q, bound in ((95, 4), (85, 8), (60, 12)):
         data = encode_jpeg(img, quality=q)
         assert sniff_format(data) == "jpeg"
         out = decode_jpeg(data)
@@ -504,6 +504,21 @@ def test_jpeg_codec_roundtrip_and_pipeline(spark):
         err = np.abs(out.astype(int) - img.astype(int))
         assert err.max() <= bound, (q, err.max())
     assert encode_jpeg(img, 85) == encode_jpeg(img, 85)  # deterministic
+
+    # high-frequency content pins the dequant ORDERING: multiplying
+    # zigzag-ordered coefficients by the natural-order quant table
+    # roundtrips smooth gradients fine but explodes on noise (mean
+    # error ~39 with the bug vs ~3 correct) and checkerboards
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    nerr = np.abs(decode_jpeg(encode_jpeg(noise, 95)).astype(int)
+                  - noise.astype(int))
+    assert nerr.mean() < 6 and nerr.max() < 40, (nerr.mean(), nerr.max())
+    cb = ((yy + xx) % 2 * 255).astype(np.uint8)
+    cb3 = np.stack([cb, cb, cb], axis=-1)
+    cerr = np.abs(decode_jpeg(encode_jpeg(cb3, 95)).astype(int)
+                  - cb3.astype(int))
+    assert cerr.max() <= 6, cerr.max()
 
     gray = (xx * 255 // (w - 1)).astype(np.uint8)
     g = decode_jpeg(encode_jpeg(gray, 90))
@@ -538,3 +553,28 @@ def test_jpeg_codec_roundtrip_and_pipeline(spark):
         out = decode_pnm(bytes(r.resized))
         assert out.shape[1] == 16 == r.out_width
         assert abs(int(out[:, :, 2].mean()) - 77) <= 12
+
+
+def test_jpeg_undecodable_falls_back_to_fake(spark):
+    """Review finding: a payload that SNIFFS as jpeg but the baseline
+    decoder rejects (progressive, truncated) must take the seeded
+    fake under deterministic_fake=True — not kill the Spark task —
+    and still raise in strict mode."""
+    import pytest as _pytest
+
+    from cuphic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    progressive = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
+                   b"\x01\x01\x11\x00\xff\xd9")
+    media = spark.createDataFrame([(1, "image", progressive, {})],
+                                  MEDIA_SCHEMA)
+    row = extract_features(media).collect()[0]
+    assert row.format == "fake" and len(row.feature) == 8
+    rrow = resize_images(media, width=8).collect()[0]
+    assert rrow.out_height == 0  # fake stand-in, not a decode
+    with _pytest.raises(Exception, match="NotImplementedError|progressive"):
+        extract_features(media, deterministic_fake=False).collect()
