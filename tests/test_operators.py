@@ -578,3 +578,21 @@ def test_jpeg_undecodable_falls_back_to_fake(spark):
     assert rrow.out_height == 0  # fake stand-in, not a decode
     with _pytest.raises(Exception, match="NotImplementedError|progressive"):
         extract_features(media, deterministic_fake=False).collect()
+
+
+def test_jpeg_odd_sizes_fuzz():
+    """Edge-replication padding paths: images of every awkward shape
+    (1x1, non-multiple-of-8, single-column) roundtrip at the same
+    bounded error as aligned ones, with exact output dimensions."""
+    import numpy as np
+
+    from cuphic_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    for (h, w) in [(1, 1), (3, 5), (7, 8), (9, 17), (8, 8),
+                   (15, 23), (64, 1)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 48 and err.mean() <= 10, (h, w, err.max())
