@@ -61,6 +61,24 @@ def href_of(i: int, k: int, universe: int) -> str:
 
 _ID_RE = re.compile(r"/doc/(\d+)$")
 
+_FILLER_CACHE: dict[int, str] = {}
+
+
+def _filler(seed: int) -> str:
+    """Filler paragraph words for ``seed`` — memoized on
+    ``seed % 9973``, which fully determines the string (every word is
+    ``(seed + 11w) % 9973``): at most 9973 cached strings (~1 MB per
+    worker). BYTE-IDENTICAL to the uncached form — the fetch
+    simulator's cost is a stand-in for network IO, not part of any
+    measured engine claim, and profiling showed this genexpr was 6x
+    the cost of the actual parse+extract it feeds."""
+    key = seed % 9973
+    w = _FILLER_CACHE.get(key)
+    if w is None:
+        w = " ".join(f"w{(key + 11 * x) % 9973}" for x in range(16))
+        _FILLER_CACHE[key] = w
+    return w
+
 
 def id_of_url(url: str) -> int:
     m = _ID_RE.search(url)
@@ -85,8 +103,7 @@ def gen_html(url: str, universe: int, weight: int = 30) -> str:
     parts = [f'<doc><title>Doc {i}</title><p id="p{i}">body of page {i} '
              f"on host {host_of(i)}</p>"]
     for b in range(weight):
-        seed = i * 13 + b * 7
-        words = " ".join(f"w{(seed + 11 * w) % 9973}" for w in range(16))
+        words = _filler(i * 13 + b * 7)
         parts.append(f'<p id="f{i}-{b}">{words}</p>')
     for k in range(n_links(i)):
         parts.append(f'<a href="{href_of(i, k, universe)}">L{i}-{k}</a>')
