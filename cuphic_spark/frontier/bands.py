@@ -304,7 +304,10 @@ def _with_runs(df: DataFrame, split_rows: int):
                         (F.col("cum_before") / F.lit(int(split_rows)))
                         .cast("int"))
             .select("band", "score", "run"))
-    rows = runs.collect()  # the ONE execution of the split agg
+    # limit(MAX+1) bounds the collect ITSELF: the guard must not cost
+    # an O(|delta|) driver transfer to discover it should have fired
+    # (over-limit inputs raise, so the truncation never loses data)
+    rows = runs.limit(MAX_RUN_MAP_ROWS + 1).collect()
     if len(rows) > MAX_RUN_MAP_ROWS:
         raise ValueError(
             f"run map has {len(rows)} distinct (band, score) rows > "

@@ -124,9 +124,16 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
     # reads dodge Spark's overwrite-read check — input files deleted
     # mid-job). Each rescore writes a fresh _vN dir and archives the
     # manifest under a matching suffix.
-    n = 0
-    while os.path.isdir(f"{out_base}_v{n}"):
-        n += 1
+    parent = os.path.dirname(out_base)
+    prefix = os.path.basename(out_base) + "_v"
+    existing = [int(name[len(prefix):])
+                for name in os.listdir(parent)
+                if name.startswith(prefix)
+                and name[len(prefix):].isdigit()] \
+        if os.path.isdir(parent) else []
+    # max+1, not first-free-slot: retention deletes old versions, so
+    # a gap scan could re-use an index BELOW the live one
+    n = max(existing, default=-1) + 1
     out_dir = f"{out_base}_v{n}"
     manifest = bands.load_manifest(fdir)
     df = (bands.read_full_frontier(spark, manifest)
@@ -145,6 +152,14 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
     archive = bands.manifest_path(fdir) + f".pre_rescore_v{n}"
     _shutil.copyfile(bands.manifest_path(fdir), archive)
     bands.write_manifest(fdir, new_manifest)
+    # bounded retention (review finding): each version is a FULL
+    # frontier copy, so only the live version and its immediate
+    # predecessor stay on disk (the predecessor keeps the newest
+    # archived manifest readable for a one-step rollback); anything
+    # older is superseded twice over and deleted — like compact_seen,
+    # deeper retention is an explicit operator decision, not default
+    for k in range(n - 1):
+        _shutil.rmtree(f"{out_base}_v{k}", ignore_errors=True)
     return {"rows": rows, "out_dir": out_dir, "manifest_dir": fdir,
             "archived": archive}
 

@@ -232,6 +232,13 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
     sym = (sym.unionByName(sym.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
            .distinct().cache())
+    # materialize sym's cache BEFORE the first tracked checkpoint: the
+    # checkpoint tracks block-manager ids by before/after diff, and a
+    # lazily-cached sym would materialize inside that first job, get
+    # attributed to the labels checkpoint, and be unpersisted after
+    # round 1 — silently recomputing the edge distinct every later
+    # round (review finding)
+    sym.count()
     # localCheckpoint (not cache) is load-bearing: each round's labels
     # must TRUNCATE lineage, or the logical plan doubles per round —
     # by ~9 rounds the plan string alone exceeds the JVM's 2 GB limit

@@ -37,12 +37,17 @@ def iceberg_available() -> tuple[bool, str]:
     except Exception as e:  # pragma: no cover - pyspark is baked in
         return False, f"pyspark not importable: {e}"
     # the explicit override WINS over any bundled jar (the user may
-    # need a specific runtime version to match their catalog)
-    hits = []
+    # need a specific runtime version to match their catalog) — and a
+    # set-but-missing override reports failure instead of silently
+    # falling back to a bundled jar of the wrong version
     extra = os.environ.get("CUPHIC_ICEBERG_JAR")
-    if extra and os.path.exists(extra):
-        hits.append(extra)
-    hits += glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar"))
+    if extra:
+        if os.path.exists(extra):
+            return True, extra
+        return False, (f"CUPHIC_ICEBERG_JAR={extra} does not exist — "
+                       "refusing to silently fall back to a bundled "
+                       "runtime; fix the path or unset the variable")
+    hits = glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar"))
     if hits:
         return True, hits[0]
     return False, (f"no iceberg-spark-runtime jar under {jars} "

@@ -1039,6 +1039,11 @@ def test_iceberg_probe_documents_absence(monkeypatch):
     with pytest.raises(RuntimeError, match="CUPHIC_ICEBERG=1 but"):
         get_spark()
 
+    # a set-but-missing explicit jar must NOT silently fall back
+    monkeypatch.setenv("CUPHIC_ICEBERG_JAR", "/no/such/iceberg.jar")
+    ok2, detail2 = iceberg_available()
+    assert not ok2 and "/no/such/iceberg.jar" in detail2
+
 
 def test_plan_read_properties_and_oracle_mirror():
     """Randomized pin of the read plan's invariants AND its oracle
@@ -1283,8 +1288,14 @@ def test_rescore_twice_before_next_wave(spark, tmp_path):
     before = {r.url for r in read_frontier_asof(spark, cfg, 0).collect()}
     i1 = rescore_frontier(spark, cfg, F.col("score") + F.lit(1))
     i2 = rescore_frontier(spark, cfg, F.col("score") + F.lit(1))
-    assert i1["out_dir"] != i2["out_dir"]
+    i3 = rescore_frontier(spark, cfg, F.col("score") + F.lit(1))
+    assert len({i1["out_dir"], i2["out_dir"], i3["out_dir"]}) == 3
     after = {r.url: r.score
              for r in read_frontier_asof(spark, cfg, 0).collect()}
     assert set(after) == before  # every pending url survived
+    # bounded retention: only the live version + its predecessor stay
+    import os as _os
+
+    assert not _os.path.isdir(i1["out_dir"])
+    assert _os.path.isdir(i2["out_dir"]) and _os.path.isdir(i3["out_dir"])
     shutil.rmtree(d, ignore_errors=True)
