@@ -596,3 +596,39 @@ def test_jpeg_odd_sizes_fuzz():
         assert out.shape == (h, w, 3)
         err = np.abs(out.astype(int) - img.astype(int))
         assert err.max() <= 48 and err.mean() <= 10, (h, w, err.max())
+
+
+def test_jpeg_huffman_tables_are_valid_prefix_codes():
+    """The embedded Annex-K tables must form valid canonical Huffman
+    codes: per-length counts within capacity (Kraft inequality), all
+    codes distinct, and encoder/decoder table constructions exact
+    inverses of each other."""
+    from cuphic_spark.operators.jpeg import (
+        AC_CHROM_BITS,
+        AC_CHROM_VALS,
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        DC_CHROM_BITS,
+        DC_CHROM_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _canonical_codes,
+        _decode_table,
+    )
+
+    for bits, vals in ((DC_LUM_BITS, DC_LUM_VALS),
+                       (DC_CHROM_BITS, DC_CHROM_VALS),
+                       (AC_LUM_BITS, AC_LUM_VALS),
+                       (AC_CHROM_BITS, AC_CHROM_VALS)):
+        assert sum(bits) == len(vals) == len(set(vals))
+        kraft = sum(n * 2 ** -(length + 1)
+                    for length, n in enumerate(bits))
+        assert kraft < 1.0  # strict: JPEG reserves the all-ones code
+        enc = _canonical_codes(bits, vals)
+        dec = _decode_table(bits, vals)
+        assert len(enc) == len(vals)
+        # exact inverses, and every code fits its bit length
+        for sym, (code, length) in enc.items():
+            assert code < (1 << length)
+            assert dec[(length, code)] == sym
+        assert len(dec) == len(enc)  # no (length, code) collisions
