@@ -1299,3 +1299,37 @@ def test_rescore_twice_before_next_wave(spark, tmp_path):
     assert not _os.path.isdir(i1["out_dir"])
     assert _os.path.isdir(i2["out_dir"]) and _os.path.isdir(i3["out_dir"])
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_crawl_config_fuzz_vs_oracle(spark, tmp_path):
+    """Seeded random-config sweep: the crawl must equal the
+    config-matched oracle for arbitrary combinations of wave cap,
+    politeness budget, band width, run size, partition count, and
+    robots TTL — the interactions (tiny caps x dense splits x
+    extension loop x exhaustion x epoch rotation) are where layout
+    bugs would hide."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        kw = dict(universe=rng.choice([300, 2000, 8000]),
+                  n_seeds=rng.randint(3, 20),
+                  budget_per_host=rng.randint(1, 6),
+                  wave_cap=rng.choice([3, 11, 40]),
+                  n_waves=rng.randint(2, 4))
+        extra = dict(band_width=rng.choice([3, 200, 1000, 20000]),
+                     band_split_rows=rng.choice([0, 5, 17, 10_000]),
+                     robots_ttl_waves=rng.choice([0, 0, 1, 2]))
+        d = str(tmp_path / f"fuzz{trial}")
+        cfg = CrawlConfig(checkpoint_dir=d,
+                          partitions=rng.choice([2, 8]),
+                          **kw, **extra)
+        summary = crawl(spark, cfg)
+        oracle = crawl_oracle.run(**kw, **extra)
+        assert summary["metrics"] == oracle.metrics, (trial, kw, extra)
+        log = read_fetch_log(spark, cfg).orderBy(
+            "wave", "rank_in_wave").collect()
+        assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+            [(e["wave"], e["rank_in_wave"], e["url"])
+             for e in oracle.fetch_log], (trial, kw, extra)
+        shutil.rmtree(d, ignore_errors=True)
