@@ -138,13 +138,18 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
     manifest = bands.load_manifest(fdir)
     df = (bands.read_full_frontier(spark, manifest)
           .withColumn("score", new_score_col.cast("long")))
-    bad = df.where(F.col("score") < 0).limit(1).count()
+    # NULL must be caught here too: `score < 0` is NULL for null
+    # scores, which would pass a bare `< 0` guard and later crash in
+    # bands._with_runs with a cryptic int(None) AFTER partitionBy has
+    # written a __HIVE_DEFAULT_PARTITION__ dir (advisory pin)
+    bad = (df.where(F.col("score").isNull() | (F.col("score") < 0))
+           .limit(1).count())
     if bad:
         raise ValueError(
-            "rescore_frontier: new_score_col produced a NEGATIVE "
-            "score — the score-band layout (band = score div width) "
-            "requires non-negative scores; shift or clamp the "
-            "expression")
+            "rescore_frontier: new_score_col produced a NEGATIVE or "
+            "NULL score — the score-band layout (band = score div "
+            "width) requires non-negative, non-null scores; shift, "
+            "clamp, or coalesce the expression")
     new_manifest, rows = bands.write_wave_frontier(
         spark, df, out_dir, cfg, bands.empty_manifest(cfg), [])
     # archive-then-swap: write_manifest's os.replace is the atomic

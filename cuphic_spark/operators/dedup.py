@@ -269,6 +269,10 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
             break
     if changed != 0:
         sym.unpersist()
+        # free the last round's checkpoint blocks too — the raise
+        # path has no reader left, and leaking them here accumulates
+        # block-manager storage across retries (advisory pin)
+        _free_rdd_ids(labels, label_ids)
         raise ValueError(
             f"connected_components did not converge in max_iter="
             f"{max_iter} rounds: labels were still changing, so the "
@@ -279,6 +283,12 @@ def connected_components(edges: DataFrame, a: str = "doc_a",
             "component diameter.")
     out = labels.select("node", F.col("label").alias("component"))
     sym.unpersist()
+    # The result DERIVES from the final round's localCheckpoint, whose
+    # blocks df.unpersist() on `out` cannot release (and releasing
+    # them makes the result unrecoverable — lineage is truncated).
+    # Long sessions running many component jobs should call this once
+    # they have consumed/persisted the labels elsewhere:
+    out.free_components = lambda: _free_rdd_ids(out, label_ids)
     return out
 
 
@@ -345,6 +355,9 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a",
             converged = True
             break
     if not converged:
+        # no reader left on the raise path — free the final round's
+        # checkpoint blocks instead of leaking them (advisory pin)
+        _free_rdd_ids(e, e_ids)
         raise ValueError(
             f"connected_components_star did not converge in max_iter="
             f"{max_iter} alternating rounds — returning here would "
@@ -356,7 +369,12 @@ def connected_components_star(edges: DataFrame, a: str = "doc_a",
                          F.col("v").alias("component"))
     roots = (nodes.join(non_roots, "node", "left_anti")
              .select("node", F.col("node").alias("component")))
-    return non_roots.unionByName(roots)
+    out = non_roots.unionByName(roots)
+    # same contract as connected_components: the final checkpoint's
+    # blocks outlive any unpersist() on the returned labels — callers
+    # done reading the result free them explicitly
+    out.free_components = lambda: _free_rdd_ids(out, e_ids)
+    return out
 
 
 def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 8,

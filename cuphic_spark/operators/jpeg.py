@@ -370,8 +370,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
-        marker = payload[pos + 1]
-        pos += 2
+        pos += 1
+        # optional 0xFF fill bytes before a marker are LEGAL padding
+        # (T.81 B.1.1.2) — skip them, else a spec-valid stream from
+        # another encoder misparses here (advisory pin)
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated JPEG: fill bytes at EOF")
+        marker = payload[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -405,6 +413,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
+            if nc not in (1, 3):
+                # a 4-component (YCCK/CMYK Adobe) baseline stream
+                # would otherwise pass every guard and then have the
+                # YCbCr matrix applied to 3 of its 4 planes — a
+                # silent wrong answer, against the module's
+                # loud-refusal contract (advisory pin)
+                raise NotImplementedError(
+                    f"{nc}-component JPEG unsupported (grayscale or "
+                    "YCbCr only; CMYK/YCCK not implemented)")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]

@@ -97,9 +97,27 @@ def get_spark(app_name: str = "cuphic-spark",
         ok, detail = iceberg_available()
         if not ok:
             raise RuntimeError(f"CUPHIC_ICEBERG=1 but {detail}")
+        # getOrCreate() silently IGNORES jar/extension/catalog configs
+        # when a SparkSession already exists in the JVM — exactly the
+        # silent downgrade iceberg_available() exists to prevent.
+        # Fail loudly instead of "succeeding" with no catalog wired.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            have = active.conf.get("spark.sql.catalog.cuphic", None)
+            if have is None:
+                raise RuntimeError(
+                    "CUPHIC_ICEBERG=1 but a SparkSession already "
+                    "exists WITHOUT the cuphic Iceberg catalog — "
+                    "getOrCreate() would silently ignore the jar/"
+                    "extension/catalog configs. Stop the existing "
+                    "session first (spark.stop()) or set the flag "
+                    "before the first get_spark() call")
+        # append to, never clobber, any pre-set spark.jars
+        prior = SparkConf().get("spark.jars", None)
+        jars = f"{prior},{detail}" if prior else detail
         builder = (
             builder
-            .config("spark.jars", detail)
+            .config("spark.jars", jars)
             .config("spark.sql.extensions",
                     "org.apache.iceberg.spark.extensions."
                     "IcebergSparkSessionExtensions")

@@ -1045,6 +1045,24 @@ def test_iceberg_probe_documents_absence(monkeypatch):
     assert not ok2 and "/no/such/iceberg.jar" in detail2
 
 
+def test_iceberg_flag_refuses_stale_active_session(spark, monkeypatch,
+                                                   tmp_path):
+    """Advisory pin: with CUPHIC_ICEBERG=1 and a jar present,
+    builder.getOrCreate() would silently REUSE an existing
+    SparkSession, ignoring the jar/extension/catalog configs — the
+    exact silent downgrade the probe exists to prevent. get_spark
+    must fail loudly when the live session lacks the catalog."""
+    from cuphic_spark.session import get_spark
+
+    jar = tmp_path / "iceberg-spark-runtime-9.9.9.jar"
+    jar.write_bytes(b"PK\x03\x04")
+    monkeypatch.setenv("CUPHIC_ICEBERG", "1")
+    monkeypatch.setenv("CUPHIC_ICEBERG_JAR", str(jar))
+    # `spark` fixture = a live session with no cuphic catalog wired
+    with pytest.raises(RuntimeError, match="already exists WITHOUT"):
+        get_spark()
+
+
 def test_plan_read_properties_and_oracle_mirror():
     """Randomized pin of the read plan's invariants AND its oracle
     mirror: for arbitrary segment layouts and needs, bands.plan_read
@@ -1218,6 +1236,14 @@ def test_rescore_frontier_noop_and_repriorities(spark, tmp_path,
     crawl(spark, cfg)
     with pytest.raises(ValueError, match="NEGATIVE"):
         rescore_frontier(spark, cfg, F.col("score") - F.lit(10 ** 9))
+    # NULL scores refuse with the SAME loud error (advisory pin:
+    # `score < 0` is NULL for nulls, which would sail past a bare
+    # negative guard and crash deep in bands._with_runs after a
+    # partial partitionBy write)
+    with pytest.raises(ValueError, match="NULL"):
+        rescore_frontier(
+            spark, cfg,
+            F.when(F.col("score") > F.lit(10 ** 18), F.col("score")))
     shutil.rmtree(d3, ignore_errors=True)
 
 

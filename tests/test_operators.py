@@ -387,12 +387,58 @@ def test_connected_components_nonconvergence_raises(spark):
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
                                   "doc_a long, doc_b long")
+
+    def persistent_ids():
+        jsc = spark.sparkContext._jsc
+        return {int(i) for i in
+                jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
     with _pytest.raises(ValueError, match="did not converge"):
         connected_components(chain, max_iter=3)
+    # advisory pin: the raise path must free the last round's
+    # localCheckpoint blocks, not leak them into the block manager
+    assert persistent_ids() == before
     # enough rounds: one component labeled by the min node
     cc = {r.node: r.component
           for r in connected_components(chain, max_iter=15).collect()}
     assert set(cc.values()) == {0} and len(cc) == 10
+
+
+def test_connected_components_free_callback_releases_blocks(spark):
+    """Advisory pin: the result derives from the final round's
+    localCheckpoint, which df.unpersist() cannot release — both
+    component algorithms expose free_components() for callers done
+    with the labels, and calling it empties the leaked set."""
+    from cuphic_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def persistent_ids():
+        jsc = spark.sparkContext._jsc
+        return {int(i) for i in
+                jsc.getPersistentRDDs().keySet().toArray()}
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    for algo in (connected_components, connected_components_star):
+        before = persistent_ids()
+        out = algo(edges)
+        got = {r.node: r.component for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert persistent_ids() - before  # checkpoint blocks live
+        out.free_components()
+        assert persistent_ids() == before  # and released on demand
+
+    # star raise path frees its checkpoint too (max_iter=0 can never
+    # converge, so it must raise without leaking the initial edges)
+    import pytest as _pytest
+
+    before = persistent_ids()
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components_star(edges, max_iter=0)
+    assert persistent_ids() == before
 
 
 def test_ivf_indexed_probe_cap_falls_back(spark, emb, tmp_path):
@@ -596,6 +642,38 @@ def test_jpeg_odd_sizes_fuzz():
         assert out.shape == (h, w, 3)
         err = np.abs(out.astype(int) - img.astype(int))
         assert err.max() <= 48 and err.mean() <= 10, (h, w, err.max())
+
+
+def test_jpeg_fill_bytes_and_component_count_guards():
+    """Advisory pins: (a) 0xFF fill bytes before a marker are legal
+    padding (T.81 B.1.1.2) — a spec-valid stream from another encoder
+    must decode identically, not misparse; (b) a 4-component (YCCK/
+    CMYK) baseline SOF refuses by name instead of silently running
+    the YCbCr matrix over 3 of its 4 planes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    data = encode_jpeg(img, 90)
+    # inject fill bytes before the DQT, SOF0 and SOS markers
+    padded = (data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+              .replace(b"\xff\xc0", b"\xff\xff\xc0", 1)
+              .replace(b"\xff\xda", b"\xff\xff\xff\xff\xda", 1))
+    assert padded != data
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+    # 4-component SOF0 (the Adobe YCCK shape): loud refusal
+    sof4 = (b"\xff\xd8" + b"\xff\xc0" +
+            (8 + 3 * 4 + 2).to_bytes(2, "big") + b"\x08" +
+            (16).to_bytes(2, "big") + (16).to_bytes(2, "big") +
+            b"\x04" +
+            b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)) +
+            b"\xff\xd9")
+    with _pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg(sof4)
 
 
 def test_jpeg_huffman_tables_are_valid_prefix_codes():
