@@ -57,7 +57,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import webgraph
-from .seen import bloom_merge_urls, build_bloom, filter_new_urls
+from .seen import (
+    BloomUpdateAccumulator,
+    bloom_est_fp,
+    bloom_popcount,
+    build_bloom,
+    filter_new_urls,
+)
 from .urlnorm import canonicalize_cols, host_col, path_col
 
 FRONTIER_SCHEMA = "url string, host string, depth int, score long, discovered_wave int"
@@ -73,10 +79,19 @@ class CrawlConfig:
     n_waves: int = 3
     checkpoint_dir: str = "/tmp/cuphic_crawl"
     partitions: int = 8           # seen/frontier partition count
-    bloom_bits: int = 1 << 20
+    bloom_bits: int = 1 << 20     # INITIAL size — auto-resized ×8 at
+    # the next wave boundary whenever the estimated false-positive
+    # rate (from the bitmap popcount, emitted per wave as
+    # bloom_est_fp) crosses bloom_fp_rebuild; a fixed-size bloom
+    # saturates silently at ~m/10 keys and quietly becomes a no-op
     use_bloom: bool = True
     bloom_min_seen: int = 50_000  # skip bloom build below this (the
     # prefilter only pays once the seen table dwarfs the candidates)
+    bloom_fp_rebuild: float = 0.2  # est-fp threshold that schedules a
+    # rebuild (from the seen table, with 8x the bits) at the next
+    # wave boundary; filters only prune, so scheduling is byte-
+    # identical across any resize history (pinned by the forced-
+    # saturation test)
     use_cuckoo: bool = True       # partition-local cuckoo shard prune
     cuckoo_min_seen: int = 50_000
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
@@ -297,7 +312,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              cuckoo_shards: DataFrame | None = None,
              bloom: bytes | None = None,
              prev_links_hint: int | None = None,
-             seen_paths: list[str] | None = None):
+             seen_paths: list[str] | None = None,
+             bloom_m: int | None = None):
     """Returns (frontier_delta, seen_delta, fetch_log, finish, caches,
     plan).
 
@@ -439,7 +455,15 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     scheduled = scheduled.repartition(cfg.partitions, "url")
 
     # fetch carries scheduling columns through — fetch_log needs no
-    # join; scheduled/bytes counts ride on the fetch_log write
+    # join; scheduled/bytes counts ride on the fetch_log write.
+    # obs_fetch sits ABOVE the cache, on the fetch_log plan (not on
+    # `fetched` itself): the fetch_log and seen-delta writes now run
+    # CONCURRENTLY and cooperate on materializing the fetch cache
+    # (block locks make each partition compute exactly once), so a
+    # below-cache CollectMetrics would split its counts across the
+    # two racing executions — above the cache, every fetch_log row
+    # streams through the observe exactly once, in the one execution
+    # that owns it.
     import uuid
     tag = uuid.uuid4().hex[:8]  # observation names unique per run
     obs_fetch = Observation(f"fetch_w{wave}_{tag}")
@@ -447,9 +471,6 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     fetched = (_fetch_extract(scheduled, cfg.universe, cfg.page_weight,
                               dropped_acc=dropped_acc,
                               link_extract=cfg.link_extract)
-               .observe(obs_fetch,
-                        F.count(F.lit(1)).alias("n"),
-                        F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
                .cache())
 
     links = fetched.select(F.col("url").alias("base_url"),
@@ -560,11 +581,13 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
                     .drop("maybe_seen_cuckoo", "partition"))
         confirmed = filter_new_urls(to_check, seen_for_check, bloom,
-                                    cfg.bloom_bits, strategy=seen_strategy)
+                                    bloom_m or cfg.bloom_bits,
+                                    strategy=seen_strategy)
         new_urls = fresh.unionByName(confirmed)
     else:
         new_urls = filter_new_urls(candidates, seen_for_check, bloom,
-                                   cfg.bloom_bits, strategy=seen_strategy)
+                                   bloom_m or cfg.bloom_bits,
+                                   strategy=seen_strategy)
     # no frontier anti-join needed: every frontier url is already in
     # seen (seeds via seen_seed, discoveries via their wave's delta),
     # so surviving the seen anti-join implies not-pending either —
@@ -602,9 +625,12 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     seen_delta = new_rows.select("url",
                                  F.lit(wave + 1).alias("added_wave"))
 
-    fetch_log = fetched.select(
+    fetch_log = (fetched.select(
         F.lit(wave).alias("wave"), "rank_in_wave", "url",
         "host", "depth", "score", "bytes")
+        .observe(obs_fetch,
+                 F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("bytes"), F.lit(0)).alias("b")))
 
     def _obs_get(obs, fallback):
         """Observed metrics, with a fallback for degenerate waves: a
@@ -655,6 +681,17 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             "pages_dropped": int(dropped_acc.value),
         }
 
+    def n_new() -> int:
+        """The wave's new-url count alone — available as soon as the
+        seen-delta write (which obs_new rides) has committed, without
+        blocking on the fetch_log write's observation the way
+        finish() does; crawl() uses it to decide cuckoo activation
+        while the fetch_log write may still be running."""
+        return int(_obs_get(obs_new, lambda: new_rows.agg(
+            F.count(F.lit(1)).alias("n")).collect()[0].asDict())["n"])
+
+    finish.n_new = n_new
+
     caches = [frontier, ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
         caches.append(with_rank)
@@ -667,7 +704,8 @@ def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
 
 
 def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
-                       salt: bool = False, dir_partitioned: bool = True):
+                       salt: bool = False, dir_partitioned: bool = True,
+                       bloom_acc=None):
     """Seen snapshots/deltas (frontier writes go through
     bands.write_wave_frontier, which applies the same layout INSIDE
     each score band): partitioned by pmod(xxhash64(host),P)
@@ -678,7 +716,15 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
     dir_partitioned=False keeps `part` as a data column (flat layout)
     — required for the seen DELTA dirs, which are read as a multi-root
     union (partition-directory inference would see conflicting
-    structures across roots)."""
+    structures across roots).
+
+    ``bloom_acc`` (a seen.BloomUpdateAccumulator) folds bloom
+    maintenance INTO this write: an order-preserving mapInPandas
+    stage accumulates each batch's bit positions while the rows
+    stream to parquet — one pass, no separate per-wave bloom job.
+    The hashes are JVM-computed (F.xxhash64, the same expression the
+    probe uses) and dropped before the write, so the on-disk layout
+    is unchanged."""
     part = F.pmod(F.xxhash64("host"), F.lit(cfg.partitions)).cast("int")
     df = df.withColumn("part", part)
     if salt:
@@ -691,12 +737,36 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
     sort_keys = ([F.desc("score"), F.asc("url")]
                  if "score" in df.columns
                  else [F.asc("part"), F.asc("url")])
-    writer = (df.repartition(cfg.partitions, "part")
-              .sortWithinPartitions(*sort_keys)
-              .write.mode("overwrite"))
+    out = (df.repartition(cfg.partitions, "part")
+           .sortWithinPartitions(*sort_keys))
+    if bloom_acc is not None:
+        if dir_partitioned:
+            raise ValueError("bloom_acc is wired for the flat seen-"
+                             "delta layout only")
+        out_schema = out.schema
+        acc = bloom_acc
+
+        def fold(batches):
+            for pdf in batches:
+                acc.add_hashes(pdf["__h"])
+                yield pdf.drop(columns="__h")
+
+        out = (out.withColumn("__h", F.xxhash64("url"))
+               .mapInPandas(fold, out_schema))
+    writer = out.write.mode("overwrite")
     if dir_partitioned:
         writer = writer.partitionBy("part")
     writer.parquet(path)
+
+
+def _max_job_id(spark) -> int:
+    """Highest Spark job id submitted without a job group (the crawl
+    sets none): per-wave deltas give the jobs-per-wave count recorded
+    in timings — the fixed-cost budget the pipelined writes exist to
+    shrink. Informational (not oracle-pinned): concurrent foreign
+    jobs in the same session would inflate it."""
+    ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    return max(ids) if ids else -1
 
 
 def last_complete_wave(cfg: CrawlConfig) -> int:
@@ -815,11 +885,21 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     # per-wave bloom cost is O(new urls), never an O(|seen|) rescan)
     # and persisted per wave for resume.
     bloom = None
+    bloom_m = cfg.bloom_bits
+    bloom_rebuild = False
     if cfg.use_bloom and start > 0:
         prev_bloom = os.path.join(_wave_dir(cfg, start - 1), "bloom.bin")
         if os.path.exists(prev_bloom):
             with open(prev_bloom, "rb") as fh:
                 bloom = fh.read()
+            # the effective bit count is persisted via the bitmap
+            # length (nbytes = m//8 + 1); a pending saturation rebuild
+            # is re-derived from the last wave's recorded est-fp so a
+            # resumed run reproduces the uninterrupted one exactly
+            bloom_m = (len(bloom) - 1) * 8
+            prev_fp = prev_lineage.get("metrics", {}).get("bloom_est_fp")
+            bloom_rebuild = (prev_fp is not None
+                             and prev_fp > cfg.bloom_fp_rebuild)
 
     all_metrics = []
     all_timings = []
@@ -833,59 +913,66 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             tt[name] = round(_time.perf_counter() - t0, 3)
             t0 = _time.perf_counter()
 
-        if cfg.use_bloom and bloom is None and n_seen >= cfg.bloom_min_seen:
-            bloom = build_bloom(seen, cfg.bloom_bits)  # first activation
+        jobs_before = _max_job_id(spark)
+        if cfg.use_bloom and n_seen >= cfg.bloom_min_seen:
+            if bloom is None:
+                bloom = build_bloom(seen, bloom_m)  # first activation
+            elif bloom_rebuild:
+                # saturation rebuild at the wave boundary (the est-fp
+                # signal fired last wave): geometric ×8 growth,
+                # rebuilt from the seen table — the source of truth
+                # the bitmap only approximates. Amortized-rare by the
+                # geometric growth; filters only prune, so scheduling
+                # is identical across any resize history.
+                bloom_m *= 8
+                bloom = build_bloom(seen, bloom_m)
+        bloom_rebuild = False
         _mark("bloom_build")
         (frontier_delta, seen_delta, fetch_log, finish, caches,
          plan, seen_strategy) = run_wave(
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
-            prev_links_hint=prev_links, seen_paths=seen_paths)
+            prev_links_hint=prev_links, seen_paths=seen_paths,
+            bloom_m=bloom_m)
         _mark("schedule")
         d = _wave_dir(cfg, wave)
-        # the checkpoint writes ARE the wave's remaining Spark jobs;
-        # per-wave metrics ride on them via observe(). Two sequential
-        # writes materialize the shared caches (fetch, then the link
-        # chain), after which the remaining independent jobs —
-        # frontier write, cuckoo maintenance, bloom fold — run
-        # CONCURRENTLY from threads (pure cache/parquet readers with
-        # disjoint outputs; Spark schedules their tasks side by side,
-        # overlapping driver latency that used to serialize).
-        fetch_log.write.mode("overwrite").parquet(
-            os.path.join(d, "fetch_log"))
-        _mark("fetch_log_write")
-        _partitioned_write(
-            seen_delta.withColumn("host", host_col(F.col("url")))
-            .select("url", "added_wave", "host"),
-            os.path.join(d, "seen_delta"), cfg, dir_partitioned=False)
-        _mark("seen_delta_write")
-        metrics = finish()
-        metrics["frontier_rows_read"] = plan.rows_read
-        n_seen += metrics["new_urls"]
+        bloom_acc = (BloomUpdateAccumulator(spark, bloom_m)
+                     if (cfg.use_bloom and bloom is not None) else None)
 
-        from concurrent.futures import ThreadPoolExecutor
+        # The checkpoint writes ARE the wave's remaining Spark jobs;
+        # per-wave metrics ride on them via observe(), and bloom
+        # maintenance rides the seen-delta write via an idempotent
+        # bitmap accumulator (one pass — the separate per-wave bloom
+        # job is gone). PIPELINED: the fetch_log and seen-delta
+        # writes launch together and cooperate on the fetch cache
+        # (block locks compute each partition exactly once), so the
+        # link chain overlaps the fetch tail + parquet serialization;
+        # the frontier write and cuckoo maintenance launch the moment
+        # the seen delta commits (cuckoo reads the committed delta,
+        # and the frontier write must not race the link-chain caches
+        # while obs_links/obs_new are still being collected — a
+        # below-cache CollectMetrics splits across racing executions).
+        def write_fetch_log():
+            fetch_log.write.mode("overwrite").parquet(
+                os.path.join(d, "fetch_log"))
+
+        def write_seen_delta():
+            _partitioned_write(
+                seen_delta.withColumn("host", host_col(F.col("url")))
+                .select("url", "added_wave", "host"),
+                os.path.join(d, "seen_delta"), cfg,
+                dir_partitioned=False, bloom_acc=bloom_acc)
 
         def write_frontier():
             return bands_mod.write_wave_frontier(
                 spark, frontier_delta, os.path.join(d, "frontier"),
                 cfg, manifest, plan)
 
-        def fold_bloom():
-            if cfg.use_bloom and bloom is not None:
-                merged = bloom_merge_urls(
-                    spark.read.parquet(os.path.join(d, "seen_delta"))
-                    .select("url"),
-                    cfg.bloom_bits, base=bloom)
-                with open(os.path.join(d, "bloom.bin"), "wb") as fh:
-                    fh.write(merged)
-                return merged
-            return bloom
-
-        def maintain_cuckoo():
+        def maintain_cuckoo(n_seen_after):
             # one-time build when the seen set crosses the threshold,
             # incremental fold of the wave's delta afterwards
             # (O(new), never a full-rebuild)
-            if cfg.use_cuckoo and n_seen >= cfg.cuckoo_min_seen:
+            if cfg.use_cuckoo and n_seen_after >= cfg.cuckoo_min_seen:
                 from .seen import maintain_cuckoo_shards
 
                 return maintain_cuckoo_shards(
@@ -894,12 +981,36 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                     path=os.path.join(d, "cuckoo"))
             return cuckoo_shards
 
+        from concurrent.futures import ThreadPoolExecutor
+
         with ThreadPoolExecutor(max_workers=3) as pool:
+            f_log = pool.submit(write_fetch_log)
+            f_seen = pool.submit(write_seen_delta)
+            f_seen.result()
             f_frontier = pool.submit(write_frontier)
-            f_bloom = pool.submit(fold_bloom)
-            f_cuckoo = pool.submit(maintain_cuckoo)
+            # obs_new rode the just-committed seen write — the cuckoo
+            # activation check needs the post-wave seen count without
+            # blocking on the fetch_log write's observation
+            n_seen_after = n_seen + finish.n_new()
+            f_cuckoo = pool.submit(maintain_cuckoo, n_seen_after)
+            f_log.result()
+            _mark("fetch_seen_writes")
+            metrics = finish()
+            metrics["frontier_rows_read"] = plan.rows_read
+            n_seen = n_seen_after
+            if bloom_acc is not None:
+                # driver-side fold of the accumulated bit positions —
+                # zero extra Spark jobs — plus the saturation signal
+                bloom = bloom_acc.merged(base=bloom)
+                with open(os.path.join(d, "bloom.bin"), "wb") as fh:
+                    fh.write(bloom)
+                pc = bloom_popcount(bloom)
+                metrics["bloom_m"] = bloom_m
+                metrics["bloom_popcount"] = pc
+                metrics["bloom_est_fp"] = bloom_est_fp(pc, bloom_m)
+                bloom_rebuild = (metrics["bloom_est_fp"]
+                                 > cfg.bloom_fp_rebuild)
             new_manifest, rows_written = f_frontier.result()
-            bloom = f_bloom.result()
             cuckoo_shards = f_cuckoo.result()
         bands_mod.write_manifest(os.path.join(d, "frontier"),
                                  new_manifest)
@@ -908,6 +1019,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         metrics["frontier_rows_written"] = rows_written
         metrics["frontier_size"] = bands_mod.manifest_total(new_manifest)
         _mark("frontier_bloom_cuckoo")
+        tt["spark_jobs"] = _max_job_id(spark) - jobs_before
 
         manifest = new_manifest
         for c in caches:

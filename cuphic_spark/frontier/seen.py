@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -107,6 +108,79 @@ def bloom_merge_urls(urls: DataFrame, m: int = BLOOM_BITS_DEFAULT,
     for r in rows:
         out |= np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
     return out.tobytes()
+
+
+def bloom_popcount(bloom: bytes) -> int:
+    """Number of set bits — the saturation signal. A fixed-size bloom
+    silently degrades: beyond ~m/10 keys (k=3) the false-positive
+    rate climbs toward 1 and the pre-filter becomes a no-op (still
+    CORRECT — filters only prune — but every candidate then pays the
+    anti-join). Driver-side numpy over <= a few MiB."""
+    return int(np.unpackbits(np.frombuffer(bloom, dtype=np.uint8)).sum())
+
+
+def bloom_est_fp(popcount: int, m: int) -> float:
+    """Estimated false-positive rate from the observed fill fraction:
+    a probe hits iff all k bits are set, so fp ≈ (popcount/m)^k.
+    Pure function of two ints — the oracle twin computes the
+    identical float."""
+    return (popcount / m) ** _K_HASHES
+
+
+class _ListParam(AccumulatorParam):
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+class BloomUpdateAccumulator:
+    """Fold bloom maintenance INTO the seen-delta write (one pass):
+    tasks accumulate their delta's bit positions while the rows
+    stream to parquet — the separate per-wave bloom job disappears.
+
+    Each task contributes either a raw position array (small deltas)
+    or a pre-folded partial bitmap (when positions would outweigh
+    m/8 bytes), so the driver-bound update volume per wave is
+    min(24·|delta_rows_in_task|, m/8) per task. OR-ing bitmaps is
+    IDEMPOTENT, so task retries/speculation can only re-set the same
+    bits — the merged bitmap is exact even when accumulator updates
+    are delivered more than once (unlike counting accumulators).
+    """
+
+    def __init__(self, spark, m: int):
+        self.m = m
+        self.acc = spark.sparkContext.accumulator([], _ListParam())
+
+    def add_hashes(self, h: "pd.Series") -> None:
+        """Executor-side: fold one Arrow batch's xxhash64 column."""
+        if not len(h):
+            return
+        idx = _bit_indices(h, self.m).reshape(-1)
+        nbytes = self.m // 8 + 1
+        if idx.nbytes < nbytes:
+            self.acc.add([("pos", idx.astype(np.int64).tobytes())])
+        else:
+            arr = np.zeros(nbytes, dtype=np.uint8)
+            np.bitwise_or.at(arr, idx // 8,
+                             (1 << (idx % 8)).astype(np.uint8))
+            self.acc.add([("bmp", arr.tobytes())])
+
+    def merged(self, base: bytes | None = None) -> bytes:
+        """Driver-side: fold the accumulated updates into ``base``."""
+        nbytes = self.m // 8 + 1
+        out = (np.frombuffer(base, dtype=np.uint8).copy()
+               if base is not None else np.zeros(nbytes, dtype=np.uint8))
+        for kind, blob in self.acc.value:
+            if kind == "bmp":
+                out |= np.frombuffer(blob, dtype=np.uint8)
+            else:
+                idx = np.frombuffer(blob, dtype=np.int64)
+                np.bitwise_or.at(out, idx // 8,
+                                 (1 << (idx % 8)).astype(np.uint8))
+        return out.tobytes()
 
 
 def build_bloom(seen: DataFrame, m: int = BLOOM_BITS_DEFAULT) -> bytes:

@@ -64,6 +64,91 @@ def robots_deny(url: str, version: int = 0) -> bool:
             and path_of_url(url).startswith(webgraph.DENY_PREFIX))
 
 
+# -------------------------------------------------------------------------
+# XXH64 twin (public spec, github.com/Cyan4973/xxHash doc/xxhash_spec.md)
+# — pure-Python, seed 42 to match Spark's F.xxhash64 on UTF-8 bytes, so
+# the oracle can reproduce the crawl's bloom bitmap (and thus the
+# bloom_popcount / bloom_est_fp wave metrics) EXACTLY. Differentially
+# pinned against F.xxhash64 in tests/test_frontier.py.
+# -------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def _merge_round(h: int, acc: int) -> int:
+    return ((h ^ _xxh_round(0, acc)) * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16],
+                                               "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24],
+                                               "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32],
+                                               "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _merge_round(h, v)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+_BLOOM_K = 3
+_BLOOM_SALT = 0x9E3779B97F4A7C15
+
+
+def bloom_bits_of(url: str, m: int) -> list[int]:
+    """Twin of seen._bit_indices: k derived positions from the
+    xxhash64 of the url, uint64 wraparound arithmetic then mod m."""
+    h = xxh64(url.encode("utf-8"))
+    return [(((h * (2 * k + 1)) + (_BLOOM_SALT * (k + 1) & _M64))
+             & _M64) % m
+            for k in range(_BLOOM_K)]
+
+
 @dataclass
 class OracleState:
     frontier: dict = field(default_factory=dict)  # url -> (depth, score, wave)
@@ -171,9 +256,20 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         n_waves: int, page_weight: int = 30,
         band_width: int = 1000, band_split_rows: int = 0,
         band_max_paths: int = 16,
-        robots_ttl_waves: int = 0) -> OracleState:
+        robots_ttl_waves: int = 0,
+        use_bloom: bool = False, bloom_bits: int = 1 << 20,
+        bloom_min_seen: int = 50_000,
+        bloom_fp_rebuild: float = 0.2) -> OracleState:
     split_rows = band_split_rows or max(wave_cap, 1)
     st = OracleState()
+    # bloom twin (only when the caller models it — the default test
+    # configs never cross bloom_min_seen, matching the Spark side):
+    # the crawl's incremental bitmap equals a from-scratch build over
+    # the seen set (pinned by test_bloom_path_same_result...), so the
+    # oracle recomputes positions over st.seen each wave.
+    bloom_active = False
+    bloom_m = bloom_bits
+    bloom_rebuild = False
     for i in range(n_seeds):
         url = webgraph.url_of(i)
         st.frontier[url] = (0, score(url, 0, True), 0)
@@ -193,6 +289,17 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         # the exact score prefix {score >= s_cut}; consumed rows
         # below the cut pass through — extending when robots/
         # politeness leave fewer than wave_cap budgeted rows.
+        # bloom activation / saturation rebuild at the wave boundary
+        # (mirrors the crawl loop: first build when the seen count
+        # crosses the threshold; ×8 rebuild one wave after est-fp
+        # crossed bloom_fp_rebuild)
+        if use_bloom and len(st.seen) >= bloom_min_seen:
+            if not bloom_active:
+                bloom_active = True
+            elif bloom_rebuild:
+                bloom_m *= 8
+        bloom_rebuild = False
+
         robots_version = (wave // robots_ttl_waves
                           if robots_ttl_waves else 0)
         need = wave_cap
@@ -276,6 +383,16 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         next_seq = _consolidate(segments, st.frontier, band_width,
                                 split_rows, band_max_paths, next_seq)
 
+        bloom_metrics = {}
+        if use_bloom and bloom_active:
+            set_bits = {b for u in st.seen
+                        for b in bloom_bits_of(u, bloom_m)}
+            pc = len(set_bits)
+            fp = (pc / bloom_m) ** _BLOOM_K
+            bloom_metrics = {"bloom_m": bloom_m, "bloom_popcount": pc,
+                             "bloom_est_fp": fp}
+            bloom_rebuild = fp > bloom_fp_rebuild
+
         st.metrics.append({
             "wave": wave, "scheduled": len(scheduled),
             "fetched": len(scheduled), "denied": len(denied),
@@ -293,5 +410,6 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
             "frontier_rows_written": (rows_read - len(denied)
                                       - len(scheduled) + len(new_urls)),
             "frontier_size": len(st.frontier),
+            **bloom_metrics,
         })
     return st

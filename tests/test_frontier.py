@@ -331,7 +331,19 @@ def test_bloom_path_same_result_and_incremental(spark, tmp_path, oracle_state):
     cfg = CrawlConfig(checkpoint_dir=d, use_bloom=True, bloom_min_seen=0,
                       bloom_bits=bits, **CFG)
     summary = crawl(spark, cfg)
-    assert summary["metrics"] == oracle_state.metrics
+    # the bloom-modeling oracle: same schedule/counts as the plain
+    # one, PLUS the bloom_m/popcount/est_fp wave metrics — popcount
+    # equality differentially pins the oracle's pure-Python xxh64 +
+    # bit-index twin against Spark's bitmap, wave by wave
+    oracle_b = crawl_oracle.run(**CFG, use_bloom=True, bloom_bits=bits,
+                                bloom_min_seen=0)
+    assert summary["metrics"] == oracle_b.metrics
+    assert all("bloom_popcount" in m for m in summary["metrics"])
+    assert [dict(m, **{k: None for k in
+                       ("bloom_m", "bloom_popcount", "bloom_est_fp")})
+            for m in summary["metrics"]] == \
+        [dict(m, bloom_m=None, bloom_popcount=None, bloom_est_fp=None)
+         for m in oracle_state.metrics]  # bloom adds metrics, changes none
     log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
     assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
         [(e["wave"], e["rank_in_wave"], e["url"])
@@ -345,6 +357,69 @@ def test_bloom_path_same_result_and_incremental(spark, tmp_path, oracle_state):
         incremental = fh.read()
     scratch = build_bloom(_read_seen(spark, cfg, last), bits)
     assert incremental == scratch
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_oracle_xxh64_matches_spark(spark):
+    """The oracle's pure-Python xxh64 must equal Spark's F.xxhash64
+    (seed 42, UTF-8 bytes) on strings spanning every length class of
+    the algorithm (empty, <4, <8, <32, 32-aligned, long) — the bloom
+    metric twin is only exact if the hashes are."""
+    from tests.oracle.crawl_oracle import xxh64
+
+    samples = ["", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh",
+               "https://host1.example/doc/1",
+               "https://host0.example/private/doc/33",
+               "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+               "héllo wörld ✓" * 5]
+    rows = spark.createDataFrame([(s,) for s in samples], "s string") \
+        .select("s", F.xxhash64("s").alias("h")).collect()
+    for r in rows:
+        expect = r.h if r.h >= 0 else r.h + (1 << 64)  # signed -> u64
+        assert xxh64(r.s.encode("utf-8")) == expect, r.s
+
+
+def test_bloom_saturation_autoresize(spark, tmp_path):
+    """Forced saturation (verdict round-4 item 2): a deliberately
+    tiny bloom saturates, the est-fp signal crosses the threshold,
+    and the NEXT wave boundary rebuilds at 8x the bits from the seen
+    table — with scheduling byte-identical throughout (filters only
+    prune) and every bloom metric matching the oracle twin."""
+    kw = dict(universe=5000, n_seeds=12, budget_per_host=6,
+              wave_cap=48, n_waves=4)
+    bloom_kw = dict(use_bloom=True, bloom_bits=256, bloom_min_seen=1,
+                    bloom_fp_rebuild=0.2)
+    d = str(tmp_path / "bloom_sat")
+    cfg = CrawlConfig(checkpoint_dir=d, **kw, **bloom_kw)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(**kw, **bloom_kw)
+    assert summary["metrics"] == oracle.metrics
+    ms = [m["bloom_m"] for m in summary["metrics"]]
+    fps = [m["bloom_est_fp"] for m in summary["metrics"]]
+    # the tiny bitmap saturates early...
+    assert fps[0] > 0.2 or fps[1] > 0.2
+    # ...so at least one x8 resize fires at a later wave boundary...
+    assert ms[-1] > ms[0]
+    first_resized = next(i for i, m in enumerate(ms) if m > ms[0])
+    assert ms[first_resized] == 8 * ms[first_resized - 1]
+    # ...and the est-fp (prune-rate proxy) RECOVERS at the rebuild
+    assert fps[first_resized] < fps[first_resized - 1]
+    # scheduling stayed byte-identical to the no-bloom oracle
+    plain = crawl_oracle.run(**kw)
+    log = read_fetch_log(spark, cfg).orderBy(
+        "wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in plain.fetch_log]
+    # resume reproduces the resize history (bloom_m is persisted via
+    # the bitmap length, the pending-rebuild flag via lineage est-fp)
+    import os as _os
+
+    last = last_complete_wave(cfg)
+    _os.remove(_os.path.join(d, f"wave={last:05d}", "_lineage.json"))
+    resumed = crawl(spark, CrawlConfig(checkpoint_dir=d, **kw,
+                                       **bloom_kw))
+    assert resumed["metrics"] == oracle.metrics[last:]
     shutil.rmtree(d, ignore_errors=True)
 
 
