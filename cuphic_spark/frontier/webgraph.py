@@ -29,16 +29,22 @@ N_HOSTS = 10
 DENY_PREFIX = "/private/"
 
 
-def host_of(i: int) -> int:
-    return 0 if i % 3 == 0 else i % N_HOSTS
+def host_of(i: int, n_hosts: int = N_HOSTS) -> int:
+    """``n_hosts`` generalizes the 10-host default (the oracle-pinned
+    spec) for production-shaped benchmarks: a 10^6-url wave over 10
+    hosts caps every per-host window at 10 tasks and makes politeness
+    degenerate — real crawl waves spread over 10^4-10^6 hosts. The
+    host-0 skew (every i%3==0) and the h%7 robots rule are preserved
+    at any host count."""
+    return 0 if i % 3 == 0 else i % n_hosts
 
 
 def path_of(i: int) -> str:
     return f"/private/doc/{i}" if i % 11 == 0 else f"/doc/{i}"
 
 
-def url_of(i: int) -> str:
-    return f"https://host{host_of(i)}.example{path_of(i)}"
+def url_of(i: int, n_hosts: int = N_HOSTS) -> str:
+    return f"https://host{host_of(i, n_hosts)}.example{path_of(i)}"
 
 
 def n_links(i: int) -> int:
@@ -49,14 +55,15 @@ def link_target(i: int, k: int, universe: int) -> int:
     return (i * 31 + k * 17 + 7) % universe
 
 
-def href_of(i: int, k: int, universe: int) -> str:
+def href_of(i: int, k: int, universe: int,
+            n_hosts: int = N_HOSTS) -> str:
     j = link_target(i, k, universe)
-    h = host_of(j)
+    h = host_of(j, n_hosts)
     if k % 3 == 0:
         return f"{path_of(j)}#s{k}"
     if k % 3 == 1:
         return f"HTTPS://HOST{h}.EXAMPLE:443{path_of(j)}#s{k}"
-    return url_of(j)
+    return url_of(j, n_hosts)
 
 
 _ID_RE = re.compile(r"/doc/(\d+)$")
@@ -87,7 +94,8 @@ def id_of_url(url: str) -> int:
     return int(m.group(1))
 
 
-def gen_html(url: str, universe: int, weight: int = 30) -> str:
+def gen_html(url: str, universe: int, weight: int = 30,
+             n_hosts: int = N_HOSTS) -> str:
     """Simulated fetch: the page body for ``url``. Pure function of
     (url, universe, weight) — shared verbatim by the Spark fetch
     simulator and the single-process oracle, so both sides always
@@ -101,19 +109,22 @@ def gen_html(url: str, universe: int, weight: int = 30) -> str:
     cost is pure scheduling latency."""
     i = id_of_url(url)
     parts = [f'<doc><title>Doc {i}</title><p id="p{i}">body of page {i} '
-             f"on host {host_of(i)}</p>"]
+             f"on host {host_of(i, n_hosts)}</p>"]
     for b in range(weight):
         words = _filler(i * 13 + b * 7)
         parts.append(f'<p id="f{i}-{b}">{words}</p>')
     for k in range(n_links(i)):
-        parts.append(f'<a href="{href_of(i, k, universe)}">L{i}-{k}</a>')
+        parts.append(f'<a href="{href_of(i, k, universe, n_hosts)}">'
+                     f"L{i}-{k}</a>")
     parts.append("</doc>")
     return "".join(parts)
 
 
-def expected_canonical_links(i: int, universe: int) -> list[str]:
+def expected_canonical_links(i: int, universe: int,
+                             n_hosts: int = N_HOSTS) -> list[str]:
     """Canonical outlink urls of page i (with duplicates, link order)."""
-    return [url_of(link_target(i, k, universe)) for k in range(n_links(i))]
+    return [url_of(link_target(i, k, universe), n_hosts)
+            for k in range(n_links(i))]
 
 
 def robots_denied(url: str) -> bool:

@@ -85,6 +85,61 @@ def minhash_signature(docs: DataFrame, k: int = 3,
     return digested.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_recall(s: float, n_hashes: int, band_size: int) -> float:
+    """P(candidate pair | Jaccard similarity = s) for OR-of-bands
+    MinHash LSH: ``1 - (1 - s^r)^b`` with r = band_size and
+    b = n_hashes // band_size (each band matches with probability
+    s^r; the pair is a candidate if ANY band matches).
+
+    This is the number to check before lifting a config into a real
+    pipeline (round-4 verdict item 3): the gate-scale defaults in
+    this module are CORRECT but have a toy selectivity curve — (8, 2)
+    admits 31% of s=0.3 pairs as candidates (fine on a 500-doc gate
+    corpus, a candidate-volume explosion on 10^9 web pages), while
+    the production preset (128, 8) keeps recall at 0.95 for s=0.8
+    near-dups yet admits only 0.06 of s=0.5 pairs and ~0 of s=0.3 —
+    a steep curve around the knee is what makes the Jaccard verify
+    stage affordable at scale."""
+    if n_hashes % band_size:
+        raise ValueError(f"n_hashes={n_hashes} must be a multiple of "
+                         f"band_size={band_size}")
+    b = n_hashes // band_size
+    return 1.0 - (1.0 - s ** band_size) ** b
+
+
+def lsh_threshold(n_hashes: int, band_size: int) -> float:
+    """The similarity 'knee' ``(1/b)^(1/r)`` — where recall crosses
+    ~1 - 1/e ≈ 0.63; pairs meaningfully above it are near-certain
+    candidates, pairs below fall off steeply."""
+    if n_hashes % band_size:
+        raise ValueError(f"n_hashes={n_hashes} must be a multiple of "
+                         f"band_size={band_size}")
+    b = n_hashes // band_size
+    return (1.0 / b) ** (1.0 / band_size)
+
+
+#: Documented starting points (verdict round-4 item 3). Costs scale
+#: linearly in n_hashes/4 md5 digests per shingle (digest-slicing in
+#: minhash_signature). knee = lsh_threshold; recall = lsh_recall.
+#:
+#:  name       n_hashes band_size  knee   recall@0.8  recall@0.5
+#:  toy            8        2      0.50     0.98        0.68
+#:  web_08       128        8      0.71     0.95        0.06
+#:  web_05       128        4      0.42     1.00        0.87
+#:
+#: "toy" is the gate/test default (tiny corpus, everything is a
+#: candidate anyway); "web_08" is the C4/RefinedWeb-style web
+#: near-dup point (catch Jaccard >= ~0.8 boilerplate variants while
+#: keeping the verify stage's candidate volume down); "web_05" casts
+#: a wide net for aggressive dedup and leans on the exact Jaccard
+#: verification to filter.
+LSH_PRESETS = {
+    "toy": {"n_hashes": 8, "band_size": 2},
+    "web_08": {"n_hashes": 128, "band_size": 8},
+    "web_05": {"n_hashes": 128, "band_size": 4},
+}
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 8,
                       band_size: int = 2,
                       max_bucket: int = 4096) -> DataFrame:

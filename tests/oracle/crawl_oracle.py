@@ -256,7 +256,7 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         n_waves: int, page_weight: int = 30,
         band_width: int = 1000, band_split_rows: int = 0,
         band_max_paths: int = 16,
-        robots_ttl_waves: int = 0,
+        robots_ttl_waves: int = 0, n_hosts: int = 10,
         use_bloom: bool = False, bloom_bits: int = 1 << 20,
         bloom_min_seen: int = 50_000,
         bloom_fp_rebuild: float = 0.2) -> OracleState:
@@ -271,7 +271,7 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
     bloom_m = bloom_bits
     bloom_rebuild = False
     for i in range(n_seeds):
-        url = webgraph.url_of(i)
+        url = webgraph.url_of(i, n_hosts)
         st.frontier[url] = (0, score(url, 0, True), 0)
         st.seen[url] = 0
     # seed manifest: the seed frontier written through the same
@@ -296,6 +296,11 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         if use_bloom and len(st.seen) >= bloom_min_seen:
             if not bloom_active:
                 bloom_active = True
+                # first-activation auto-size twin (~16 bits/key,
+                # floor 2^8, cap 2^27; bloom_bits remains the floor)
+                bloom_m = max(bloom_m, 1 << min(
+                    27, max(8, (16 * max(len(st.seen), 1) - 1)
+                            .bit_length())))
             elif bloom_rebuild:
                 bloom_m *= 8
         bloom_rebuild = False
@@ -342,7 +347,8 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         total_links = 0
         total_bytes = 0
         for rank, (url, depth, sc) in enumerate(scheduled, start=1):
-            html = webgraph.gen_html(url, universe, page_weight)
+            html = webgraph.gen_html(url, universe, page_weight,
+                                     n_hosts)
             total_bytes += len(html.encode())
             st.fetch_log.append({
                 "wave": wave, "rank_in_wave": rank, "url": url,

@@ -106,12 +106,49 @@ def test_cuckoo_prune_path_same_result(spark, tmp_path, oracle_state):
     from wave 1 (threshold 0) cannot change any output."""
     d = str(tmp_path / "cuckoo_crawl")
     cfg = CrawlConfig(checkpoint_dir=d, use_cuckoo=True, cuckoo_min_seen=0,
+                      cuckoo_probe_min_ratio=0,  # force the probe at
+                      # toy scale (auto routing would skip it: the
+                      # seen set doesn't dwarf the candidates here)
                       use_bloom=False, **CFG)
     summary = crawl(spark, cfg)
     assert summary["metrics"] == oracle_state.metrics
     import os
     assert os.path.isdir(os.path.join(d, "wave=00000", "cuckoo"))
     log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cuckoo_probe_cost_routing(spark, tmp_path, oracle_state):
+    """Round-5: the cuckoo PROBE auto-routes on the seen/candidate
+    ratio (the probe ships every candidate through a cogroup — pure
+    overhead until the seen set dwarfs the stream), and shard
+    MAINTENANCE follows the same prediction (a filter nobody will
+    probe next wave is flat per-wave cost; skipping drops the shards
+    entirely — the only staleness-safe skip — and the ratio crossing
+    later triggers a full rebuild from the seen table). The decision
+    lands in lineage and results are identical either way."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "cuckoo_routed")
+    cfg = CrawlConfig(checkpoint_dir=d, use_cuckoo=True,
+                      cuckoo_min_seen=0, use_bloom=False, **CFG)
+    summary = crawl(spark, cfg)
+    assert summary["metrics"] == oracle_state.metrics
+    for w in range(CFG["n_waves"]):
+        with open(_os.path.join(d, f"wave={w:05d}",
+                                "_lineage.json")) as fh:
+            lin = _json.load(fh)
+        # toy seen/candidate ratio: probe routed OFF, and shard
+        # maintenance therefore skipped (no cuckoo dir written)
+        assert lin["cuckoo_probe"] is False
+        assert not _os.path.isdir(_os.path.join(d, f"wave={w:05d}",
+                                                "cuckoo"))
+    log = read_fetch_log(spark, cfg).orderBy(
+        "wave", "rank_in_wave").collect()
     assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
         [(e["wave"], e["rank_in_wave"], e["url"])
          for e in oracle_state.fetch_log]
@@ -1420,7 +1457,8 @@ def test_crawl_config_fuzz_vs_oracle(spark, tmp_path):
                   n_waves=rng.randint(2, 4))
         extra = dict(band_width=rng.choice([3, 200, 1000, 20000]),
                      band_split_rows=rng.choice([0, 5, 17, 10_000]),
-                     robots_ttl_waves=rng.choice([0, 0, 1, 2]))
+                     robots_ttl_waves=rng.choice([0, 0, 1, 2]),
+                     n_hosts=rng.choice([10, 10, 137]))
         d = str(tmp_path / f"fuzz{trial}")
         cfg = CrawlConfig(checkpoint_dir=d,
                           partitions=rng.choice([2, 8]),

@@ -107,6 +107,8 @@ def test_multimodal_real_decode(spark):
     (the video rows) fall back to the seeded fake / strict raise."""
     import math
 
+    import numpy as np
+
     from cuphic_spark.operators.multimodal import (
         decode_pnm,
         extract_features,
@@ -130,6 +132,16 @@ def test_multimodal_real_decode(spark):
             assert abs(rms - 0.5 / math.sqrt(2)) < 0.01   # sine RMS
             assert abs(zcr - 2 * freq / 8000) < 0.02      # sine ZCR
             assert b0 > 0.9  # 220-990 Hz lives in band [0, 1kHz)
+        elif r.kind == "image" and mid % 5 == 0:
+            # every fifth image is a 4:2:0 + restart-interval JPEG,
+            # decoded FOR REAL through the from-scratch codec: the
+            # recovered dimensions are exact, the channel stats only
+            # quantization/subsampling-loose
+            assert r.format == "jpeg"
+            w, h, aspect, m0, m1, m2, std, _ = r.feature
+            assert (w, h) == (24 + (mid % 7) * 5, 20 + (mid % 11) * 3)
+            assert abs(m0 - 0.5) < 0.06
+            assert abs(m2 - (mid % 256) / 255.0) < 0.06
         elif r.kind == "image":
             assert r.format == "ppm"
             w, h, aspect, m0, m1, m2, std, _ = r.feature
@@ -154,10 +166,17 @@ def test_multimodal_real_decode(spark):
     for mid, r in resized.items():
         img = decode_pnm(bytes(r.resized))
         assert img.shape[1] == 16 == r.out_width
-        src_w, src_h = 16 + (mid % 5) * 8, 12 + (mid % 3) * 8
+        if mid % 5 == 0:  # jpeg source: exact dims, lossy channels
+            src_w, src_h = 24 + (mid % 7) * 5, 20 + (mid % 11) * 3
+        else:
+            src_w, src_h = 16 + (mid % 5) * 8, 12 + (mid % 3) * 8
         assert img.shape[0] == r.out_height == max(1, round(
             src_h * 16 / src_w))
-        assert (img[:, :, 2] == mid % 256).all()  # constant B channel
+        if mid % 5 == 0:
+            assert np.abs(img[:, :, 2].astype(int)
+                          - mid % 256).max() <= 16
+        else:
+            assert (img[:, :, 2] == mid % 256).all()  # constant B
 
     # strict mode: only the codec-requiring rows raise (executor-side)
     video = media.where(F.col("kind") == "video")
@@ -193,6 +212,43 @@ def test_streaming_extraction(spark, tmp_path):
     # windowed agg compiles and is streaming (smoke: plan only)
     win = windowed_page_counts(stream)
     assert win.isStreaming
+
+
+def test_lsh_recall_math_and_presets():
+    """Round-4 verdict item 3: the 1-(1-s^r)^b recall helper, its
+    knee, and the documented production presets — pure math, pinned
+    against hand-computed values."""
+    import pytest as _pytest
+
+    from cuphic_spark.operators.dedup import (
+        LSH_PRESETS,
+        lsh_recall,
+        lsh_threshold,
+    )
+
+    # hand-computed: toy (8,2) b=4: 1-(1-0.64)^4
+    assert abs(lsh_recall(0.8, 8, 2) - (1 - 0.36 ** 4)) < 1e-12
+    # production (128,8) b=16 at the dedup point
+    assert abs(lsh_recall(0.8, 128, 8)
+               - (1 - (1 - 0.8 ** 8) ** 16)) < 1e-12
+    assert 0.94 < lsh_recall(0.8, 128, 8) < 0.96
+    assert lsh_recall(0.5, 128, 8) < 0.07  # steep cutoff below knee
+    # knee: recall at the threshold is ~1-1/e
+    for nh, bs in ((8, 2), (128, 8), (128, 4)):
+        knee = lsh_threshold(nh, bs)
+        assert 0.0 < knee < 1.0
+        assert 0.5 < lsh_recall(knee, nh, bs) < 0.75
+        # monotone in s
+        assert lsh_recall(knee - 0.1, nh, bs) < lsh_recall(knee, nh, bs) \
+            < lsh_recall(min(knee + 0.1, 1.0), nh, bs)
+    # presets are internally consistent with the docstring table
+    assert LSH_PRESETS["toy"] == {"n_hashes": 8, "band_size": 2}
+    assert abs(lsh_threshold(**LSH_PRESETS["web_08"]) - 0.707) < 0.01
+    assert abs(lsh_threshold(**LSH_PRESETS["web_05"]) - 0.420) < 0.01
+    for p in LSH_PRESETS.values():
+        assert p["n_hashes"] % p["band_size"] == 0
+    with _pytest.raises(ValueError, match="multiple"):
+        lsh_recall(0.5, 10, 4)
 
 
 def test_minhash_lsh_hot_band_star_capped(spark):
@@ -441,6 +497,64 @@ def test_connected_components_free_callback_releases_blocks(spark):
     assert persistent_ids() == before
 
 
+def test_ivf_trained_centroids_beat_sign_cells(spark, tmp_path):
+    """Round-4 verdict item 5: a k-means-trained coarse quantizer on
+    a PLANTED clustered corpus must reach recall@5 (vs brute-force
+    cosine) at least as high as the sign-cell baseline, training must
+    be deterministic, and the probed plan must keep the literal
+    partition-filter shape."""
+    import re
+
+    import numpy as np
+
+    from cuphic_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+    from cuphic_spark.plans import executed_plan
+
+    # planted corpus: 8 tight clusters whose centers all sit in the
+    # all-positive orthant — sign cells collapse to ONE cell is
+    # avoided by jitter, but they cannot separate the clusters, while
+    # k-means recovers them
+    rng = np.random.default_rng(42)
+    centers = rng.uniform(0.2, 1.0, (8, 12))
+    vecs = []
+    for i in range(320):
+        c = centers[i % 8]
+        vecs.append((i, (c + rng.normal(0, 0.03, 12)).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    cents = train_ivf_centroids(emb, n_cells=8, max_iter=6)
+    cents2 = train_ivf_centroids(emb, n_cells=8, max_iter=6)
+    assert np.array_equal(cents, cents2)  # deterministic training
+
+    queries = (emb.where(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    brute = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+
+    p_sign = str(tmp_path / "ivf_sign")
+    p_km = str(tmp_path / "ivf_km")
+    build_ivf_index(emb, p_sign, bits=4)
+    build_ivf_index(emb, p_km, centroids=cents)
+
+    sign_hits = {(r.query_id, r.neighbor_id) for r in
+                 ivf_topk_indexed(spark, p_sign, queries, k=5,
+                                  bits=4).collect()}
+    km = ivf_topk_indexed(spark, p_km, queries, k=5, n_probe=2)
+    km_hits = {(r.query_id, r.neighbor_id) for r in km.collect()}
+    r_sign = len(sign_hits & brute) / len(brute)
+    r_km = len(km_hits & brute) / len(brute)
+    assert r_km >= r_sign, (r_km, r_sign)
+    assert r_km >= 0.9  # tight planted clusters: near-exact recall
+    # plan shape preserved: literal cell IN-list partition filter
+    assert re.search(r"cell#\d+L? IN(SET| \()", executed_plan(km))
+
+
 def test_ivf_indexed_probe_cap_falls_back(spark, emb, tmp_path):
     """Round-3 verdict item 4: above max_probe_cells the driver-side
     cell collect is skipped and the probe becomes a plain equi-join on
@@ -674,6 +788,94 @@ def test_jpeg_fill_bytes_and_component_count_guards():
             b"\xff\xd9")
     with _pytest.raises(NotImplementedError, match="4-component"):
         decode_jpeg(sof4)
+
+
+def test_jpeg_420_dri_decode():
+    """Round-4 verdict item 4: 4:2:0 + restart-interval decode.
+
+    (a) restart intervals are entropy-layer only: the same image at
+    DRI 0/1/3/7 decodes bit-identically; (b) the 4:2:0 result equals
+    an INDEPENDENT reference built in this test (own color matrices,
+    own 2x2 box downsample + nearest upsample over the quantized
+    chroma) within quantization error; (c) odd sizes keep exact
+    output dims; (d) spec-violating streams fail loudly (RST out of
+    sequence, RST without DRI)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    w, h = 45, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                    ((xx + yy) * 3) % 256], -1).astype(np.uint8)
+
+    # (a) DRI is entropy-layer only
+    base = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+    for dri in (1, 3, 7):
+        got = decode_jpeg(encode_jpeg(img, 90, subsampling="420",
+                                      restart_interval=dri))
+        assert np.array_equal(got, base), dri
+
+    # (b) independent upsampled reference: the decoded 4:2:0 image
+    # must match round-tripping luma at full res and chroma through
+    # 2x2 box-down + nearest-up, all computed HERE from first
+    # principles (not via jpeg.py helpers), within quant error
+    def rgb2ycc(a):
+        r, g, b = (a[..., i].astype(float) for i in range(3))
+        return np.stack([.299 * r + .587 * g + .114 * b,
+                         128 - .168736 * r - .331264 * g + .5 * b,
+                         128 + .5 * r - .418688 * g - .081312 * b], -1)
+
+    def ycc2rgb(y, cb, cr):
+        cb, cr = cb - 128.0, cr - 128.0
+        return np.clip(np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr,
+             y + 1.772 * cb], -1).round(), 0, 255).astype(np.uint8)
+
+    ycc = rgb2ycc(img)
+    pad = np.pad(ycc, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    sub = pad.reshape(pad.shape[0] // 2, 2,
+                      pad.shape[1] // 2, 2, 3).mean((1, 3))
+    up = np.repeat(np.repeat(sub, 2, 0), 2, 1)[:h, :w]
+    ref = ycc2rgb(ycc[..., 0], up[..., 1], up[..., 2])
+    got = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
+    err = np.abs(got.astype(int) - ref.astype(int))
+    assert err.max() <= 14 and err.mean() <= 3, (err.max(), err.mean())
+
+    # (c) odd/awkward shapes with restarts: exact output dims, bounded
+    # luma error (chroma is subsampled — compare on the luma plane)
+    for (hh, ww) in [(1, 1), (3, 5), (9, 17), (16, 16), (17, 33)]:
+        src = rng.integers(0, 256, (hh, ww, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(src, 90, subsampling="420",
+                                      restart_interval=2))
+        assert out.shape == (hh, ww, 3)
+        lum = lambda a: (.299 * a[..., 0] + .587 * a[..., 1]  # noqa: E731
+                         + .114 * a[..., 2])
+        lerr = np.abs(lum(out.astype(float)) - lum(src.astype(float)))
+        assert lerr.mean() <= 12, (hh, ww, lerr.mean())
+
+    # (d) loud failures: corrupted RST sequence / RST without DRI
+    stream = encode_jpeg(img, 90, subsampling="420", restart_interval=1)
+    assert b"\xff\xd0" in stream
+    bad = stream.replace(b"\xff\xd0", b"\xff\xd4", 1)
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bad)
+    no_dri = stream.replace(b"\xff\xdd\x00\x04\x00\x01", b"", 1)
+    assert len(no_dri) < len(stream)
+    with _pytest.raises(ValueError, match="no DRI"):
+        decode_jpeg(no_dri)
+
+    # non-integer sampling ratio (3x1 max vs 2x1 component) refuses
+    # by name — patch the SOF sampling bytes of a real stream (the
+    # check fires at header analysis, before entropy decode)
+    s444 = bytearray(encode_jpeg(img, 90))
+    sof = s444.index(b"\xff\xc0")
+    s444[sof + 4 + 7] = 0x31   # comp 1: 3x1
+    s444[sof + 4 + 10] = 0x21  # comp 2: 2x1 -> 3 % 2 != 0
+    with _pytest.raises(NotImplementedError, match="non-integer"):
+        decode_jpeg(bytes(s444))
 
 
 def test_jpeg_huffman_tables_are_valid_prefix_codes():
