@@ -159,7 +159,8 @@ def machine_controls(reps: int = 3, pin: bool = False) -> dict:
 def crawl_leg(cpus: int, wave_cap: int, page_weight: int = 30,
               n_hosts: int = 10, budget: int | None = None,
               n_seeds: int | None = None,
-              band_split_rows: int = 0, pin: bool = False) -> dict:
+              band_split_rows: int = 0, pin: bool = False,
+              timed_resume: bool = False) -> dict:
     """One crawl-only leg at a given parallelism / wave size / page
     weight, in a subprocess (own SparkSession). The crawl input is
     synthetic (webgraph), so no sf_dir is involved.
@@ -183,19 +184,30 @@ crawl(spark, CrawlConfig(universe=10_000, n_seeds=64, budget_per_host=64,
                          page_weight={page_weight}))
 shutil.rmtree(warm, ignore_errors=True)
 d = tempfile.mkdtemp(prefix="crawl_scale_")
-cfg = CrawlConfig(universe=max(1_000_000, 5 * {wave_cap}),
-                  n_seeds={n_seeds}, budget_per_host={budget},
-                  wave_cap={wave_cap}, n_waves=2, n_hosts={n_hosts},
-                  checkpoint_dir=d, partitions=max({cpus}, 8),
-                  band_split_rows={band_split_rows},
-                  page_weight={page_weight})
-t0 = time.perf_counter()
-s = crawl(spark, cfg)
-dt = time.perf_counter() - t0
+kw = dict(universe=max(1_000_000, 5 * {wave_cap}),
+          n_seeds={n_seeds}, budget_per_host={budget},
+          wave_cap={wave_cap}, n_hosts={n_hosts},
+          checkpoint_dir=d, partitions=max({cpus}, 8),
+          band_split_rows={band_split_rows},
+          page_weight={page_weight})
+if {timed_resume}:
+    # steady-state wave measurement: run wave 0 UNTIMED (seed write +
+    # first wave = setup), then time the RESUMED run of wave 1 alone
+    # — the number a 10^10-frontier crawl's throughput actually is
+    # (per-wave steady state, not seed bootstrap)
+    crawl(spark, CrawlConfig(n_waves=1, **kw))
+    t0 = time.perf_counter()
+    s = crawl(spark, CrawlConfig(n_waves=2, **kw))
+    dt = time.perf_counter() - t0
+else:
+    t0 = time.perf_counter()
+    s = crawl(spark, CrawlConfig(n_waves=2, **kw))
+    dt = time.perf_counter() - t0
 sched = sum(m["scheduled"] for m in s["metrics"])
 jobs = [t.get("spark_jobs") for t in s["timings"]]
 print(json.dumps({{"cpus": {cpus}, "wave_cap": {wave_cap},
                    "page_weight": {page_weight},
+                   "timed_resume": {timed_resume},
                    "sec": round(dt, 3), "scheduled": sched,
                    "urls_per_sec": round(sched / dt, 1),
                    "jobs_per_wave": jobs,
@@ -210,6 +222,45 @@ shutil.rmtree(d, ignore_errors=True)
     out = subprocess.run(argv, cwd=str(REPO),
                          capture_output=True, text=True, timeout=1800,
                          check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def extract_leg(cpus: int, pin: bool = False,
+                sf_dir: str = "/root/testdata/sf0.1",
+                reps: int = 3) -> dict:
+    """The engine's own parse-stage scaling (extract_text over the
+    bench corpus), min-of-N, in a subprocess — the IN-ENGINE ceiling
+    for any pipeline containing an Arrow-batched python parse stage:
+    no Spark job that parses pages can scale better than the bare
+    parse stage itself (JVM task threads + python workers share the
+    same cores; the no-Spark mp control can't see that overlap)."""
+    code = f"""
+import json, time
+from pyspark.sql import functions as F
+from cuphic_spark.session import get_spark
+from cuphic_spark.operators.parse import pages_extract_text
+from cuphic_spark.sources.pagegen import synth_pages
+
+spark = get_spark(app_name="extract-scale", cores={cpus})
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
+pages = synth_pages(spark, {sf_dir!r}, 100).repartition(64)
+pages.write.mode("overwrite").parquet("/tmp/extract_scale_pages")
+pages = spark.read.parquet("/tmp/extract_scale_pages")
+n = pages.count()
+best = float("inf")
+for _ in range({reps + 1}):  # first pass warms, then min-of-reps
+    t0 = time.perf_counter()
+    pages_extract_text(pages).agg(F.sum(F.length("text"))).collect()
+    best = min(best, time.perf_counter() - t0) if _ else best
+print(json.dumps({{"cpus": {cpus}, "sec": round(best, 3),
+                   "pages_per_sec": round(n / best, 1)}}))
+"""
+    argv = [sys.executable, "-c", code]
+    if pin:
+        argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
+    out = subprocess.run(argv, cwd=str(REPO), capture_output=True,
+                         text=True, timeout=1800, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -280,6 +331,11 @@ def crawl_scaling(cases=((200_000, 0), (200_000, 30),
             if bceil:
                 row["efficiency_vs_burn_ceiling"] = round(
                     speedup / bceil, 2)
+            eceil = controls.get("engine_parse_ceiling_8_to_32")
+            if eceil:
+                row["engine_parse_ceiling_8_to_32"] = eceil
+                row["efficiency_vs_engine_parse"] = round(
+                    speedup / eceil, 2)
         rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
     return rows
@@ -300,6 +356,34 @@ def main() -> None:
         controls = machine_controls()
         print("controls:", json.dumps(controls), flush=True)
         rows = crawl_scaling(controls=controls)
+        pathlib.Path(argv[1]).write_text(json.dumps(
+            {"controls": controls, "rows": rows}))
+        return
+    if argv and argv[0] == "--crawl-steady":
+        # THE round-5 scaling artifact: one assembly measuring, in
+        # order, (a) the pinned no-Spark controls, (b) the engine's
+        # own parse-stage 8->32 scaling (extract_leg — the in-engine
+        # ceiling), (c) steady-state TIMED-RESUME crawl waves at 1M
+        # and 4M urls (wave_cap >= 10^6 per round-4 verdict item 1;
+        # the 4M row shows the flat per-wave cost amortizing).
+        # All legs pinned: N vs 4N CORES, not N threads on 4N cores.
+        controls = machine_controls(pin=True)
+        print("controls:", json.dumps(controls), flush=True)
+        ex8 = extract_leg(8, pin=True)
+        ex32 = extract_leg(32, pin=True)
+        controls["extract_sec_8"] = ex8["sec"]
+        controls["extract_sec_32"] = ex32["sec"]
+        controls["engine_parse_ceiling_8_to_32"] = round(
+            ex8["sec"] / ex32["sec"], 2)
+        print("extract ceiling:", json.dumps(controls), flush=True)
+        cases = (
+            {**PROD_CASE, "budget": 2_000_000, "timed_resume": 1,
+             "pin": True, "reps": 2},
+            {**PROD_CASE, "wave_cap": 4_000_000,
+             "n_seeds": 6_000_000, "budget": 2_000_000,
+             "timed_resume": 1, "pin": True, "reps": 1},
+        )
+        rows = crawl_scaling(cases=cases, controls=controls)
         pathlib.Path(argv[1]).write_text(json.dumps(
             {"controls": controls, "rows": rows}))
         return

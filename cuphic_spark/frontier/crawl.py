@@ -108,8 +108,11 @@ class CrawlConfig:
     # (steady-state crawl over a 10^10 frontier). In the expansion
     # phase (candidates comparable to seen) it is pure overhead —
     # measured -17% wall on a production-shaped 10^6-url wave. Shard
-    # MAINTENANCE always runs, so the filter is warm the moment the
-    # ratio crosses. 0 forces the probe whenever shards exist.
+    # MAINTENANCE follows the same prediction (see maintain_cuckoo in
+    # the wave loop): skipped waves DROP the shards — never leave
+    # them stale — and the ratio crossing triggers a full rebuild
+    # from the seen table. 0 forces probe + maintenance whenever
+    # shards can exist.
     salt_buckets: int = 4         # host-salt fan-out for skewed hosts
     compact_every: int = 0        # auto-compact seen deltas every N
     # waves (0 = off; offline compaction via snapshots.compact_seen)
@@ -246,7 +249,8 @@ def _hrefs_streaming(xml) -> list[str]:
 def _fetch_extract(scheduled: DataFrame, universe: int,
                    page_weight: int = 30, dropped_acc=None,
                    link_extract: str = "streaming",
-                   n_hosts: int = webgraph.N_HOSTS) -> DataFrame:
+                   n_hosts: int = webgraph.N_HOSTS,
+                   fetch_fn=None) -> DataFrame:
     """Simulated fetch FUSED with link extraction: ONE Arrow stage
     generates the page body, parses it through the lenient ladder,
     and runs the cuphic kernel scan for ``[:a {:href href} ???]`` —
@@ -270,7 +274,15 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
     twin of the link pattern through the same lenient ladder — the
     fixed-pattern specialization of the fused scan (no Hiccup tree
     per page). ``'kernel'`` keeps the general engine scan; both are
-    pinned identical by tests."""
+    pinned identical by tests.
+
+    ``fetch_fn(url) -> bytes`` is the pluggable FETCHER (default: the
+    deterministic webgraph simulator — this sandbox has no network).
+    A production deployment drops an httpx/aiohttp batch fetcher in
+    here (`CrawlConfig.extra['fetch_fn']`); everything downstream —
+    lenient parse ladder, link extraction, politeness, seen set,
+    checkpointing — is fetcher-agnostic (pinned by the custom-
+    fetcher crawl test)."""
     import pandas as pd
 
     from ..operators.parse import parse_html_lenient
@@ -279,6 +291,11 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
         T.StructField("bytes", T.LongType()),
         T.StructField("hrefs", T.ArrayType(T.StringType())),
     ])
+
+    if fetch_fn is None:
+        def fetch_fn(u):
+            return webgraph.gen_html(u, universe, page_weight,
+                                     n_hosts).encode()
 
     def gen(batches):
         if link_extract == "streaming":
@@ -310,8 +327,7 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
             pdf = pdf.copy()
             nbytes, hrefs_col = [], []
             for u in pdf["url"]:
-                data = webgraph.gen_html(u, universe, page_weight,
-                                         n_hosts).encode()
+                data = fetch_fn(u)
                 hrefs = page_hrefs(data)
                 if hrefs is None:
                     if dropped_acc is not None:
@@ -492,7 +508,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     fetched = (_fetch_extract(scheduled, cfg.universe, cfg.page_weight,
                               dropped_acc=dropped_acc,
                               link_extract=cfg.link_extract,
-                              n_hosts=cfg.n_hosts)
+                              n_hosts=cfg.n_hosts,
+                              fetch_fn=cfg.extra.get("fetch_fn"))
                .cache())
 
     links = fetched.select(F.col("url").alias("base_url"),
