@@ -109,6 +109,20 @@ def main() -> None:
         "check PartitionFilters: [cell IN (...)] on the index scan — "
         "only probed directories are read; the 100TB ANN shape.")
 
+    from cuphic_spark.operators.similarity import train_ivf_centroids
+
+    km_path = "/tmp/cuphic_plan_ivf_km"
+    cents = train_ivf_centroids(emb, n_cells=4, max_iter=3)
+    build_ivf_index(emb, km_path, centroids=cents)
+    add("Persisted IVF probe (TRAINED k-means centroids)",
+        ivf_topk_indexed(spark, km_path, q, k=5, n_probe=2),
+        "Round 5: the trained coarse quantizer keeps the exact same "
+        "plan shape as the sign-cell index — literal PartitionFilters "
+        "on cell from the n_probe-nearest-centroid expansion; only "
+        "the cell ASSIGNMENT (an Arrow-batched argmin over the "
+        "broadcast centroids) differs, and it runs at index-build/"
+        "probe-expansion time, never in the scan.")
+
     from cuphic_spark.frontier.seen import prune_seen_paths
 
     seen_dir = "/tmp/cuphic_plan_seen"
