@@ -529,6 +529,9 @@ def q_rescore_frontier(spark, sf_dir):
     )
     from cuphic_spark.frontier.urlnorm import host_col
 
+    # NOTE: the dir outlives this function deliberately — the
+    # returned DataFrame reads from it lazily (the gate driver
+    # collects later); a few hundred rows of parquet per gate run
     d = tempfile.mkdtemp(prefix="cuphic_gate_rescore_")
     cfg = CrawlConfig(checkpoint_dir=d, partitions=4, band_width=1000)
     seeds = _docs(spark, sf_dir).select(

@@ -806,9 +806,15 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
         acc = bloom_acc
 
         def fold(batches):
+            # one accumulator update per TASK (see
+            # BloomUpdateAccumulator): chunks collected across the
+            # generator's batches, sent once at partition end
+            chunks = []
             for pdf in batches:
-                acc.add_hashes(pdf["__h"])
+                if len(pdf):
+                    chunks.append(acc.positions(pdf["__h"]))
                 yield pdf.drop(columns="__h")
+            acc.add_positions(chunks)
 
         out = (out.withColumn("__h", F.xxhash64("url"))
                .mapInPandas(fold, out_schema))

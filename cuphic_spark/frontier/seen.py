@@ -141,31 +141,42 @@ class BloomUpdateAccumulator:
     tasks accumulate their delta's bit positions while the rows
     stream to parquet — the separate per-wave bloom job disappears.
 
-    Each task contributes either a raw position array (small deltas)
-    or a pre-folded partial bitmap (when positions would outweigh
-    m/8 bytes), so the driver-bound update volume per wave is
-    min(24·|delta_rows_in_task|, m/8) per task. OR-ing bitmaps is
-    IDEMPOTENT, so task retries/speculation can only re-set the same
-    bits — the merged bitmap is exact even when accumulator updates
-    are delivered more than once (unlike counting accumulators).
+    Each task contributes ONE update — either its raw position
+    arrays (small deltas) or a pre-folded partial bitmap (when the
+    positions would outweigh m/8 bytes) — so the driver-bound update
+    volume per wave is min(24·|delta_rows_in_task|, m/8) per task
+    (accumulating per Arrow BATCH instead would make the bitmap
+    fallback unreachable — batches are always small — and ship
+    24 bytes/url unconditionally: GBs at 10^8-url waves). OR-ing
+    bitmaps is IDEMPOTENT, so task retries/speculation can only
+    re-set the same bits — the merged bitmap is exact even when
+    accumulator updates are delivered more than once (unlike
+    counting accumulators).
     """
 
     def __init__(self, spark, m: int):
         self.m = m
         self.acc = spark.sparkContext.accumulator([], _ListParam())
 
-    def add_hashes(self, h: "pd.Series") -> None:
-        """Executor-side: fold one Arrow batch's xxhash64 column."""
-        if not len(h):
+    def positions(self, h: "pd.Series") -> np.ndarray:
+        """Executor-side: one batch's bit positions (no send)."""
+        return _bit_indices(h, self.m).reshape(-1).astype(np.int64)
+
+    def add_positions(self, chunks: list) -> None:
+        """Executor-side, once per TASK: send the task's accumulated
+        position chunks — as positions if small, else folded into a
+        single partial bitmap."""
+        if not chunks:
             return
-        idx = _bit_indices(h, self.m).reshape(-1)
         nbytes = self.m // 8 + 1
-        if idx.nbytes < nbytes:
-            self.acc.add([("pos", idx.astype(np.int64).tobytes())])
+        total = sum(c.nbytes for c in chunks)
+        if total < nbytes:
+            self.acc.add([("pos", c.tobytes()) for c in chunks])
         else:
             arr = np.zeros(nbytes, dtype=np.uint8)
-            np.bitwise_or.at(arr, idx // 8,
-                             (1 << (idx % 8)).astype(np.uint8))
+            for idx in chunks:
+                np.bitwise_or.at(arr, idx // 8,
+                                 (1 << (idx % 8)).astype(np.uint8))
             self.acc.add([("bmp", arr.tobytes())])
 
     def merged(self, base: bytes | None = None) -> bytes:
