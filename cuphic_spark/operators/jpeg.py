@@ -485,6 +485,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit precision")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if h * w > 64_000_000:
+                # allocation guard: the coefficient grids are
+                # h*w*4B-ish per component — a corrupt/hostile SOF
+                # header (dims are attacker-controlled bytes) must
+                # fail loudly here, not as a worker-killing
+                # MemoryError mid-decode
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the 64-megapixel "
+                    "decode guard (corrupt header or genuinely huge "
+                    "image; raise the guard deliberately if the "
+                    "latter)")
             nc = body[5]
             if nc not in (1, 3):
                 # a 4-component (YCCK/CMYK Adobe) baseline stream

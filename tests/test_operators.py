@@ -789,6 +789,16 @@ def test_jpeg_fill_bytes_and_component_count_guards():
     with _pytest.raises(NotImplementedError, match="4-component"):
         decode_jpeg(sof4)
 
+    # hostile/corrupt SOF dimensions refuse BEFORE allocating the
+    # coefficient grids (65535x65535 would be ~17 GB) — a loud
+    # ValueError, not a worker-killing MemoryError
+    huge = (b"\xff\xd8" + b"\xff\xc0" + (8 + 3 + 2).to_bytes(2, "big")
+            + b"\x08" + (65535).to_bytes(2, "big")
+            + (65535).to_bytes(2, "big") + b"\x01"
+            + bytes([1, 0x11, 0]) + b"\xff\xd9")
+    with _pytest.raises(ValueError, match="megapixel"):
+        decode_jpeg(huge)
+
 
 def test_jpeg_420_dri_decode():
     """Round-4 verdict item 4: 4:2:0 + restart-interval decode.
