@@ -250,6 +250,19 @@ def test_lsh_recall_math_and_presets():
     with _pytest.raises(ValueError, match="multiple"):
         lsh_recall(0.5, 10, 4)
 
+    # the config chooser recovers the documented web preset at the
+    # 0.8 dedup point, always meets the recall floor, and refuses
+    # unreachable asks loudly
+    from cuphic_spark.operators.dedup import lsh_pick_config
+
+    assert lsh_pick_config(0.8) == LSH_PRESETS["web_08"]
+    for s in (0.5, 0.6, 0.7, 0.9):
+        cfg = lsh_pick_config(s, min_recall=0.9)
+        assert lsh_recall(s, **cfg) >= 0.9
+        assert lsh_threshold(**cfg) < s  # knee below the target
+    with _pytest.raises(ValueError, match="raise"):
+        lsh_pick_config(0.3, min_recall=0.999, max_hashes=8)
+
 
 def test_minhash_lsh_hot_band_star_capped(spark):
     """Hot-band guard: a degenerate band value (here: 300 identical
