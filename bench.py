@@ -53,13 +53,13 @@ PATTERNS = {
 # say so). The 1.4 factor is the documented uniform-window spread
 # (BENCH/BASELINE.md window-noise section).
 PROTOCOL_SEC = {
-    # crawl@32 refreshed round 5 (20.881 s measured at stock defaults
+    # crawl@32 refreshed round 5 (20.438 s measured at stock defaults
     # after the routing/pipelining work — the round-4 23.487 band
     # pre-dates it); all other bands are the round-4 min-of-5 numbers
     # (those code paths are unchanged).
     32: {"extract_text": 1.798, "scrape_relational": 3.886,
          "scrape_kernel": 3.968, "minhash_pages": 10.076,
-         "ann_topk": 1.089, "crawl": 20.881},
+         "ann_topk": 1.089, "crawl": 20.438},
     8: {"extract_text": 4.315, "scrape_relational": 5.671,
         "scrape_kernel": 12.074, "minhash_pages": 23.687,
         "ann_topk": 1.041, "crawl": 24.594},
