@@ -154,6 +154,18 @@ class CrawlConfig:
     robots_ttl_waves: int = 0     # robots-cache TTL in waves: epoch =
     # wave // ttl selects the rules version (0 = static spec, the
     # deterministic default); oracle models the same schedule
+    aqe: str = "off"              # crawl-session AQE profile: 'off'
+    # (default) disables spark.sql.adaptive for the duration of the
+    # crawl (restoring the caller's setting on exit), 'inherit'
+    # leaves the session untouched. The crawl pre-partitions and
+    # host-salts explicitly, so AQE's runtime re-planning buys
+    # nothing inside a wave while its per-stage materialization
+    # barriers cost ~15 extra Spark jobs per wave (measured: 25
+    # jobs/wave AQE-on vs 10 off; steady-wave 8->32 speedup 1.94x vs
+    # 2.12x — BENCH/crawl_steady_r5.json aqe_off_experiment).
+    # Results are byte-identical either way (the determinism
+    # contract holds at any parallelism/plan): this knob is purely a
+    # scheduling-overhead profile.
     extra: dict = field(default_factory=dict)
 
 
@@ -824,13 +836,18 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
     writer.parquet(path)
 
 
+#: 2^27 bits = 16 MiB — the broadcast-comfort ceiling shared by first
+#: activation (bloom_auto_bits) and the ×8 saturation rebuild path.
+BLOOM_MAX_BITS = 1 << 27
+
+
 def bloom_auto_bits(n_seen: int) -> int:
     """Power-of-two bloom size giving ~16 bits per already-seen key
     at first activation (k=3 -> est-fp ~0.5%), floored at 2^8 and
-    capped at 2^27 (16 MiB broadcast). Pure function — the crawl
-    oracle computes the identical value."""
+    capped at BLOOM_MAX_BITS = 2^27 (16 MiB broadcast). Pure function
+    — the crawl oracle computes the identical value."""
     bits = max(8, (16 * max(n_seen, 1) - 1).bit_length())
-    return 1 << min(27, bits)
+    return min(1 << bits, BLOOM_MAX_BITS)
 
 
 def _max_job_id(spark) -> int:
@@ -891,7 +908,30 @@ def _read_seen(spark: SparkSession, cfg: CrawlConfig,
 
 
 def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
-    """Run (or resume) the crawl up to cfg.n_waves. Returns summary."""
+    """Run (or resume) the crawl up to cfg.n_waves. Returns summary.
+
+    Applies the crawl-session AQE profile (see CrawlConfig.aqe) around
+    the wave loop and restores the caller's setting on exit — the
+    profile changes Spark-job count per wave, never any output."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    prior = None
+    if cfg.aqe == "off":
+        prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the pool that runs the pipelined checkpoint writes is owned HERE
+    # so any exception inside the loop still joins in-flight writes
+    # (a write racing session teardown is worse than a leaked cache)
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        return _crawl_loop(spark, cfg, pool)
+    finally:
+        pool.shutdown(wait=True)
+        if prior is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
+def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
     from . import bands as bands_mod
 
     start = last_complete_wave(cfg) + 1
@@ -975,11 +1015,44 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             bloom_rebuild = (prev_fp is not None
                              and prev_fp > cfg.bloom_fp_rebuild)
 
+    import time as _time
+
     all_metrics = []
     all_timings = []
-    for wave in range(start, cfg.n_waves):
-        import time as _time
+    pending = None  # deferred tail of the previous wave (see _finalize)
 
+    def _finalize(p):
+        """Drain the pending wave's fetch_log write, assemble its
+        metrics + lineage, release its caches.
+
+        WAVE OVERLAP (round-5 verdict item 1): nothing downstream of
+        a wave depends on its fetch_log parquet except the metrics
+        that ride it, so the wave loop defers this tail and calls it
+        only after the NEXT wave's schedule phase (frontier read +
+        ranking + stats job) has already run — the fetch_log
+        serialization drain and the next wave's planning jobs share
+        the cluster instead of serializing. Ordering safety: the
+        deferred wave's lineage marker is always written BEFORE the
+        next wave's own writes launch, so wave directories + lineage
+        commit strictly in wave order and last_complete_wave stays
+        contiguous (a crash mid-overlap re-runs the unfinalized wave
+        deterministically). Metric VALUES are unaffected by the
+        deferral — observations accumulate on their writes no matter
+        when .get is read; the oracle pins them exactly."""
+        t0 = _time.perf_counter()
+        p["f_log"].result()
+        p["tt"]["fetch_log_drain"] = round(_time.perf_counter() - t0, 3)
+        metrics = p["finish"]()
+        metrics.update(p["extra_metrics"])
+        lineage = {**p["lineage_base"], "metrics": metrics}
+        with open(os.path.join(p["dir"], "_lineage.json"), "w") as fh:
+            json.dump(lineage, fh, indent=1)
+        for c in p["caches"]:
+            c.unpersist()
+        all_timings.append({"wave": p["wave"], **p["tt"]})
+        all_metrics.append(metrics)
+
+    for wave in range(start, cfg.n_waves):
         tt, t0 = {}, _time.perf_counter()
 
         def _mark(name):
@@ -997,14 +1070,18 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 # broadcast) the ceiling. Oracle mirrors the formula.
                 bloom_m = max(bloom_m, bloom_auto_bits(n_seen))
                 bloom = build_bloom(seen, bloom_m)
-            elif bloom_rebuild:
+            elif bloom_rebuild and bloom_m < BLOOM_MAX_BITS:
                 # saturation rebuild at the wave boundary (the est-fp
                 # signal fired last wave): geometric ×8 growth,
                 # rebuilt from the seen table — the source of truth
                 # the bitmap only approximates. Amortized-rare by the
                 # geometric growth; filters only prune, so scheduling
-                # is identical across any resize history.
-                bloom_m *= 8
+                # is identical across any resize history. Capped at
+                # the same 2^27 (16 MiB) broadcast ceiling as first
+                # activation — past the cap the bitmap stays saturated
+                # but still-correct (it only prunes; the anti-join is
+                # exact) and the cost router will stop consulting it.
+                bloom_m = min(bloom_m * 8, BLOOM_MAX_BITS)
                 bloom = build_bloom(seen, bloom_m)
         bloom_rebuild = False
         _mark("bloom_build")
@@ -1015,6 +1092,13 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             prev_links_hint=prev_links, seen_paths=seen_paths,
             bloom_m=bloom_m)
         _mark("schedule")
+        # the previous wave's fetch_log drain overlapped the schedule
+        # phase above; it must complete (and its lineage commit)
+        # before THIS wave's writes launch — see _finalize
+        if pending is not None:
+            _finalize(pending)
+            pending = None
+        _mark("prev_wave_drain")
         d = _wave_dir(cfg, wave)
         bloom_acc = (BloomUpdateAccumulator(spark, bloom_m)
                      if (cfg.use_bloom and bloom is not None) else None)
@@ -1069,89 +1153,102 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
                 _read_seen(spark, cfg, wave), cfg.partitions,
                 path=os.path.join(d, "cuckoo"))
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_log = pool.submit(write_fetch_log)
-            f_seen = pool.submit(write_seen_delta)
-            f_seen.result()
-            f_frontier = pool.submit(write_frontier)
-            # obs_new/obs_links rode the just-committed seen write —
-            # the cuckoo maintenance decision needs the post-wave
-            # seen count and candidate volume without blocking on the
-            # fetch_log write's observation
-            n_seen_after = n_seen + finish.n_new()
-            probe_next = (
-                cfg.use_cuckoo
-                and n_seen_after >= cfg.cuckoo_min_seen
-                and (cfg.cuckoo_probe_min_ratio == 0
-                     or n_seen_after >= cfg.cuckoo_probe_min_ratio
-                     * max(finish.n_links_distinct(), 1)))
-            f_cuckoo = pool.submit(maintain_cuckoo, n_seen_after,
-                                   probe_next)
-            f_log.result()
-            _mark("fetch_seen_writes")
-            metrics = finish()
-            metrics["frontier_rows_read"] = plan.rows_read
-            n_seen = n_seen_after
-            if bloom_acc is not None:
-                # driver-side fold of the accumulated bit positions —
-                # zero extra Spark jobs — plus the saturation signal
-                bloom = bloom_acc.merged(base=bloom)
-                with open(os.path.join(d, "bloom.bin"), "wb") as fh:
-                    fh.write(bloom)
-                pc = bloom_popcount(bloom)
-                metrics["bloom_m"] = bloom_m
-                metrics["bloom_popcount"] = pc
-                metrics["bloom_est_fp"] = bloom_est_fp(pc, bloom_m)
-                bloom_rebuild = (metrics["bloom_est_fp"]
-                                 > cfg.bloom_fp_rebuild)
-            new_manifest, rows_written = f_frontier.result()
-            cuckoo_shards = f_cuckoo.result()
+        f_log = pool.submit(write_fetch_log)
+        f_seen = pool.submit(write_seen_delta)
+        f_seen.result()
+        f_frontier = pool.submit(write_frontier)
+        # obs_new/obs_links rode the just-committed seen write —
+        # the cuckoo maintenance decision needs the post-wave
+        # seen count and candidate volume without blocking on the
+        # fetch_log write's observation
+        n_seen_after = n_seen + finish.n_new()
+        probe_next = (
+            cfg.use_cuckoo
+            and n_seen_after >= cfg.cuckoo_min_seen
+            and (cfg.cuckoo_probe_min_ratio == 0
+                 or n_seen_after >= cfg.cuckoo_probe_min_ratio
+                 * max(finish.n_links_distinct(), 1)))
+        f_cuckoo = pool.submit(maintain_cuckoo, n_seen_after,
+                               probe_next)
+        # metrics that do NOT ride the fetch_log write are assembled
+        # now (bloom fold needs only the committed seen delta — the
+        # accumulator rode that write); the obs_fetch-backed ones are
+        # read in _finalize, after the deferred f_log drain
+        extra_metrics = {"frontier_rows_read": plan.rows_read}
+        n_seen = n_seen_after
+        if bloom_acc is not None:
+            # driver-side fold of the accumulated bit positions —
+            # zero extra Spark jobs — plus the saturation signal
+            bloom = bloom_acc.merged(base=bloom)
+            with open(os.path.join(d, "bloom.bin"), "wb") as fh:
+                fh.write(bloom)
+            pc = bloom_popcount(bloom)
+            extra_metrics["bloom_m"] = bloom_m
+            extra_metrics["bloom_popcount"] = pc
+            extra_metrics["bloom_est_fp"] = bloom_est_fp(pc, bloom_m)
+            bloom_rebuild = (extra_metrics["bloom_est_fp"]
+                             > cfg.bloom_fp_rebuild)
+        new_manifest, rows_written = f_frontier.result()
+        cuckoo_shards = f_cuckoo.result()
         bands_mod.write_manifest(os.path.join(d, "frontier"),
                                  new_manifest)
         # manifest bookkeeping (footer counts recorded at write time):
         # no Spark job, no observation, no exhaustion edge case
-        metrics["frontier_rows_written"] = rows_written
-        metrics["frontier_size"] = bands_mod.manifest_total(new_manifest)
-        _mark("frontier_bloom_cuckoo")
+        extra_metrics["frontier_rows_written"] = rows_written
+        extra_metrics["frontier_size"] = bands_mod.manifest_total(
+            new_manifest)
+        _mark("seen_frontier_cuckoo")
+        # informational: with the wave overlap, the previous wave's
+        # fetch_log job id may land inside this wave's delta — the
+        # counter bounds per-wave job submissions, it does not
+        # attribute them exactly
         tt["spark_jobs"] = _max_job_id(spark) - jobs_before
 
+        # this wave's fetch_log drain + metrics/lineage/caches are
+        # DEFERRED past the next wave's schedule phase (see _finalize)
+        pending = {
+            "wave": wave, "dir": d, "f_log": f_log, "finish": finish,
+            "caches": caches, "extra_metrics": extra_metrics, "tt": tt,
+            "lineage_base": {
+                "wave": wave,
+                "input_wave_dir": (_wave_dir(cfg, wave - 1) if wave
+                                   else "seeds"),
+                "partitions": cfg.partitions,
+                "seen_deltas": _seen_delta_paths(cfg, wave),
+                "frontier_manifest": bands_mod.manifest_path(
+                    os.path.join(d, "frontier")),
+                "frontier_bands_read": plan.read_bands,
+                "frontier_segments_read": sorted(plan.consumed_keys()),
+                "frontier_score_cut": plan.s_cut,
+                "seen_strategy": seen_strategy,
+                "cuckoo_probe": finish.cuckoo_probed,
+                "config": {"universe": cfg.universe,
+                           "n_seeds": cfg.n_seeds,
+                           "budget_per_host": cfg.budget_per_host,
+                           "wave_cap": cfg.wave_cap,
+                           "band_width": cfg.band_width,
+                           "band_split_rows":
+                               bands_mod.split_rows_of(cfg)},
+            },
+        }
         manifest = new_manifest
-        for c in caches:
-            c.unpersist()
         seen = _read_seen(spark, cfg, wave)
         seen_paths = _seen_delta_paths(cfg, wave)
-        prev_links = metrics["links_distinct"]
-        all_timings.append({"wave": wave, **tt})
-        lineage = {
-            "wave": wave,
-            "input_wave_dir": _wave_dir(cfg, wave - 1) if wave else "seeds",
-            "partitions": cfg.partitions,
-            "seen_deltas": _seen_delta_paths(cfg, wave),
-            "frontier_manifest": bands_mod.manifest_path(
-                os.path.join(d, "frontier")),
-            "frontier_bands_read": plan.read_bands,
-            "frontier_segments_read": sorted(plan.consumed_keys()),
-            "frontier_score_cut": plan.s_cut,
-            "seen_strategy": seen_strategy,
-            "cuckoo_probe": finish.cuckoo_probed,
-            "metrics": metrics,
-            "config": {"universe": cfg.universe, "n_seeds": cfg.n_seeds,
-                       "budget_per_host": cfg.budget_per_host,
-                       "wave_cap": cfg.wave_cap,
-                       "band_width": cfg.band_width,
-                       "band_split_rows": bands_mod.split_rows_of(cfg)},
-        }
-        with open(os.path.join(d, "_lineage.json"), "w") as fh:
-            json.dump(lineage, fh, indent=1)
+        prev_links = finish.n_links_distinct()
         if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
+            # compaction must see a fully-committed wave (and resume
+            # correctness must never find a compacted snapshot ahead
+            # of the lineage markers), so a compacting wave gives up
+            # its overlap and finalizes in place
+            _finalize(pending)
+            pending = None
             from .snapshots import compact_seen
 
             compact_seen(spark, cfg, upto_wave=wave)
             seen = _read_seen(spark, cfg, wave)  # re-root on the compact
             seen_paths = _seen_delta_paths(cfg, wave)
-        all_metrics.append(metrics)
+    if pending is not None:
+        _finalize(pending)
     return {"start_wave": start, "metrics": all_metrics,
             "timings": all_timings,
             "checkpoint_dir": cfg.checkpoint_dir}

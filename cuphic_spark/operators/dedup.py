@@ -147,13 +147,13 @@ def lsh_pick_config(target_s: float, min_recall: float = 0.9,
     among qualifying configs, maximize the knee (highest threshold =
     fewest sub-threshold candidates into the verify stage), then
     minimize n_hashes (hashing cost). Deterministic exhaustive search
-    over n in {8,16,...,max_hashes} x divisor band sizes — the knob a
-    user turns instead of guessing b x r (picks the web_08 preset for
-    target 0.8 exactly)."""
+    over n in {8,16,...,max_hashes} x ALL divisor band sizes of n —
+    the knob a user turns instead of guessing b x r (picks the web_08
+    preset for target 0.8 exactly)."""
     best = None
     n = 8
     while n <= max_hashes:
-        for r in range(min(n, 16), 0, -1):
+        for r in range(n, 0, -1):
             if n % r:
                 continue
             if lsh_recall(target_s, n, r) >= min_recall:

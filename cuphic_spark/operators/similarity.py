@@ -153,13 +153,18 @@ def train_ivf_centroids(emb: DataFrame, n_cells: int = 16,
     centroids = np.array([list(r.embedding) for r in init_rows],
                          dtype=np.float64)
     for _ in range(max_iter):
-        assign = _kmeans_cell_udf(emb.sparkSession, centroids)
+        assign, bc = _kmeans_cell_udf(emb.sparkSession, centroids)
         assigned = emb.select(
             assign(F.col("embedding")).alias("cell"), "embedding")
         aggs = [F.count("*").alias("n")] + [
             F.avg(F.element_at("embedding", i + 1)).alias(f"d{i}")
             for i in range(dim)]
         rows = assigned.groupBy("cell").agg(*aggs).collect()
+        # the collect() completed the only job reading this iteration's
+        # centroid broadcast — free its blocks now, or a long-lived
+        # session running many trainings accumulates one broadcast per
+        # iteration (advisor round-5)
+        bc.unpersist()
         new = centroids.copy()  # empty cells keep their old centroid
         for r in rows:
             new[int(r.cell)] = [getattr(r, f"d{i}") for i in range(dim)]
@@ -171,7 +176,10 @@ def train_ivf_centroids(emb: DataFrame, n_cells: int = 16,
 
 def _kmeans_cell_udf(spark, centroids):
     """Arrow-batched nearest-centroid assignment (one numpy matmul
-    per batch; ties -> lowest cell id via argmin)."""
+    per batch; ties -> lowest cell id via argmin). Returns
+    ``(udf, broadcast)`` — the caller owns the broadcast's lifetime
+    and must ``unpersist()`` it once the job(s) using the udf have
+    completed (per-iteration accumulation was advisor round-5)."""
     from pyspark.sql import types as T
 
     bc = spark.sparkContext.broadcast(np.asarray(centroids,
@@ -188,7 +196,7 @@ def _kmeans_cell_udf(spark, centroids):
         d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
-    return assign
+    return assign, bc
 
 
 def _centroids_sidecar(path: str) -> str:
@@ -213,14 +221,17 @@ def build_ivf_index(emb: DataFrame, path: str, bits: int = 4,
     ``ivf_topk_indexed`` probes with the matching quantizer."""
     import json as _json
 
+    bc = None
     if centroids is None:
         celled = emb.withColumn("cell",
                                 sign_cell(F.col("embedding"), bits))
     else:
-        assign = _kmeans_cell_udf(emb.sparkSession, centroids)
+        assign, bc = _kmeans_cell_udf(emb.sparkSession, centroids)
         celled = emb.withColumn("cell", assign(F.col("embedding")))
     (celled.repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
+    if bc is not None:
+        bc.unpersist()  # the write was the broadcast's only reader
     if centroids is not None:
         with open(_centroids_sidecar(path), "w") as fh:
             _json.dump([[float(v) for v in row] for row in centroids],
@@ -230,7 +241,11 @@ def build_ivf_index(emb: DataFrame, path: str, bits: int = 4,
 def _kmeans_probe_udf(spark, centroids, n_probe: int):
     """Arrow-batched probe expansion: the ``n_probe`` nearest
     centroid ids per query, deterministically ordered (distance, then
-    cell id — numpy lexsort)."""
+    cell id — numpy lexsort). The broadcast inside lives as long as
+    the returned (lazy) probe plan — it cannot be unpersisted here;
+    it is one small (n_cells, dim) array per ``ivf_topk_indexed``
+    call, and Spark's ContextCleaner reclaims it when the udf is
+    garbage-collected."""
     from pyspark.sql import types as T
 
     bc = spark.sparkContext.broadcast(np.asarray(centroids,

@@ -101,7 +101,15 @@ def get_spark(app_name: str = "cuphic-spark",
         # when a SparkSession already exists in the JVM — exactly the
         # silent downgrade iceberg_available() exists to prevent.
         # Fail loudly instead of "succeeding" with no catalog wired.
-        active = SparkSession.getActiveSession()
+        # getActiveSession() is THREAD-scoped — a session created on
+        # another thread (or registered only as the default) returns
+        # None here yet getOrCreate() would still silently reuse it,
+        # the exact downgrade this guard targets. Fall back to the
+        # process-wide instantiated session (PySpark keeps it in
+        # _instantiatedSession; there is no public getDefaultSession
+        # on the Python side).
+        active = (SparkSession.getActiveSession()
+                  or SparkSession._instantiatedSession)
         if active is not None:
             have = active.conf.get("spark.sql.catalog.cuphic", None)
             if have is None:

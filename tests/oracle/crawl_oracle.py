@@ -301,8 +301,10 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
                 bloom_m = max(bloom_m, 1 << min(
                     27, max(8, (16 * max(len(st.seen), 1) - 1)
                             .bit_length())))
-            elif bloom_rebuild:
-                bloom_m *= 8
+            elif bloom_rebuild and bloom_m < (1 << 27):
+                # ×8 growth capped at the same 2^27 broadcast ceiling
+                # as first activation; once capped, rebuilds stop
+                bloom_m = min(bloom_m * 8, 1 << 27)
         bloom_rebuild = False
 
         robots_version = (wave // robots_ttl_waves
