@@ -160,7 +160,8 @@ def crawl_leg(cpus: int, wave_cap: int, page_weight: int = 30,
               n_hosts: int = 10, budget: int | None = None,
               n_seeds: int | None = None,
               band_split_rows: int = 0, pin: bool = False,
-              timed_resume: bool = False) -> dict:
+              timed_resume: bool = False, partitions: int = 0,
+              steady_waves: int = 2, jobs_api: bool = False) -> dict:
     """One crawl-only leg at a given parallelism / wave size / page
     weight, in a subprocess (own SparkSession). The crawl input is
     synthetic (webgraph), so no sf_dir is involved.
@@ -169,15 +170,37 @@ def crawl_leg(cpus: int, wave_cap: int, page_weight: int = 30,
     default with budget=wave_cap is the legacy toy shape (politeness
     non-binding, per-host windows capped at 10 tasks); the production
     row uses n_hosts ~ 2*10^4 with a binding budget so the ranking
-    windows parallelize the way a real crawl's host key space does."""
+    windows parallelize the way a real crawl's host key space does.
+
+    ``partitions``: 0 = the legacy max(cpus, 8) shape (the job
+    CHANGES between parallelism levels — round-5's methodology bug);
+    a fixed value (the round-6 protocol uses 32) keeps the SAME job
+    at both cluster sizes, which is what a real N->4N step does: the
+    seen/frontier partition count is a property of the CHECKPOINT
+    (resume refuses a mismatch), and spark.sql.shuffle.partitions is
+    job config tuned once for the large cluster — neither re-tunes
+    itself when executors are removed.
+
+    ``timed_resume`` times ``steady_waves`` RESUMED waves (wave 0 +
+    seed bootstrap untimed). Two+ waves keep the cross-wave overlap
+    (wave k+1 planning over wave k's fetch_log drain) inside the
+    measured window — a single resumed wave has nothing to overlap
+    with and under-reports the pipelined steady state.
+
+    ``jobs_api`` turns the Spark UI REST endpoint on and reports the
+    timed window decomposed into Spark-job busy time (union of
+    [submission, completion] intervals) vs driver gap time."""
     budget = wave_cap if budget is None else budget
     n_seeds = wave_cap if n_seeds is None else n_seeds
+    part_expr = partitions if partitions else f"max({cpus}, 8)"
+    shuf_expr = partitions if partitions else "None"
     code = f"""
 import json, shutil, tempfile, time
 from cuphic_spark.session import get_spark
 from cuphic_spark.frontier.crawl import CrawlConfig, crawl
 
-spark = get_spark(app_name="crawl-scale", cores={cpus})
+spark = get_spark(app_name="crawl-scale", cores={cpus},
+                  shuffle_partitions={shuf_expr})
 warm = tempfile.mkdtemp(prefix="warm_")
 crawl(spark, CrawlConfig(universe=10_000, n_seeds=64, budget_per_host=64,
                          wave_cap=64, n_waves=1, checkpoint_dir=warm,
@@ -187,30 +210,77 @@ d = tempfile.mkdtemp(prefix="crawl_scale_")
 kw = dict(universe=max(1_000_000, 5 * {wave_cap}),
           n_seeds={n_seeds}, budget_per_host={budget},
           wave_cap={wave_cap}, n_hosts={n_hosts},
-          checkpoint_dir=d, partitions=max({cpus}, 8),
+          checkpoint_dir=d, partitions={part_expr},
           band_split_rows={band_split_rows},
           page_weight={page_weight})
+
+def jobs_snapshot():
+    if not {jobs_api}:
+        return None
+    import urllib.request
+    try:
+        base = "http://localhost:4040/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app = apps[0]["id"]
+        return json.load(urllib.request.urlopen(
+            f"{{base}}/{{app}}/jobs", timeout=10))
+    except Exception as e:
+        return {{"err": str(e)}}
+
 if {timed_resume}:
-    # steady-state wave measurement: run wave 0 UNTIMED (seed write +
-    # first wave = setup), then time the RESUMED run of wave 1 alone
-    # — the number a 10^10-frontier crawl's throughput actually is
-    # (per-wave steady state, not seed bootstrap)
+    # steady-state measurement: wave 0 (seed write + first wave =
+    # bootstrap) runs UNTIMED, then the RESUMED run of the next
+    # {steady_waves} waves is timed — the number a 10^10-frontier
+    # crawl's throughput actually is (per-wave steady state)
     crawl(spark, CrawlConfig(n_waves=1, **kw))
+    before = jobs_snapshot()
     t0 = time.perf_counter()
-    s = crawl(spark, CrawlConfig(n_waves=2, **kw))
+    s = crawl(spark, CrawlConfig(n_waves=1 + {steady_waves}, **kw))
     dt = time.perf_counter() - t0
+    after = jobs_snapshot()
 else:
+    before = jobs_snapshot()
     t0 = time.perf_counter()
     s = crawl(spark, CrawlConfig(n_waves=2, **kw))
     dt = time.perf_counter() - t0
+    after = jobs_snapshot()
+
+decomp = None
+if isinstance(after, list):
+    from datetime import datetime, timezone
+    prior = {{j["jobId"] for j in before}} if isinstance(before, list) else set()
+    def ts(x):
+        return datetime.strptime(
+            x.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z").timestamp()
+    ivs = sorted((ts(j["submissionTime"]), ts(j["completionTime"]))
+                 for j in after
+                 if j["jobId"] not in prior and "completionTime" in j)
+    busy = 0.0
+    cur_s = cur_e = None
+    for s0, e0 in ivs:
+        if cur_e is None or s0 > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s0, e0
+        else:
+            cur_e = max(cur_e, e0)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    decomp = {{"jobs": len(ivs), "job_busy_sec": round(busy, 3),
+               "driver_gap_sec": round(dt - busy, 3),
+               "job_sec_sum": round(sum(e - s for s, e in ivs), 3)}}
+
 sched = sum(m["scheduled"] for m in s["metrics"])
 jobs = [t.get("spark_jobs") for t in s["timings"]]
 print(json.dumps({{"cpus": {cpus}, "wave_cap": {wave_cap},
                    "page_weight": {page_weight},
                    "timed_resume": {timed_resume},
+                   "steady_waves": {steady_waves},
+                   "partitions": {part_expr},
                    "sec": round(dt, 3), "scheduled": sched,
                    "urls_per_sec": round(sched / dt, 1),
                    "jobs_per_wave": jobs,
+                   "job_gap_decomp": decomp,
                    "wave_timings": s["timings"]}}))
 shutil.rmtree(d, ignore_errors=True)
 """
@@ -219,8 +289,11 @@ shutil.rmtree(d, ignore_errors=True)
         # whole subprocess tree (JVM + python workers) confined to
         # cpus cores — see pinned_cores
         argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
-    out = subprocess.run(argv, cwd=str(REPO),
-                         capture_output=True, text=True, timeout=1800,
+    env = dict(os.environ)
+    if jobs_api:
+        env["CUPHIC_UI"] = "1"
+    out = subprocess.run(argv, cwd=str(REPO), env=env,
+                         capture_output=True, text=True, timeout=2700,
                          check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -360,13 +433,18 @@ def main() -> None:
             {"controls": controls, "rows": rows}))
         return
     if argv and argv[0] == "--crawl-steady":
-        # THE round-5 scaling artifact: one assembly measuring, in
-        # order, (a) the pinned no-Spark controls, (b) the engine's
-        # own parse-stage 8->32 scaling (extract_leg — the in-engine
-        # ceiling), (c) steady-state TIMED-RESUME crawl waves at 1M
-        # and 4M urls (wave_cap >= 10^6 per round-4 verdict item 1;
-        # the 4M row shows the flat per-wave cost amortizing).
-        # All legs pinned: N vs 4N CORES, not N threads on 4N cores.
+        # THE steady-state scaling artifact: one assembly measuring,
+        # in order, (a) the pinned no-Spark controls, (b) the
+        # engine's own parse-stage 8->32 scaling (extract_leg — the
+        # in-engine ceiling), (c) steady-state TIMED-RESUME crawl
+        # waves at 1M and 4M urls (wave_cap >= 10^6 per round-4
+        # verdict item 1; the 4M row shows the flat per-wave cost
+        # amortizing). All legs pinned: N vs 4N CORES, not N threads
+        # on 4N cores. Round-6 protocol changes: the SAME job at both
+        # levels (partitions=32 — see crawl_leg; round 5 varied the
+        # layout with cpus), TWO timed steady waves so the cross-wave
+        # overlap is inside the window, and the jobs-API gap
+        # decomposition on every leg.
         controls = machine_controls(pin=True)
         print("controls:", json.dumps(controls), flush=True)
         ex8 = extract_leg(8, pin=True)
@@ -378,10 +456,12 @@ def main() -> None:
         print("extract ceiling:", json.dumps(controls), flush=True)
         cases = (
             {**PROD_CASE, "budget": 2_000_000, "timed_resume": 1,
-             "pin": True, "reps": 2},
+             "pin": True, "reps": 2, "partitions": 32,
+             "steady_waves": 2, "jobs_api": True},
             {**PROD_CASE, "wave_cap": 4_000_000,
              "n_seeds": 6_000_000, "budget": 2_000_000,
-             "timed_resume": 1, "pin": True, "reps": 1},
+             "timed_resume": 1, "pin": True, "reps": 1,
+             "partitions": 32, "steady_waves": 2, "jobs_api": True},
         )
         rows = crawl_scaling(cases=cases, controls=controls)
         pathlib.Path(argv[1]).write_text(json.dumps(

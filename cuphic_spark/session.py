@@ -84,7 +84,11 @@ def get_spark(app_name: str = "cuphic-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("CUPHIC_ARROW_BATCH", "8192"))
         .config("spark.driver.memory", os.environ.get("CUPHIC_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # CUPHIC_UI=1 turns the UI (and its REST /api/v1 jobs
+        # endpoint) on — the scaling harness uses it to decompose
+        # wave wall-time into job time vs inter-job driver gaps
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("CUPHIC_UI") == "1" else "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir",
