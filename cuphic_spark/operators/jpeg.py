@@ -1,21 +1,25 @@
-"""Baseline JPEG codec — pure numpy, from the public spec (ITU T.81).
+"""JPEG codec — pure numpy, from the public spec (ITU T.81).
 
-Closes the "JPEG needs external codec libs" gap for the SEQUENTIAL
-BASELINE subset a training-data pipeline actually meets most often:
+Closes the "JPEG needs external codec libs" gap for the subset a
+training-data pipeline actually meets most often:
 
 * ``encode_jpeg``: 8-bit RGB/grayscale -> baseline JFIF (SOF0),
   4:4:4 or 4:2:0 (MCU-interleaved per T.81 A.2.3), optional restart
   intervals (DRI + RSTn), Annex-K quantization tables scaled by the
   usual quality curve, Annex-K Huffman tables (embedded in DHT
   segments, so any compliant decoder reads them from the file).
-* ``decode_jpeg``: baseline sequential JFIF -> uint8 array: any
-  integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2, ...) in one
-  interleaved scan, with or without restart intervals — the common
-  wild-JPEG shapes. Tables (DQT/DHT) are read from the stream;
-  progressive (SOF2), arithmetic-coded, multi-scan, and 12-bit
-  streams raise ``NotImplementedError`` with the exact reason — the
-  honest boundary of this from-scratch decoder, not a silent wrong
-  answer.
+* ``encode_jpeg_progressive``: the same quantized coefficients
+  serialized as a PROGRESSIVE stream (SOF2, T.81 Annex G) with a
+  libjpeg-style scan script — spectral selection AND successive
+  approximation, so every progressive decode path is exercised.
+* ``decode_jpeg``: baseline sequential OR progressive JFIF -> uint8
+  array: any integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
+  ...), with or without restart intervals, multi-scan SOF2 with DC/AC
+  first + refinement scans and EOB-run coding — the common wild-JPEG
+  shapes. Tables (DQT/DHT) are read from the stream;
+  arithmetic-coded, hierarchical, and 12-bit streams raise
+  ``NotImplementedError`` with the exact reason — the honest
+  boundary of this from-scratch decoder, not a silent wrong answer.
 
 Everything here is derived from the published standard (marker
 structure, zigzag order, DCT-II/III with orthonormal scaling, JFIF
@@ -247,18 +251,15 @@ def _grid_blocks(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return (padded.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3))
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> baseline
-    JFIF bytes (SOF0, Annex-K tables).
-
-    ``subsampling``: "444" (default, every component 1x1) or "420"
-    (Y at 2x2, chroma box-averaged 2:1 both axes and interleaved in
-    MCU order per T.81 A.2.3 — the most common wild-JPEG shape).
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
-    every that many MCUs (T.81 B.2.4.4 / E.1.4), resetting the DC
-    predictors — what real encoders emit for error resilience."""
+def _quantize_image(img: np.ndarray, quality: int, subsampling: str):
+    """Shared front half of both encoders: color transform,
+    subsampling, blockwise DCT + quantization. Returns
+    (h, w, nc, samps, qtabs, quantized, mcus_x, mcus_y) where
+    ``quantized[ci]`` is the (rows, cols, 8, 8) int32 coefficient
+    grid in natural order — the progressive encoder serializes the
+    SAME coefficients as the baseline one, so progressive decode must
+    reproduce baseline decode's pixels exactly (the differential pin
+    in tests)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -304,6 +305,44 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         coef = np.einsum("ux,rcxy,vy->rcuv", _A, blocks, _A)
         q = qtabs[min(ci, 1)].astype(np.float64)
         quantized.append(np.round(coef / q).astype(np.int32))
+    return h, w, nc, samps, qtabs, quantized, mcus_x, mcus_y
+
+
+def _frame_headers(h, w, nc, samps, qtabs, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF — shared by both encoders (the SOF
+    marker byte is the only difference: 0xC0 baseline, 0xC2
+    progressive)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x01\x00\x01\x00\x00")  # APP0
+    for qi, q in enumerate(qtabs):  # DQT
+        body = bytes([qi]) + bytes(int(x) for x in
+                                   q.reshape(64)[ZIGZAG])
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
+    out += bytes([0xFF, sof_marker]) \
+        + (len(sof) + 2).to_bytes(2, "big") + sof
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> baseline
+    JFIF bytes (SOF0, Annex-K tables).
+
+    ``subsampling``: "444" (default, every component 1x1) or "420"
+    (Y at 2x2, chroma box-averaged 2:1 both axes and interleaved in
+    MCU order per T.81 A.2.3 — the most common wild-JPEG shape).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (T.81 B.2.4.4 / E.1.4), resetting the DC
+    predictors — what real encoders emit for error resilience."""
+    (h, w, nc, samps, qtabs, quantized,
+     mcus_x, mcus_y) = _quantize_image(img, quality, subsampling)
 
     dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
                 _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
@@ -335,19 +374,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
             since_rst += 1
     bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
-            b"\x00\x01\x00\x01\x00\x00")  # APP0
-    for qi, q in enumerate(qtabs):  # DQT
-        body = bytes([qi]) + bytes(int(x) for x in
-                                   q.reshape(64)[ZIGZAG])
-        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
-        + bytes([nc])
-    for ci in range(nc):
-        hi, vi = samps[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
-    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out = _frame_headers(h, w, nc, samps, qtabs, 0xC0)
     out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
     out += _dht_segment(0x10, AC_LUM_BITS, AC_LUM_VALS)
     if nc == 3:
@@ -364,6 +391,303 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+#: Universal AC table for the progressive encoder: progressive scans
+#: emit EOBRUN symbols (nbits<<4, size=0, run 1..14) that the Annex-K
+#: AC tables simply do not contain — real encoders compute optimal
+#: per-scan tables for exactly this reason. This one is the simplest
+#: COMPLETE spec-valid code instead: symbols 0x00..0xFE at 8 bits,
+#: 0xFF (never emitted) at 9, leaving the all-ones 9-bit code unused
+#: per the T.81 convention. Non-optimal by design (tests, not
+#: compression ratio).
+AC_UNIVERSAL_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+AC_UNIVERSAL_VALS = list(range(256))
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter plus the progressive AC-scan bookkeeping (T.81
+    G.1.2.2 / G.1.2.3 encoder side): a pending EOB run with the
+    correction bits buffered BEHIND it (emitted right after the
+    EOBRUN symbol — the decoder's eob-run tail consumes them there),
+    and the current block's run correction bits (emitted after the
+    next ZRL / newly-nonzero symbol — the decoder's advance loop
+    consumes them there). The two buffers are ordering-distinct:
+    folding them together emits run bits before their symbol and
+    desynchronizes the decoder."""
+
+    def __init__(self, ac_code):
+        super().__init__()
+        self.ac_code = ac_code
+        self.eobrun = 0
+        self.behind_eob: list[int] = []  # BE: bits behind the EOB run
+        self.run_bits: list[int] = []    # BR: bits in the current run
+
+    def sym(self, s: int) -> None:
+        code, length = self.ac_code[s]
+        self.write(code, length)
+
+    def flush_run_bits(self) -> None:
+        for b in self.run_bits:
+            self.write(b, 1)
+        self.run_bits = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.behind_eob:
+            self.write(b, 1)
+        self.behind_eob = []
+
+
+def _prog_encode_dc_first(bw, unit_iter, quantized, samps, al,
+                          dc_codes, restart_interval, reset):
+    """DC first scan: point-transformed (arithmetic >> al, T.81
+    G.1.2.1) DC values, DPCM-coded with the standard DC tables."""
+    prev = {}
+    for n_unit, ci, by, bx in unit_iter:
+        if restart_interval and n_unit and \
+                n_unit % restart_interval == 0 and ci == -1:
+            reset(bw)
+            prev = {}
+        if ci < 0:
+            continue
+        v = int(quantized[ci][by, bx, 0, 0]) >> al
+        diff = v - prev.get(ci, 0)
+        prev[ci] = v
+        size = _category(diff)
+        code, length = dc_codes[min(ci, 1)][size]
+        bw.write(code, length)
+        if size:
+            bw.write(_amplitude(diff, size), size)
+
+
+def _prog_encode_dc_refine(bw, unit_iter, quantized, al,
+                           restart_interval, reset):
+    """DC refinement: one raw bit per data unit (no entropy table)."""
+    for n_unit, ci, by, bx in unit_iter:
+        if restart_interval and n_unit and \
+                n_unit % restart_interval == 0 and ci == -1:
+            reset(bw)
+        if ci < 0:
+            continue
+        bw.write((int(quantized[ci][by, bx, 0, 0]) >> al) & 1, 1)
+
+
+def _prog_encode_ac_first(bw, blocks, ss, se, al, restart_interval,
+                          reset):
+    """AC first scan over one component's blocks (non-interleaved by
+    spec): spectral band ss..se, successive-approximation low bit al,
+    zero-run/EOB-run coding per T.81 G.1.2.2."""
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush_eobrun()
+            reset(bw)
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            # AC point transform: |v| >> al with the sign reapplied
+            # (truncation toward zero, T.81 G.1.2.2 — an arithmetic
+            # shift of the signed value would floor instead)
+            v = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if v == 0:
+                run += 1
+                continue
+            bw.flush_eobrun()
+            while run > 15:
+                bw.sym(0xF0)  # ZRL
+                run -= 16
+            size = _category(v)
+            bw.sym((run << 4) | size)
+            bw.write(_amplitude(v, size), size)
+            run = 0
+        if run > 0:
+            bw.eobrun += 1
+            if bw.eobrun == 0x7FFF:
+                bw.flush_eobrun()
+
+
+def _prog_encode_ac_refine(bw, blocks, ss, se, al, restart_interval,
+                           reset):
+    """AC refinement scan (T.81 G.1.2.3, the libjpeg-documented
+    algorithm): previously-nonzero coefficients contribute one
+    correction bit each (buffered behind any pending EOB run);
+    newly-nonzero ones are coded as (zero-history-run, 1) + sign."""
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush_eobrun()
+            reset(bw)
+        absval = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+        eob = 0  # band index just past the last NEWLY-nonzero coef
+        for i, a in enumerate(absval):
+            if a == 1:
+                eob = i + 1
+        run = 0
+        for i, a in enumerate(absval):
+            if a == 0:
+                run += 1
+                continue
+            # ZRLs only while a newly-nonzero coefficient still
+            # follows — trailing zero runs fold into the EOB run
+            while run > 15 and i < eob:
+                bw.flush_eobrun()
+                bw.sym(0xF0)
+                run -= 16
+                bw.flush_run_bits()
+            if a > 1:
+                # history coefficient: one correction bit, consumed
+                # by the decoder's advance loop (after the next
+                # symbol) or by its eob-run tail (after the EOBRUN
+                # symbol) — buffer it until either flush point
+                bw.run_bits.append(a & 1)
+                continue
+            bw.flush_eobrun()
+            bw.sym((run << 4) | 1)
+            bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            bw.flush_run_bits()
+            run = 0
+        if run > 0 or bw.run_bits:
+            bw.eobrun += 1
+            bw.behind_eob.extend(bw.run_bits)
+            bw.run_bits = []
+            if bw.eobrun == 0x7FFF or len(bw.behind_eob) > 900:
+                bw.flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 ->
+    PROGRESSIVE JFIF bytes (SOF2, T.81 Annex G): the libjpeg-style
+    scan script with both spectral selection and successive
+    approximation, so every decoder path (DC first/refine, AC
+    first/refine, EOB runs, non-interleaved component walks) is
+    exercised. Serializes the IDENTICAL quantized coefficients as
+    ``encode_jpeg`` — progressive decode therefore reproduces
+    baseline decode's pixels exactly (the differential test pin)."""
+    (h, w, nc, samps, qtabs, quantized,
+     mcus_x, mcus_y) = _quantize_image(img, quality, subsampling)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+
+    # libjpeg's standard progression (jcparam.c shape): DC of every
+    # component at Al=1 then refined, luma AC split 1-5/6-63 at Al=2
+    # with two refinement passes, chroma AC in one band at Al=1 + one
+    # refinement. (comps, ss, se, ah, al)
+    if nc == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+                _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    ac_code = _canonical_codes(AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+
+    def dc_units(comp_ids):
+        """Interleaved MCU walk (T.81 A.2.3) yielding
+        (mcu_index, ci, block_row, block_col); a (mcu_index, -1, ...)
+        sentinel leads each MCU so the restart check runs once per
+        MCU. A single-component scan is non-interleaved: the walk is
+        that component's own block grid and sampling does not apply."""
+        if len(comp_ids) > 1:
+            for mi in range(mcus_x * mcus_y):
+                my, mx = divmod(mi, mcus_x)
+                yield mi, -1, 0, 0
+                for ci in comp_ids:
+                    hi, vi = samps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            yield mi, ci, my * vi + v, mx * hi + hh
+        else:
+            ci = comp_ids[0]
+            for n, (by, bx) in enumerate(_comp_block_walk(
+                    ci, h, w, samps, hmax, vmax, nc)):
+                yield n, -1, 0, 0
+                yield n, ci, by, bx
+
+    def comp_blocks(ci):
+        return [quantized[ci][by, bx].reshape(64)[ZIGZAG]
+                for by, bx in _comp_block_walk(ci, h, w, samps,
+                                               hmax, vmax, nc)]
+
+    out = _frame_headers(h, w, nc, samps, qtabs, 0xC2)
+    out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
+    if nc == 3:
+        out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
+    out += _dht_segment(0x10, AC_UNIVERSAL_BITS,
+                        bytes(AC_UNIVERSAL_VALS))
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+
+    for comp_ids, ss, se, ah, al in script:
+        bw = _ProgWriter(ac_code)
+        rst_idx = 0
+
+        def reset(bw, _state=None):
+            nonlocal rst_idx
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+            rst_idx += 1
+
+        if ss == 0:
+            if ah == 0:
+                _prog_encode_dc_first(bw, dc_units(comp_ids),
+                                      quantized, samps, al, dc_codes,
+                                      restart_interval, reset)
+            else:
+                _prog_encode_dc_refine(bw, dc_units(comp_ids),
+                                       quantized, al,
+                                       restart_interval, reset)
+        else:
+            blocks = comp_blocks(comp_ids[0])
+            if ah == 0:
+                _prog_encode_ac_first(bw, blocks, ss, se, al,
+                                      restart_interval, reset)
+            else:
+                _prog_encode_ac_refine(bw, blocks, ss, se, al,
+                                       restart_interval, reset)
+            bw.flush_eobrun()
+        bw.flush()
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            # DC scans reference the per-component DC table; AC scans
+            # the universal AC table (DC refinement reads no table
+            # but the slot byte is still required)
+            sos += bytes([ci + 1, (min(ci, 1) << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _comp_block_walk(ci, h, w, samps, hmax, vmax, nc):
+    """Row-major (block_row, block_col) walk of ONE component's
+    non-interleaved block grid: ceil(comp_dim/8) per axis over the
+    component's true dimensions (T.81 A.2.2) — NOT the MCU-padded
+    grid; MCU padding blocks are never coded in a non-interleaved
+    scan."""
+    hi, vi = samps[ci] if nc > 1 else (1, 1)
+    cw = -(-w * hi // hmax)
+    chh = -(-h * vi // vmax)
+    for by in range(-(-chh // 8)):
+        for bx in range(-(-cw // 8)):
+            yield by, bx
 
 
 class _BitReader:
@@ -423,22 +747,237 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _prog_unit_walk(scan_cids, comps, idx_of, mcus_x, mcus_y,
+                    h, w, hmax, vmax):
+    """Yield (unit, ci, bi) for a progressive scan: ``unit`` is the
+    restart-counting granularity (MCU for an interleaved scan, block
+    for a non-interleaved one — T.81 A.2.2/A.2.3), ``bi`` the
+    row-major index into the component's MCU-padded grid. A
+    non-interleaved walk covers only ceil(comp_dim/8) blocks per
+    axis: MCU padding blocks are never coded there."""
+    if len(scan_cids) > 1:
+        for mi in range(mcus_x * mcus_y):
+            my, mx = divmod(mi, mcus_x)
+            for cid in scan_cids:
+                ci = idx_of[cid]
+                _c, hi, vi, _t = comps[ci]
+                cols = mcus_x * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        yield mi, ci, (my * vi + v) * cols \
+                            + (mx * hi + hh)
+    else:
+        ci = idx_of[scan_cids[0]]
+        _c, hi, vi, _t = comps[ci]
+        cols = mcus_x * hi
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        n = 0
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                yield n, ci, by * cols + bx
+                n += 1
+
+
+class _SegmentCursor:
+    """Restart-segment state for one progressive scan: hands out the
+    current _BitReader and advances (validating the RSTn sequence)
+    at each restart boundary."""
+
+    __slots__ = ("segments", "rst_ids", "seg", "reader")
+
+    def __init__(self, segments, rst_ids, ri):
+        if len(segments) > 1 and not ri:
+            raise ValueError("RST markers present but no DRI segment")
+        self.segments = segments
+        self.rst_ids = rst_ids
+        self.seg = 0
+        self.reader = _BitReader(segments[0])
+
+    def restart(self):
+        if self.seg >= len(self.rst_ids):
+            raise ValueError("entropy stream ended before all data "
+                             "units (missing RST marker)")
+        if self.rst_ids[self.seg] != self.seg % 8:
+            raise ValueError(
+                f"RST marker out of sequence: got RST"
+                f"{self.rst_ids[self.seg]}, expected RST{self.seg % 8}")
+        self.seg += 1
+        self.reader = _BitReader(self.segments[self.seg])
+
+
+def _prog_ac_first_block(reader, table, zz, ss, se, al, eobrun):
+    """One block of an AC first scan (T.81 G.2.2): returns the
+    remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, table)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += reader.bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(reader.bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine_block(reader, table, zz, ss, se, al, eobrun):
+    """One block of an AC refinement scan (T.81 G.2.2 / the
+    algorithm libjpeg documents as decode_mcu_AC_refine): newly
+    nonzero coefficients arrive as (zero-history-run, 1) + sign;
+    already-nonzero coefficients passed over — by the advance loop,
+    a ZRL, or the EOB-run tail — each consume one correction bit.
+    Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, table)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:  # EOB run starts here
+                    # FULL count (unlike a first scan): the current
+                    # block is the run's first member and its
+                    # remaining correction bits are consumed by the
+                    # tail below, which also decrements the run
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.bits(run)
+                    break
+                # ZRL: fall through and skip 16 zero-history coefs
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "invalid AC refinement symbol (size != 1)")
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                coef = int(zz[k])
+                if coef != 0:
+                    if reader.bit() and (coef & p1) == 0:
+                        zz[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        # this block's tail: correction bits for every remaining
+        # nonzero-history coefficient in the band
+        while k <= se:
+            coef = int(zz[k])
+            if coef != 0:
+                if reader.bit() and (coef & p1) == 0:
+                    zz[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scans(scans, comps, grids, mcus_x, mcus_y,
+                              h, w, hmax, vmax):
+    """Apply every scan of a progressive (SOF2) stream to the zigzag
+    coefficient grids (T.81 Annex G): DC scans carry the
+    point-transformed DC (first pass DPCM, refinements one raw bit),
+    AC scans one spectral band of one component with EOB-run coding
+    and successive-approximation refinement."""
+    nc = len(comps)
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    for scan in scans:
+        s_comps, ss, se = scan["comps"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        ri = scan["ri"]
+        huff = scan["huff"]
+        scan_cids = [cid for cid, _dc, _ac in s_comps]
+        for cid in scan_cids:
+            if cid not in idx_of:
+                raise ValueError(f"scan references unknown component "
+                                 f"{cid}")
+        cur = _SegmentCursor(scan["segments"], scan["rst_ids"], ri)
+        walk = _prog_unit_walk(scan_cids, comps, idx_of, mcus_x,
+                               mcus_y, h, w, hmax, vmax)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            dc_table = {cid: dc_t for cid, dc_t, _ac in s_comps}
+            prev = {}
+            last_unit = -1
+            for unit, ci, bi in walk:
+                if unit != last_unit:
+                    if ri and last_unit >= 0 and unit % ri == 0:
+                        cur.restart()
+                        prev = {}
+                    last_unit = unit
+                zz = grids[ci][bi]
+                if ah == 0:
+                    size = _read_symbol(
+                        cur.reader, huff[(0, dc_table[comps[ci][0]])])
+                    diff = _extend(cur.reader.bits(size), size) \
+                        if size else 0
+                    prev[ci] = prev.get(ci, 0) + diff
+                    zz[0] = prev[ci] << al
+                else:
+                    zz[0] = int(zz[0]) | (cur.reader.bit() << al)
+        else:
+            if len(s_comps) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component "
+                    "(T.81 B.2.3)")
+            if nc == 0 or se > 63 or ss > se:
+                raise ValueError(f"invalid spectral band {ss}..{se}")
+            table = huff.get((1, s_comps[0][2]))
+            if table is None:
+                raise ValueError("AC scan references undefined "
+                                 f"Huffman table {s_comps[0][2]}")
+            eobrun = 0
+            for unit, ci, bi in walk:
+                if ri and unit and unit % ri == 0:
+                    cur.restart()
+                    eobrun = 0
+                zz = grids[ci][bi]
+                if ah == 0:
+                    eobrun = _prog_ac_first_block(
+                        cur.reader, table, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _prog_ac_refine_block(
+                        cur.reader, table, zz, ss, se, al, eobrun)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JFIF -> (h, w, 3) RGB uint8 (grayscale
-    replicates to 3 channels). Supported subset: SOF0, 8-bit, any
-    integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2, ...) in ONE
-    interleaved scan, with or without restart intervals — the common
-    wild-JPEG shapes (round-4 verdict item 4). Progressive (SOF2),
-    arithmetic coding, multi-scan and 12-bit streams raise
-    NotImplementedError naming the feature."""
+    """Baseline sequential (SOF0) or progressive (SOF2) JFIF ->
+    (h, w, 3) RGB uint8 (grayscale replicates to 3 channels).
+    Supported: 8-bit, any integer-ratio sampling factors (4:4:4,
+    4:2:0, 4:2:2, ...), with or without restart intervals; for SOF2
+    the full multi-scan protocol — interleaved/non-interleaved DC
+    first + refinement, per-component AC spectral bands with EOB-run
+    coding and successive-approximation refinement (round-5 verdict
+    item 4). Arithmetic coding, hierarchical, 12-bit, and
+    multi-scan BASELINE streams raise NotImplementedError naming the
+    feature."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
-    scan_comps = None
-    entropy = None
+    progressive = False
+    scans: list[dict] = []
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -479,7 +1018,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -515,24 +1055,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                      f"{hi}x{vi} for component {cid}")
                 comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline SOF marker 0xFF{marker:02X} "
-                "(progressive/extended/arithmetic unsupported)")
+                "(extended/arithmetic/hierarchical unsupported)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            if scan_comps is not None:
+            if scans and not progressive:
                 raise NotImplementedError(
-                    "multi-scan stream unsupported (a second SOS "
-                    "would previously have silently replaced the "
-                    "first scan's data)")
+                    "multi-scan baseline stream unsupported (a "
+                    "second SOS would previously have silently "
+                    "replaced the first scan's data)")
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
                 scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
             # de-stuff until EOI / next non-RST marker; RSTn markers
             # split the stream into SEGMENTS (decoded with fresh DC
             # predictors at byte boundaries, T.81 E.1.4)
@@ -554,26 +1096,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         data = bytearray()
                         i += 2
                         continue
-                    break  # real marker (EOI)
+                    break  # real marker (EOI / next scan's header)
                 data.append(b)
                 i += 1
             segments.append(bytes(data))
-            entropy = segments
-            entropy_rst_ids = rst_ids
+            # DHT/DRI may be redefined between scans: snapshot the
+            # table map (values are immutable once built) and the
+            # restart interval as of THIS scan
+            scans.append({"comps": scan_comps, "ss": ss, "se": se,
+                          "ah": ah, "al": al, "segments": segments,
+                          "rst_ids": rst_ids, "huff": dict(huff),
+                          "ri": restart_interval})
             pos = i
         # APPn / COM / others: skipped
-    if sof is None or entropy is None:
-        raise ValueError("incomplete JPEG: missing SOF0/SOS")
+    if sof is None or not scans:
+        raise ValueError("incomplete JPEG: missing SOF/SOS")
     h, w, comps = sof
     nc = len(comps)
-    if len(scan_comps) != nc:
-        raise NotImplementedError(
-            "non-interleaved (partial-component) scan unsupported")
     if nc == 1:
-        # a single-component scan is non-interleaved per T.81 A.2.3:
-        # the MCU is ONE data unit and the declared sampling factors
-        # do not apply — normalize to 1x1 so the general MCU loop
-        # walks exactly ceil(w/8) x ceil(h/8) data units
+        # a single-component image's scans are non-interleaved per
+        # T.81 A.2.3: the MCU is ONE data unit and the declared
+        # sampling factors do not apply — normalize to 1x1 so every
+        # walk covers exactly ceil(w/8) x ceil(h/8) data units
         comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -582,65 +1126,79 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"non-integer upsampling ratio for component {cid} "
                 f"({hi}x{vi} vs max {hmax}x{vmax})")
-    if len(entropy) > 1 and not restart_interval:
-        raise ValueError("RST markers present but no DRI segment")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
-    grids = []  # per component: (rows, cols) block grid of coefs
+    grids = []  # per component: (rows*cols, 64) zigzag coef grid
     for _cid, hi, vi, _tq in comps:
         grids.append(np.zeros((mcus_y * vi * mcus_x * hi, 64),
                               dtype=np.int32))
-    scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
-    seg_idx = 0
-    reader = _BitReader(entropy[0])
-    prev_dc = [0] * nc
-    since_rst = 0
-    for mi in range(n_mcus):
-        if restart_interval and since_rst == restart_interval:
-            # restart: next segment, byte-aligned, DC predictors reset
-            if seg_idx >= len(entropy_rst_ids):
-                raise ValueError("entropy stream ended before all "
-                                 "MCUs (missing RST marker)")
-            if entropy_rst_ids[seg_idx] != seg_idx % 8:
-                raise ValueError(
-                    f"RST marker out of sequence: got RST"
-                    f"{entropy_rst_ids[seg_idx]}, expected "
-                    f"RST{seg_idx % 8}")
-            seg_idx += 1
-            reader = _BitReader(entropy[seg_idx])
-            prev_dc = [0] * nc
-            since_rst = 0
-        my, mx = divmod(mi, mcus_x)
-        for ci, (cid, hi, vi, _tq) in enumerate(comps):
-            dc_t, ac_t = scan_by_cid[cid]
-            cols = mcus_x * hi
-            for v in range(vi):
-                for hh in range(hi):
-                    bi = (my * vi + v) * cols + (mx * hi + hh)
-                    size = _read_symbol(reader, huff[(0, dc_t)])
-                    diff = _extend(reader.bits(size), size) if size \
-                        else 0
-                    prev_dc[ci] += diff
-                    zz = grids[ci][bi]
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k <= 63:
-                        sym = _read_symbol(reader, huff[(1, ac_t)])
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0xF
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("invalid AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(reader.bits(size), size)
-                        k += 1
-        since_rst += 1
+    if progressive:
+        _decode_progressive_scans(scans, comps, grids, mcus_x,
+                                  mcus_y, h, w, hmax, vmax)
+    else:
+        scan = scans[0]
+        scan_comps = scan["comps"]
+        if len(scan_comps) != nc:
+            raise NotImplementedError(
+                "non-interleaved (partial-component) baseline scan "
+                "unsupported")
+        entropy = scan["segments"]
+        entropy_rst_ids = scan["rst_ids"]
+        restart_interval = scan["ri"]
+        huff = scan["huff"]
+        if len(entropy) > 1 and not restart_interval:
+            raise ValueError("RST markers present but no DRI segment")
+        scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+        seg_idx = 0
+        reader = _BitReader(entropy[0])
+        prev_dc = [0] * nc
+        since_rst = 0
+        for mi in range(n_mcus):
+            if restart_interval and since_rst == restart_interval:
+                # restart: next segment, byte-aligned, DC reset
+                if seg_idx >= len(entropy_rst_ids):
+                    raise ValueError("entropy stream ended before all "
+                                     "MCUs (missing RST marker)")
+                if entropy_rst_ids[seg_idx] != seg_idx % 8:
+                    raise ValueError(
+                        f"RST marker out of sequence: got RST"
+                        f"{entropy_rst_ids[seg_idx]}, expected "
+                        f"RST{seg_idx % 8}")
+                seg_idx += 1
+                reader = _BitReader(entropy[seg_idx])
+                prev_dc = [0] * nc
+                since_rst = 0
+            my, mx = divmod(mi, mcus_x)
+            for ci, (cid, hi, vi, _tq) in enumerate(comps):
+                dc_t, ac_t = scan_by_cid[cid]
+                cols = mcus_x * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * cols + (mx * hi + hh)
+                        size = _read_symbol(reader, huff[(0, dc_t)])
+                        diff = _extend(reader.bits(size), size) \
+                            if size else 0
+                        prev_dc[ci] += diff
+                        zz = grids[ci][bi]
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k <= 63:
+                            sym = _read_symbol(reader, huff[(1, ac_t)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("invalid AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+            since_rst += 1
     planes = []
     for ci, (_cid, hi, vi, tq) in enumerate(comps):
         # coefs hold ZIGZAG-ordered values; bring them to natural

@@ -698,13 +698,15 @@ def test_jpeg_codec_roundtrip_and_pipeline(spark):
     assert g.shape == (h, w, 3)
     assert np.abs(g[:, :, 0].astype(int) - gray.astype(int)).max() <= 8
 
-    # non-baseline: progressive SOF2 refuses by name
+    # still-unsupported coding: arithmetic SOF9 refuses by name
+    # (progressive SOF2 decodes for real since round 6 — see
+    # test_jpeg_progressive_differential)
     import pytest as _pytest
 
-    progressive = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
-                   b"\x01\x01\x11\x00")
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(progressive + b"\xff\xd9")
+    arithmetic = (b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10"
+                  b"\x01\x01\x11\x00")
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arithmetic + b"\xff\xd9")
 
     # Spark paths: features + resize decode the real pixels
     rows = [(100, "image", encode_jpeg(img, 90), {}),
@@ -729,10 +731,10 @@ def test_jpeg_codec_roundtrip_and_pipeline(spark):
 
 
 def test_jpeg_undecodable_falls_back_to_fake(spark):
-    """Review finding: a payload that SNIFFS as jpeg but the baseline
-    decoder rejects (progressive, truncated) must take the seeded
-    fake under deterministic_fake=True — not kill the Spark task —
-    and still raise in strict mode."""
+    """Review finding: a payload that SNIFFS as jpeg but the decoder
+    rejects (arithmetic-coded, truncated) must take the seeded fake
+    under deterministic_fake=True — not kill the Spark task — and
+    still raise in strict mode."""
     import pytest as _pytest
 
     from cuphic_spark.operators.multimodal import (
@@ -741,16 +743,119 @@ def test_jpeg_undecodable_falls_back_to_fake(spark):
         resize_images,
     )
 
-    progressive = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
-                   b"\x01\x01\x11\x00\xff\xd9")
-    media = spark.createDataFrame([(1, "image", progressive, {})],
+    arithmetic = (b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10"
+                  b"\x01\x01\x11\x00\xff\xd9")
+    media = spark.createDataFrame([(1, "image", arithmetic, {})],
                                   MEDIA_SCHEMA)
     row = extract_features(media).collect()[0]
     assert row.format == "fake" and len(row.feature) == 8
     rrow = resize_images(media, width=8).collect()[0]
     assert rrow.out_height == 0  # fake stand-in, not a decode
-    with _pytest.raises(Exception, match="NotImplementedError|progressive"):
+    with _pytest.raises(Exception, match="NotImplementedError|arithmetic"):
         extract_features(media, deterministic_fake=False).collect()
+
+
+def test_jpeg_progressive_differential():
+    """Progressive (SOF2) decode — round-5 verdict item 4. The pin
+    is DIFFERENTIAL, not perceptual: encode_jpeg_progressive
+    serializes the IDENTICAL quantized coefficients as encode_jpeg
+    (shared _quantize_image front end), so progressive decode must
+    reproduce baseline decode's pixels EXACTLY — across subsampling,
+    restart intervals, grayscale, odd dimensions, and quality (i.e.
+    across DC first/refine, AC first/refine, EOB runs, ZRL-in-refine
+    and non-interleaved walks). A shared encoder/decoder
+    misunderstanding of the scan protocol cannot hide: the baseline
+    side never runs the progressive code."""
+    import numpy as np
+
+    from cuphic_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [((16, 16, 3), "444", 0, 85), ((24, 17, 3), "444", 0, 85),
+             ((33, 31, 3), "420", 0, 60), ((40, 56, 3), "444", 3, 85),
+             ((48, 32, 3), "420", 2, 95), ((21, 13), None, 4, 85),
+             ((8, 8, 3), "444", 1, 30), ((1, 1, 3), "444", 0, 85)]
+    for shape, sub, ri, q in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        kw = {"subsampling": sub} if sub else {}
+        base = decode_jpeg(encode_jpeg(img, q, restart_interval=ri,
+                                       **kw))
+        pbytes = encode_jpeg_progressive(img, q, restart_interval=ri,
+                                         **kw)
+        # really SOF2 (the frame header follows APP0 + DQT segments)
+        assert b"\xff\xc2" in pbytes[:220]
+        prog = decode_jpeg(pbytes)
+        assert np.array_equal(base, prog), (shape, sub, ri, q)
+    # smooth gradients hit long EOB runs; noise hits dense refinement
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack([(xx * 3 + yy * 2) % 256, (xx * 4) % 256,
+                       (yy * 5) % 256], -1).astype(np.uint8)
+    for q in (30, 85, 95):
+        b = decode_jpeg(encode_jpeg(smooth, q, subsampling="420",
+                                    restart_interval=2))
+        p = decode_jpeg(encode_jpeg_progressive(
+            smooth, q, subsampling="420", restart_interval=2))
+        assert np.array_equal(b, p), q
+    assert encode_jpeg_progressive(smooth, 85) == \
+        encode_jpeg_progressive(smooth, 85)  # deterministic bytes
+
+
+def test_jpeg_progressive_ac_scan_fuzz():
+    """Coefficient-level fuzz of the AC scan protocol alone (no DCT,
+    no container): random sparse bands through first(Al=2) ->
+    refine(Al=1) -> refine(Al=0) must reconstruct the exact int
+    coefficients — this is where the EOB-run/correction-bit state
+    machine (T.81 G.1.2.2/G.1.2.3) actually lives."""
+    import numpy as np
+
+    from cuphic_spark.operators.jpeg import (
+        AC_UNIVERSAL_BITS,
+        AC_UNIVERSAL_VALS,
+        _BitReader,
+        _canonical_codes,
+        _decode_table,
+        _ProgWriter,
+        _prog_ac_first_block,
+        _prog_ac_refine_block,
+        _prog_encode_ac_first,
+        _prog_encode_ac_refine,
+    )
+
+    rng = np.random.default_rng(3)
+    ac_code = _canonical_codes(AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+    table = _decode_table(AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+    for _ in range(60):
+        ss, se = sorted(rng.choice(range(1, 64), 2, replace=False))
+        blocks = []
+        for _b in range(int(rng.integers(1, 8))):
+            zz = np.zeros(64, dtype=np.int32)
+            nz = int(rng.integers(0, 14))
+            idx = rng.choice(range(1, 64), size=nz, replace=False)
+            zz[idx] = rng.integers(-60, 61, size=nz)
+            blocks.append(zz)
+        streams = []
+        for fn, al in [(_prog_encode_ac_first, 2),
+                       (_prog_encode_ac_refine, 1),
+                       (_prog_encode_ac_refine, 0)]:
+            bw = _ProgWriter(ac_code)
+            fn(bw, blocks, ss, se, al, 0, lambda b: None)
+            bw.flush_eobrun()
+            bw.flush()
+            streams.append(bytes(bw.out).replace(b"\xff\x00", b"\xff"))
+        rec = [np.zeros(64, dtype=np.int32) for _ in blocks]
+        for si, (fn, al) in enumerate([(_prog_ac_first_block, 2),
+                                       (_prog_ac_refine_block, 1),
+                                       (_prog_ac_refine_block, 0)]):
+            reader = _BitReader(streams[si])
+            eobrun = 0
+            for zz in rec:
+                eobrun = fn(reader, table, zz, ss, se, al, eobrun)
+        for a, b in zip(blocks, rec):
+            assert np.array_equal(a[ss:se + 1], b[ss:se + 1])
 
 
 def test_jpeg_odd_sizes_fuzz():
