@@ -392,6 +392,8 @@ def crawl_scaling(cases=((200_000, 0), (200_000, 30),
                "urls_per_sec_32": r32["urls_per_sec"],
                "raw_urls_per_sec": raw,
                "jobs_per_wave_32": r32.get("jobs_per_wave"),
+               "gap_decomp_8": r8.get("job_gap_decomp"),
+               "gap_decomp_32": r32.get("job_gap_decomp"),
                "speedup": round(speedup, 2),
                "efficiency": round(speedup / 4, 2)}
         if controls:

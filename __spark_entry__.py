@@ -289,6 +289,40 @@ def q_minhash_wide(spark, sf_dir):
     return minhash_signature(_docs(spark, sf_dir), k=3, n_hashes=16)
 
 
+def q_lsh_pairs_web08(spark, sf_dir):
+    """LSH banding END-TO-END at the PRODUCTION preset (round-5
+    verdict item 3): web_08 = 128 hashes (32 md5 seeds x 4 digest
+    slices), 16 bands x 8 rows — the C4/RefinedWeb-style near-dup
+    point whose recall/knee math LSH_PRESETS documents but which no
+    oracle previously executed. Corpus = sf documents under 300 with
+    PLANTED near-dups (every 7th doc re-appears at doc_id+100000
+    with its last two words dropped — Jaccard ~0.9+ on these texts,
+    so web_08's 0.95 recall@0.8 should catch essentially all of
+    them), through minhash_lsh_pairs banding and the exact
+    ngram-Jaccard verify stage. The DuckDB twin recomputes all 128
+    slice-hashes, the 16 band values, the band equi-join, and the
+    verify Jaccard closed-form. Bucket sizes here are bounded by the
+    corpus (< max_bucket), so the hot-band star guard provably never
+    fires and the oracle can mirror the pure band join."""
+    from cuphic_spark.operators.dedup import (
+        LSH_PRESETS,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    w = F.split(F.col("text"), " ")
+    base = (_docs(spark, sf_dir).where(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+            .where(F.size(w) >= 8))
+    dup = (base.where(F.col("doc_id") % 7 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   F.array_join(F.slice(w, 1, F.size(w) - 2), " ")
+                   .alias("text")))
+    corpus = base.unionByName(dup)
+    pairs = minhash_lsh_pairs(corpus, k=3, **LSH_PRESETS["web_08"])
+    return ngram_jaccard_pairs(corpus, pairs)
+
+
 def q_term_join_nodes(spark, sf_dir):
     """matches ⋈ nodes equi-join on (url, node_id): term matches
     joined back to their node rows for structural columns. The node
@@ -603,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_wide": q_minhash_wide,
+        "lsh_pairs_web08": q_lsh_pairs_web08,
         "rescore_frontier": q_rescore_frontier,
         "ann_topk": q_ann_topk,
         "term_join_nodes": q_term_join_nodes,
@@ -1117,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
             FROM raw
         """,
         "minhash_wide": _minhash_oracle_sql(16),
+        "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "rescore_frontier": """
             SELECT 'https://host' || (doc_id % 10) || '.example/doc/'
                      || doc_id AS url,
@@ -1148,6 +1184,70 @@ def _minhash_oracle_sql(n_hashes: int) -> str:
                   FROM (SELECT doc_id, string_split(text, ' ') AS w
                         FROM documents)
                   WHERE len(w) >= 3)
+        """
+
+
+def _lsh_web08_oracle_sql(n_hashes: int = 128, band_size: int = 8,
+                          k: int = 3) -> str:
+    """DuckDB twin of q_lsh_pairs_web08: the planted-dup corpus, all
+    ``n_hashes`` digest-slice minhashes, ``n_hashes/band_size`` band
+    values, the band equi-join (doc_a < doc_b, distinct), and the
+    exact shingle-Jaccard verify — generated, because 128 hash
+    expressions written by hand would be its own bug farm."""
+    mh = ",\n".join(
+        "                 list_aggregate(list_transform(sh,\n"
+        f"                   s -> substr(md5('{i // 4}:' || s), "
+        f"{(i % 4) * 8 + 1}, 8)), 'min') AS mh_{i}"
+        for i in range(n_hashes))
+    bands = "\n              UNION ALL\n".join(
+        f"              SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"mh_{j}" for j in range(b, b + band_size))
+        + ") AS band_val FROM sig"
+        for b in range(0, n_hashes, band_size))
+    return f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300
+                AND len(string_split(text, ' ')) >= 8),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(
+                       (string_split(text, ' '))
+                         [1:len(string_split(text, ' ')) - 2],
+                       ' ') AS text
+              FROM base WHERE doc_id % 7 = 0),
+            shing AS (
+              SELECT doc_id,
+                     list_transform(range(len(w) - {k - 1}),
+                       i -> array_to_string(w[(i+1):(i+{k})], ' '))
+                       AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM corpus)
+              WHERE len(w) >= {k}),
+            sig AS (
+              SELECT doc_id,
+{mh}
+              FROM shing),
+            banded AS (
+{bands}
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band
+                           AND a.band_val = b.band_val
+                           AND a.doc_id < b.doc_id),
+            shd AS (
+              SELECT doc_id, list_distinct(sh) AS s FROM shing)
+            SELECT p.doc_a, p.doc_b,
+                   ((len(list_intersect(a.s, b.s)) * 1000)
+                    // len(list_distinct(list_concat(a.s, b.s))))::INTEGER
+                     AS jaccard_milli
+            FROM pairs p
+            JOIN shd a ON a.doc_id = p.doc_a
+            JOIN shd b ON b.doc_id = p.doc_b
         """
 
 

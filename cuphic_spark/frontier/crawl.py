@@ -91,6 +91,15 @@ class CrawlConfig:
     # bloom_est_fp) crosses bloom_fp_rebuild; a fixed-size bloom
     # saturates silently at ~m/10 keys and quietly becomes a no-op
     use_bloom: bool = True
+    bloom_mode: str = "global"    # 'global' (broadcast bitmap,
+    # accumulator-maintained on the seen write — right up to ~10^8
+    # seen urls) | 'sharded' (one bitmap per seen partition, probed
+    # and maintained via partition-local cogroups — the 10^10 design
+    # point where a single 16-bits/key bitmap is ~20 GB and cannot
+    # broadcast; executor memory is ONE shard, m_shard/8 bytes).
+    # Blooms only prune, so scheduling is byte-identical between the
+    # modes (invariance-pinned); only bloom_m/popcount metrics and
+    # the memory shape differ.
     bloom_min_seen: int = 50_000  # skip bloom build below this (the
     # prefilter only pays once the seen table dwarfs the candidates)
     bloom_fp_rebuild: float = 0.2  # est-fp threshold that schedules a
@@ -361,7 +370,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              bloom: bytes | None = None,
              prev_links_hint: int | None = None,
              seen_paths: list[str] | None = None,
-             bloom_m: int | None = None):
+             bloom_m: int | None = None,
+             bloom_shards: DataFrame | None = None):
     """Returns (frontier_delta, seen_delta, fetch_log, finish, caches,
     plan).
 
@@ -537,10 +547,25 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                                           F.lit(0)).alias("t"))
                       .cache())
 
-    use_bloom = bloom is not None and cfg.use_bloom and (
-        n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
+    use_bloom = (bloom is not None or bloom_shards is not None) \
+        and cfg.use_bloom and (
+            n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
     if not use_bloom:
         bloom = None
+        bloom_shards = None
+
+    def _seen_filter(cand, seen_side):
+        """Bloom prune (global broadcast bitmap OR partition-local
+        shards — identical pruning semantics) + exact anti-join."""
+        if bloom_shards is not None:
+            from .seen import filter_new_urls_sharded
+
+            return filter_new_urls_sharded(
+                cand, seen_side, bloom_shards, cfg.partitions,
+                strategy=seen_strategy)
+        return filter_new_urls(cand, seen_side, bloom,
+                               bloom_m or cfg.bloom_bits,
+                               strategy=seen_strategy)
 
     # the broadcast strategy forces F.broadcast(candidates): its
     # correctness is unconditional but its MEMORY is bounded only by
@@ -640,14 +665,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                  .drop("maybe_seen_cuckoo", "partition"))
         to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
                     .drop("maybe_seen_cuckoo", "partition"))
-        confirmed = filter_new_urls(to_check, seen_for_check, bloom,
-                                    bloom_m or cfg.bloom_bits,
-                                    strategy=seen_strategy)
+        confirmed = _seen_filter(to_check, seen_for_check)
         new_urls = fresh.unionByName(confirmed)
     else:
-        new_urls = filter_new_urls(candidates, seen_for_check, bloom,
-                                   bloom_m or cfg.bloom_bits,
-                                   strategy=seen_strategy)
+        new_urls = _seen_filter(candidates, seen_for_check)
     # no frontier anti-join needed: every frontier url is already in
     # seen (seeds via seen_seed, discoveries via their wave's delta),
     # so surviving the seen anti-join implies not-pending either —
@@ -922,7 +943,9 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     # the pool that runs the pipelined checkpoint writes is owned HERE
     # so any exception inside the loop still joins in-flight writes
     # (a write racing session teardown is worse than a leaked cache)
-    pool = ThreadPoolExecutor(max_workers=3)
+    # 4 slots: fetch_log + frontier + cuckoo + sharded-bloom writes
+    # can all be in flight once the seen delta commits
+    pool = ThreadPoolExecutor(max_workers=4)
     try:
         return _crawl_loop(spark, cfg, pool)
     finally:
@@ -1001,9 +1024,11 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
     bloom = None
     bloom_m = cfg.bloom_bits
     bloom_rebuild = False
+    bloom_shards = None           # sharded mode: (partition, bitmap) DF
+    shard_m = cfg.bloom_bits      # per-shard bit count
     if cfg.use_bloom and start > 0:
         prev_bloom = os.path.join(_wave_dir(cfg, start - 1), "bloom.bin")
-        if os.path.exists(prev_bloom):
+        if cfg.bloom_mode != "sharded" and os.path.exists(prev_bloom):
             with open(prev_bloom, "rb") as fh:
                 bloom = fh.read()
             # the effective bit count is persisted via the bitmap
@@ -1011,6 +1036,18 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             # is re-derived from the last wave's recorded est-fp so a
             # resumed run reproduces the uninterrupted one exactly
             bloom_m = (len(bloom) - 1) * 8
+            prev_fp = prev_lineage.get("metrics", {}).get("bloom_est_fp")
+            bloom_rebuild = (prev_fp is not None
+                             and prev_fp > cfg.bloom_fp_rebuild)
+        prev_shards = os.path.join(_wave_dir(cfg, start - 1),
+                                   "bloom_shards")
+        if cfg.bloom_mode == "sharded" and os.path.isdir(prev_shards):
+            from .seen import bloom_shard_bits
+
+            bloom_shards = spark.read.parquet(prev_shards)
+            one = bloom_shards.select("bitmap").limit(1).collect()
+            if one:  # shard_m persisted via bitmap length, like bloom.bin
+                shard_m = bloom_shard_bits(bytes(one[0].bitmap))
             prev_fp = prev_lineage.get("metrics", {}).get("bloom_est_fp")
             bloom_rebuild = (prev_fp is not None
                              and prev_fp > cfg.bloom_fp_rebuild)
@@ -1061,7 +1098,27 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             t0 = _time.perf_counter()
 
         jobs_before = _max_job_id(spark)
-        if cfg.use_bloom and n_seen >= cfg.bloom_min_seen:
+        shards_cache = None  # activation/rebuild cache, freed post-merge
+        if (cfg.use_bloom and cfg.bloom_mode == "sharded"
+                and n_seen >= cfg.bloom_min_seen):
+            # sharded activation / saturation rebuild: per-shard auto
+            # size targets ~16 bits/key of the partition's share
+            # (uniform pmod split); ×8 rebuild capped per shard at
+            # the same BLOOM_MAX_BITS. The build is a distributed
+            # applyInPandas — no driver bitmap at any point.
+            if bloom_shards is None or (bloom_rebuild
+                                        and shard_m < BLOOM_MAX_BITS):
+                from .seen import build_bloom_shards
+
+                if bloom_shards is None:
+                    shard_m = bloom_auto_bits(
+                        max(1, n_seen // max(1, cfg.partitions)))
+                else:
+                    shard_m = min(shard_m * 8, BLOOM_MAX_BITS)
+                bloom_shards = build_bloom_shards(
+                    seen, cfg.partitions, shard_m).cache()
+                shards_cache = bloom_shards
+        elif cfg.use_bloom and n_seen >= cfg.bloom_min_seen:
             if bloom is None:
                 # first activation: size from the KNOWN seen count
                 # (~16 bits/key -> est-fp ~0.5%) instead of starting
@@ -1090,7 +1147,7 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths,
-            bloom_m=bloom_m)
+            bloom_m=bloom_m, bloom_shards=bloom_shards)
         _mark("schedule")
         # the previous wave's fetch_log drain overlapped the schedule
         # phase above; it must complete (and its lineage commit)
@@ -1153,10 +1210,27 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
                 _read_seen(spark, cfg, wave), cfg.partitions,
                 path=os.path.join(d, "cuckoo"))
 
+        def maintain_bloom_shards():
+            # sharded-mode maintenance: OR the wave's delta into each
+            # touched shard (cogroup, partition-local) and persist —
+            # the sharded twin of the accumulator fold, with zero
+            # driver-side bitmap; stats feed the same est-fp signal
+            if bloom_shards is None or cfg.bloom_mode != "sharded":
+                return None
+            from .seen import bloom_shards_stats, merge_bloom_shards
+
+            p = os.path.join(d, "bloom_shards")
+            merge_bloom_shards(bloom_shards, seen_delta.select("url"),
+                               cfg.partitions, shard_m) \
+                .write.mode("overwrite").parquet(p)
+            new_df = spark.read.parquet(p)
+            return (new_df,) + bloom_shards_stats(new_df)
+
         f_log = pool.submit(write_fetch_log)
         f_seen = pool.submit(write_seen_delta)
         f_seen.result()
         f_frontier = pool.submit(write_frontier)
+        f_bshards = pool.submit(maintain_bloom_shards)
         # obs_new/obs_links rode the just-committed seen write —
         # the cuckoo maintenance decision needs the post-wave
         # seen count and candidate volume without blocking on the
@@ -1186,6 +1260,16 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             extra_metrics["bloom_m"] = bloom_m
             extra_metrics["bloom_popcount"] = pc
             extra_metrics["bloom_est_fp"] = bloom_est_fp(pc, bloom_m)
+            bloom_rebuild = (extra_metrics["bloom_est_fp"]
+                             > cfg.bloom_fp_rebuild)
+        bs = f_bshards.result()
+        if bs is not None:
+            if shards_cache is not None:
+                shards_cache.unpersist()  # merged parquet replaces it
+            bloom_shards, m_total, pc = bs
+            extra_metrics["bloom_m"] = m_total
+            extra_metrics["bloom_popcount"] = pc
+            extra_metrics["bloom_est_fp"] = bloom_est_fp(pc, m_total)
             bloom_rebuild = (extra_metrics["bloom_est_fp"]
                              > cfg.bloom_fp_rebuild)
         new_manifest, rows_written = f_frontier.result()

@@ -371,6 +371,156 @@ def filter_new_urls(candidates: DataFrame, seen: DataFrame,
 
 
 # --------------------------------------------------------------------------
+# Sharded bloom (the 10^10-url design point)
+# --------------------------------------------------------------------------
+#
+# A single global bitmap at 16 bits/key is ~20 GB at 10^10 urls — past
+# executor broadcast comfort. The sharded mode keys one bitmap per seen
+# partition (same pmod(xxhash64(host), P) as the seen table and cuckoo
+# shards), probed via a partition-local cogroup: each task materializes
+# ONLY its shard (m_shard/8 bytes per executor-task, never the global
+# bitmap), and maintenance ORs a wave's delta into each touched shard
+# executor-side — no driver-side bitmap at any point. Bit semantics are
+# IDENTICAL to the global bloom (same _bit_indices family over m_shard),
+# and blooms only prune, so scheduling is byte-identical between modes
+# (pinned by the invariance test).
+
+BLOOM_SHARD_SCHEMA = T.StructType([
+    T.StructField("partition", T.IntegerType()),
+    T.StructField("bitmap", T.BinaryType()),
+])
+
+
+def bloom_shard_bits(bitmap: bytes) -> int:
+    """m_shard is persisted via the bitmap length (same nbytes = m//8
+    + 1 convention as the global bloom)."""
+    return (len(bitmap) - 1) * 8
+
+
+def build_bloom_shards(seen: DataFrame, n_partitions: int,
+                       m_shard: int) -> DataFrame:
+    """One bloom bitmap per seen partition, built executor-side
+    (applyInPandas over the partition group — bit-setting is
+    order-independent, so shards are byte-deterministic at any
+    parallelism)."""
+    keyed = seen.select(
+        _partition_of(F.col("url"), n_partitions).alias("partition"),
+        F.xxhash64("url").alias("h"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(m_shard // 8 + 1, dtype=np.uint8)
+        _set_bits(arr, pdf["h"], m_shard)
+        part = int(pdf["partition"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame({"partition": [part],
+                             "bitmap": [arr.tobytes()]})
+
+    return keyed.groupBy("partition").applyInPandas(
+        build, BLOOM_SHARD_SCHEMA)
+
+
+def merge_bloom_shards(shards: DataFrame, delta: DataFrame,
+                       n_partitions: int, m_shard: int) -> DataFrame:
+    """OR a wave's new-url delta into the shard bitmaps (cogroup —
+    partition-local, each shard touched once, O(delta) work). Shards
+    with no delta pass through unchanged; delta urls landing in a
+    partition with no shard yet create it."""
+    keyed = delta.select(
+        _partition_of(F.col("url"), n_partitions).alias("partition"),
+        F.xxhash64("url").alias("h"))
+
+    def merge(key, url_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        if len(shard_pdf):
+            arr = np.frombuffer(bytes(shard_pdf["bitmap"].iloc[0]),
+                                dtype=np.uint8).copy()
+        else:
+            arr = np.zeros(m_shard // 8 + 1, dtype=np.uint8)
+        if len(url_pdf):
+            _set_bits(arr, url_pdf["h"], m_shard)
+        return pd.DataFrame({"partition": [int(key[0])],
+                             "bitmap": [arr.tobytes()]})
+
+    return (keyed.groupBy("partition")
+            .cogroup(shards.groupBy("partition"))
+            .applyInPandas(merge, BLOOM_SHARD_SCHEMA))
+
+
+def bloom_shards_prune(candidates: DataFrame, shards: DataFrame,
+                       n_partitions: int) -> DataFrame:
+    """Adds boolean ``maybe_seen`` via a partition-local shard probe
+    (cogroup): False = definitely new. A task holds exactly one
+    shard's bitmap — the executor-memory contract of the sharded
+    design. Candidates in a partition with no shard are all
+    definitely-new (their partition has never seen a url)."""
+    keyed = (candidates
+             .withColumn("partition",
+                         _partition_of(F.col("url"), n_partitions))
+             .withColumn("h", F.xxhash64("url")))
+    out_schema = T.StructType(
+        keyed.schema.fields
+        + [T.StructField("maybe_seen", T.BooleanType())])
+
+    def probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        cand_pdf = cand_pdf.copy()
+        if not len(shard_pdf):
+            cand_pdf["maybe_seen"] = False
+            return cand_pdf
+        bitmap = bytes(shard_pdf["bitmap"].iloc[0])
+        m = bloom_shard_bits(bitmap)
+        arr = np.frombuffer(bitmap, dtype=np.uint8)
+        idx = _bit_indices(cand_pdf["h"], m)
+        hit = np.ones(len(cand_pdf), dtype=bool)
+        for k in range(_K_HASHES):
+            b = idx[:, k]
+            hit &= (arr[b // 8] >> (b % 8).astype(np.uint8) & 1) \
+                .astype(bool)
+        cand_pdf["maybe_seen"] = hit
+        return cand_pdf
+
+    return (keyed.groupBy("partition")
+            .cogroup(shards.groupBy("partition"))
+            .applyInPandas(probe, out_schema)
+            .drop("h", "partition"))
+
+
+def bloom_shards_stats(shards: DataFrame) -> tuple[int, int]:
+    """(total_bits, total_popcount) across shards — P rows through
+    the driver, never a bitmap. Feeds the same est-fp saturation
+    signal as the global mode (keys distribute uniformly across
+    equal-sized shards, so the aggregate ratio is the per-shard
+    ratio in expectation)."""
+
+    @F.pandas_udf(T.LongType())
+    def pc(b: pd.Series) -> pd.Series:
+        return b.apply(lambda x: int(np.unpackbits(
+            np.frombuffer(bytes(x), dtype=np.uint8)).sum()))
+
+    @F.pandas_udf(T.LongType())
+    def bits(b: pd.Series) -> pd.Series:
+        return b.apply(lambda x: (len(bytes(x)) - 1) * 8)
+
+    row = (shards.select(pc(F.col("bitmap")).alias("pc"),
+                         bits(F.col("bitmap")).alias("m"))
+           .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("m"),
+                F.coalesce(F.sum("pc"), F.lit(0)).alias("pc"))
+           .collect()[0])
+    return int(row.m), int(row.pc)
+
+
+def filter_new_urls_sharded(candidates: DataFrame, seen: DataFrame,
+                            shards: DataFrame, n_partitions: int,
+                            strategy: str = "shuffle") -> DataFrame:
+    """filter_new_urls with the sharded-bloom prune in place of the
+    broadcast bitmap: identical output (both blooms only prune; the
+    anti-join is the exactness), different memory shape."""
+    flagged = bloom_shards_prune(candidates, shards, n_partitions)
+    definitely_new = flagged.where(~F.col("maybe_seen")) \
+        .drop("maybe_seen")
+    to_confirm = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = _anti_seen(to_confirm, seen, strategy)
+    return definitely_new.unionByName(confirmed)
+
+
+# --------------------------------------------------------------------------
 # Cuckoo filter (per-partition membership shards)
 # --------------------------------------------------------------------------
 

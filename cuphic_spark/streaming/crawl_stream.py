@@ -1,0 +1,82 @@
+"""Structured-Streaming deployment surface for the crawl wave loop
+(SURVEY §2.G.10: the optional foreachBatch wrapper).
+
+The batch crawl is already an incremental, checkpointed, resumable
+loop — exactly the state contract Structured Streaming wants. So the
+streaming surface is thin BY DESIGN: a rate-source tick stream drives
+``foreachBatch``, and each micro-batch advances the crawl by ONE wave
+through the SAME ``crawl()`` entry point, with the frontier/seen/
+lineage checkpoints (frontier/crawl.py, frontier/bands.py) serving as
+the streaming state store. Consequences, all inherited rather than
+re-implemented:
+
+* byte-identical output to the batch crawl (the smoke test pins the
+  fetch_log of a 3-wave streaming run against the batch run and the
+  oracle — same checkpoint dir layout, same lineage markers);
+* restart-safe: killing the streaming query mid-crawl and starting a
+  new one resumes from ``last_complete_wave`` exactly like the batch
+  resume path (re-delivered micro-batches are no-ops — a wave is
+  only run when its lineage marker is absent, so at-least-once
+  trigger delivery composes with the crawl's own idempotence);
+* a real deployment swaps the rate source for whatever operational
+  tick/backpressure signal it has (a Kafka control topic, a file
+  drop) — the wave body never changes.
+
+This is deliberately NOT a re-expression of the wave internals as
+stateful streaming operators: a wave is a multi-job DAG (rank,
+fetch, anti-join, band writes) with its own pipelined checkpoint
+writes — jamming that into applyInPandasWithState would serialize it
+through a single stateful stage and lose the band/manifest layout
+the 10^10-url design rests on.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+
+from pyspark.sql import SparkSession
+
+from ..frontier.crawl import CrawlConfig, crawl, last_complete_wave
+
+
+def streaming_crawl(spark: SparkSession, cfg: CrawlConfig,
+                    timeout_sec: float = 300.0,
+                    ticks_per_sec: int = 4) -> dict:
+    """Run the crawl to ``cfg.n_waves`` under a Structured Streaming
+    query (one wave per micro-batch, see module docstring). Returns
+    {'waves_run': n, 'last_wave': w, 'batches': b} once the crawl
+    completes (or the timeout stops the query early — partial
+    progress stays resumable either way)."""
+    state = {"batches": 0, "waves_run": 0}
+
+    def run_one_wave(_batch_df, _batch_id) -> None:
+        state["batches"] += 1
+        done = last_complete_wave(cfg)
+        if done >= cfg.n_waves - 1:
+            return  # crawl complete; further ticks are no-ops
+        # advance by exactly one wave: the resume path seeds/loads
+        # state, runs wave done+1, commits its lineage marker
+        crawl(spark, replace(cfg, n_waves=done + 2))
+        state["waves_run"] += 1
+
+    q = (spark.readStream.format("rate")
+         .option("rowsPerSecond", max(1, ticks_per_sec))
+         .load()
+         .writeStream
+         .foreachBatch(run_one_wave)
+         .option("checkpointLocation",
+                 cfg.checkpoint_dir + "/_stream_chk")
+         .start())
+    try:
+        t0 = time.time()
+        while time.time() - t0 < timeout_sec:
+            if last_complete_wave(cfg) >= cfg.n_waves - 1:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return {"waves_run": state["waves_run"],
+            "batches": state["batches"],
+            "last_wave": last_complete_wave(cfg)}

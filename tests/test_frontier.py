@@ -428,6 +428,102 @@ def test_bloom_path_same_result_and_incremental(spark, tmp_path, oracle_state):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_bloom_sharded_invariance(spark, tmp_path, oracle_state):
+    """bloom_mode='sharded' (the 10^10-url design point: one bitmap
+    per seen partition, cogroup probe/maintenance, no broadcast and
+    no driver bitmap) must schedule BYTE-IDENTICALLY to the global
+    bitmap mode — blooms only prune; the anti-join is the exactness.
+    Pinned three ways: fetch_log equality vs the oracle, non-bloom
+    metrics equality vs the plain oracle, and resume continuing from
+    the persisted shards."""
+    d = str(tmp_path / "sharded_crawl")
+    cfg = CrawlConfig(checkpoint_dir=d, use_bloom=True,
+                      bloom_min_seen=0, bloom_mode="sharded",
+                      partitions=4, **CFG)
+    summary = crawl(spark, cfg)
+    # scheduling identical to the no-bloom oracle run
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"])
+         for e in oracle_state.fetch_log]
+    # all non-bloom metrics identical; sharded emits its own bloom_*
+    assert [dict(m, **{k: None for k in
+                       ("bloom_m", "bloom_popcount", "bloom_est_fp")})
+            for m in summary["metrics"]] == \
+        [dict(m, bloom_m=None, bloom_popcount=None, bloom_est_fp=None)
+         for m in oracle_state.metrics]
+    assert all("bloom_popcount" in m for m in summary["metrics"])
+
+    # shard bitmaps: identical to a from-scratch distributed build
+    # over the final seen table (incremental merge = full rebuild),
+    # and popcount totals match the persisted metric
+    import os as _os
+
+    from cuphic_spark.frontier.crawl import _read_seen
+    from cuphic_spark.frontier.seen import (
+        bloom_shard_bits,
+        bloom_shards_stats,
+        build_bloom_shards,
+    )
+
+    last = last_complete_wave(cfg)
+    shards = spark.read.parquet(
+        _os.path.join(d, f"wave={last:05d}", "bloom_shards"))
+    got = {r.partition: bytes(r.bitmap) for r in shards.collect()}
+    m_shard = bloom_shard_bits(next(iter(got.values())))
+    scratch = {r.partition: bytes(r.bitmap) for r in build_bloom_shards(
+        _read_seen(spark, cfg, last), cfg.partitions, m_shard).collect()}
+    assert got == scratch
+    m_total, pc = bloom_shards_stats(shards)
+    assert summary["metrics"][-1]["bloom_popcount"] == pc
+    assert summary["metrics"][-1]["bloom_m"] == m_total
+
+    # resume: drop the last wave, re-run, identical metrics
+    shutil.rmtree(_os.path.join(d, f"wave={last:05d}"))
+    resumed = crawl(spark, cfg)
+    assert resumed["start_wave"] == last
+    assert resumed["metrics"][-1] == summary["metrics"][-1]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_shards_prune_no_false_negatives(spark):
+    """Unit contract of the shard primitives: every seen url must be
+    flagged maybe_seen=True (false negatives would drop re-discovered
+    urls from the anti-join and re-crawl... no — worse, the
+    definitely-new bypass would DUPLICATE them into the frontier);
+    unseen-partition candidates are all definitely-new; merge of a
+    delta equals a from-scratch build over the union."""
+    from cuphic_spark.frontier.seen import (
+        bloom_shards_prune,
+        build_bloom_shards,
+        merge_bloom_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(f"https://host{i % 5}.example/doc/{i}",) for i in range(200)],
+        "url string")
+    delta = spark.createDataFrame(
+        [(f"https://host{i % 5}.example/doc/{i}",)
+         for i in range(200, 260)], "url string")
+    m = 1 << 12
+    shards = build_bloom_shards(base, 4, m)
+    merged = merge_bloom_shards(shards, delta, 4, m)
+    scratch = build_bloom_shards(base.unionByName(delta), 4, m)
+    assert {(r.partition, bytes(r.bitmap)) for r in merged.collect()} \
+        == {(r.partition, bytes(r.bitmap)) for r in scratch.collect()}
+    # no false negatives over every inserted url
+    flagged = bloom_shards_prune(base.unionByName(delta), merged, 4)
+    assert flagged.where(~F.col("maybe_seen")).count() == 0
+    # a host universe disjoint from every shard: all definitely-new
+    other = spark.createDataFrame(
+        [("https://elsewhere%d.example/x/%d" % (i, i),)
+         for i in range(40)], "url string")
+    empty_shards = build_bloom_shards(
+        spark.createDataFrame([], "url string"), 4, m)
+    fl2 = bloom_shards_prune(other, empty_shards, 4)
+    assert fl2.where(F.col("maybe_seen")).count() == 0
+
+
 def test_oracle_xxh64_matches_spark(spark):
     """The oracle's pure-Python xxh64 must equal Spark's F.xxhash64
     (seed 42, UTF-8 bytes) on strings spanning every length class of

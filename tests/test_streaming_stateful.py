@@ -68,3 +68,44 @@ def test_streaming_dedup_exact(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     contents = sorted(bytes(r.html) for r in rows)
     assert contents == [b"<d>alpha</d>", b"<d>beta</d>", b"<d>gamma</d>"]
+
+
+def test_streaming_crawl_reproduces_batch(spark, tmp_path):
+    """foreachBatch crawl wrapper (round-5 verdict item 5): a
+    rate-source-driven streaming query advancing one wave per
+    micro-batch must reproduce the batch crawl's fetch_log
+    BYTE-IDENTICALLY on the toy universe for 3 waves, and a second
+    query over the same checkpoint dir must resume mid-crawl (the
+    crawl's lineage markers are the streaming state)."""
+    from cuphic_spark.frontier.crawl import (
+        CrawlConfig,
+        crawl,
+        read_fetch_log,
+    )
+    from cuphic_spark.streaming.crawl_stream import streaming_crawl
+
+    kw = dict(universe=5000, n_seeds=12, budget_per_host=4,
+              wave_cap=24)
+    bd = str(tmp_path / "batch")
+    sd = str(tmp_path / "stream")
+    crawl(spark, CrawlConfig(checkpoint_dir=bd, n_waves=3, **kw))
+
+    # first query: two waves only, then stop (mid-crawl shutdown)
+    out1 = streaming_crawl(spark,
+                           CrawlConfig(checkpoint_dir=sd, n_waves=2,
+                                       **kw),
+                           timeout_sec=240)
+    assert out1["last_wave"] == 1 and out1["waves_run"] == 2
+    # second query: resumes from the lineage markers, finishes wave 2
+    out2 = streaming_crawl(spark,
+                           CrawlConfig(checkpoint_dir=sd, n_waves=3,
+                                       **kw),
+                           timeout_sec=240)
+    assert out2["last_wave"] == 2 and out2["waves_run"] == 1
+
+    b = read_fetch_log(spark, CrawlConfig(checkpoint_dir=bd, **kw)) \
+        .orderBy("wave", "rank_in_wave").collect()
+    s = read_fetch_log(spark, CrawlConfig(checkpoint_dir=sd, **kw)) \
+        .orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url, r.bytes) for r in b] == \
+        [(r.wave, r.rank_in_wave, r.url, r.bytes) for r in s]
