@@ -44,25 +44,28 @@ PATTERNS = {
     "title": "[:title {:id title/id} title/text]",
 }
 
-# Per-section protocol bands: the BENCH/BASELINE.md min-of-5 numbers
-# at stock defaults, per documented parallelism level. A min leg more
-# than WINDOW_FACTOR above its band marks the section in
-# `window_degraded` in the output JSON — the artifact then describes
-# its own noise (round-4 verdict "what's wrong" #1: the r4 scrape legs
-# ran ~1.75x protocol in a degraded VM window and the artifact didn't
-# say so). The 1.4 factor is the documented uniform-window spread
-# (BENCH/BASELINE.md window-noise section).
+# Per-section protocol bands: per-section minimum across several FULL
+# bench runs at stock defaults (IN-BENCH legs, not isolated ones — the
+# round-6 probe showed isolated-leg bands are systematically
+# optimistic because a full bench integrates over host-contention
+# sub-windows an isolated leg dodges; BENCH/BASELINE.md "round-6
+# elevation explained"). A min leg more than WINDOW_FACTOR above its
+# band marks the section in `window_degraded` in the output JSON —
+# the artifact then describes its own noise. The 1.4 factor is the
+# documented uniform-window spread (BENCH/BASELINE.md window-noise
+# section). Distinguish window from plan regression via the REST
+# cpu-time signature (cpu up = plan; cpu flat + run up = window;
+# BENCH/scrape_context_probe.py is the standing diagnosis tool).
 PROTOCOL_SEC = {
-    # crawl@32 refreshed round 5 (20.438 s measured at stock defaults
-    # after the routing/pipelining work — the round-4 23.487 band
-    # pre-dates it); all other bands are the round-4 min-of-5 numbers
-    # (those code paths are unchanged).
-    32: {"extract_text": 1.798, "scrape_relational": 3.886,
-         "scrape_kernel": 3.968, "minhash_pages": 10.076,
-         "ann_topk": 1.089, "crawl": 20.438},
-    8: {"extract_text": 4.315, "scrape_relational": 5.671,
-        "scrape_kernel": 12.074, "minhash_pages": 23.687,
-        "ann_topk": 1.041, "crawl": 24.594},
+    # Round-6 re-measure: min per section over 3 full bench runs at
+    # each level, final round-6 code (crawl session AQE-off + wave
+    # overlap — both crawl bands shifted; crawl@8 24.6 -> 20.0).
+    32: {"extract_text": 2.120, "scrape_relational": 6.097,
+         "scrape_kernel": 5.725, "minhash_pages": 11.047,
+         "ann_topk": 1.221, "crawl": 20.732},
+    8: {"extract_text": 4.622, "scrape_relational": 8.020,
+        "scrape_kernel": 12.853, "minhash_pages": 26.952,
+        "ann_topk": 1.175, "crawl": 19.985},
 }
 WINDOW_FACTOR = 1.4
 
