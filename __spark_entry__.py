@@ -323,6 +323,119 @@ def q_lsh_pairs_web08(spark, sf_dir):
     return ngram_jaccard_pairs(corpus, pairs)
 
 
+def _synth_robots_body(h: int) -> str:
+    """Deterministic RFC 9309 robots.txt for host h — the closed form
+    the DuckDB twin re-derives decision-side (the oracle never parses;
+    it CASEs on (h, path), so the gate proves the whole parse ->
+    group-select -> longest-match pipeline against the spec).
+
+    Shape: an ``otherbot`` group to be ignored; hosts with h%3 != 0
+    get a ``cuphicbot`` group (deny /private/, allow /private/pub*,
+    h%4==0 adds the $-anchored wildcard deny, a crawl-delay); every
+    host gets a ``*`` group (longest-match /doc/<h%7> deny inside an
+    allow, plus an equal-length Allow/Disallow tie that Allow must
+    win)."""
+    lines = [f"# synthetic robots for host{h}",
+             "User-agent: otherbot", "Disallow: /", ""]
+    if h % 3 != 0:
+        lines += ["User-agent: CuphicBot/2.1",
+                  "Disallow: /private/",
+                  "Allow: /private/pub*"]
+        if h % 4 == 0:
+            lines.append("Disallow: /*.tmp$")
+        lines += [f"Crawl-delay: {1 + h % 5}", ""]
+    lines += ["User-agent: *", f"Disallow: /doc/{h % 7}",
+              "Allow: /doc/", "Allow: /tie/a", "Disallow: /tie/a"]
+    return "\n".join(lines) + "\n"
+
+
+def q_robots_decisions(spark, sf_dir):
+    """RFC 9309 robots end-to-end: deterministic robots.txt bodies
+    per host parsed by frontier.robots.parse_robots (Arrow pass),
+    decisions by robots_allowed (group selection: specific
+    ``cuphicbot`` beats ``*``; longest-match; equal length -> Allow;
+    ``$`` anchor; crawl-delay carried). 8 path shapes per doc hit
+    every branch; the oracle is the closed-form decision table."""
+    from cuphic_spark.frontier.robots import parse_robots, robots_allowed
+
+    docs = _docs(spark, sf_dir)
+    n_hosts = 24
+    bodies = spark.createDataFrame(
+        [(f"host{h}.example", _synth_robots_body(h))
+         for h in range(n_hosts)],
+        "host string, robots_txt string")
+    h = F.col("doc_id") % n_hosts
+    did = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 8
+    path = (F.when(c == 0, F.concat(F.lit("/doc/"),
+                                    (F.col("doc_id") % 10).cast("string")))
+            .when(c == 1, F.concat(F.lit("/private/doc"), did))
+            .when(c == 2, F.concat(F.lit("/private/pub"), did))
+            .when(c == 3, F.concat(F.lit("/file"), did, F.lit(".tmp")))
+            .when(c == 4, F.lit("/tie/a"))
+            .when(c == 5, F.concat(F.lit("/doc/x"), did))
+            .when(c == 6, F.lit("/private/pub"))
+            .otherwise(F.concat(F.lit("/free/"), did)))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"), h.cast("string"),
+                 F.lit(".example"), path).alias("url"))
+    out = robots_allowed(urls, parse_robots(bodies), "CuphicBot")
+    return out.select("doc_id", "url", "allowed", "crawl_delay")
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion THROUGH the cuphic pattern engine: per-host
+    sitemap XML built from the documents table (urlset entries with
+    optional lastmod/priority; every h%5==0 host is a sitemapindex
+    instead), then frontier.sitemap.parse_sitemaps pulls entries with
+    the kernel patterns [:url ??? [:loc loc] ???] etc. — optional
+    fields group by the scan's node_id. The oracle re-derives the
+    entries closed-form (it never sees XML), so the gate pins parse
+    -> pattern-match -> field grouping end-to-end."""
+    from cuphic_spark.frontier.sitemap import parse_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    n_hosts = 12
+    h = F.col("doc_id") % n_hosts
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("host"), h.cast("string"), F.lit(".example"))
+    is_index = (h % 5) == 0
+    url_loc = F.concat(F.lit("https://"), host, F.lit("/doc/"), did)
+    sm_loc = F.concat(F.lit("https://"), host, F.lit("/sitemaps/"),
+                      did, F.lit(".xml"))
+    lastmod_frag = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.lit("\n    <lastmod>2026-01-"),
+                 (F.lit(10) + F.col("doc_id") % 19).cast("string"),
+                 F.lit("</lastmod>"))).otherwise(F.lit(""))
+    priority_frag = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("\n    <priority>0."),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit("</priority>"))).otherwise(F.lit(""))
+    entry_xml = F.when(
+        is_index,
+        F.concat(F.lit("  <sitemap><loc>"), sm_loc,
+                 F.lit("</loc></sitemap>"))
+    ).otherwise(
+        F.concat(F.lit("  <url>\n    <loc>"), url_loc, F.lit("</loc>"),
+                 lastmod_frag, priority_frag, F.lit("\n  </url>")))
+    per_host = (docs
+                .select(host.alias("host"), is_index.alias("is_index"),
+                        entry_xml.alias("e"))
+                .groupBy("host", "is_index")
+                .agg(F.concat_ws("\n", F.collect_list("e")).alias("body")))
+    xml = per_host.select(
+        "host",
+        F.concat(F.when(F.col("is_index"), F.lit("<sitemapindex>\n"))
+                 .otherwise(F.lit("<urlset>\n")),
+                 F.col("body"),
+                 F.when(F.col("is_index"), F.lit("\n</sitemapindex>\n"))
+                 .otherwise(F.lit("\n</urlset>\n"))).alias("sitemap_xml"))
+    return parse_sitemaps(xml)
+
+
 def q_term_join_nodes(spark, sf_dir):
     """matches ⋈ nodes equi-join on (url, node_id): term matches
     joined back to their node rows for structural columns. The node
@@ -638,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_wide": q_minhash_wide,
         "lsh_pairs_web08": q_lsh_pairs_web08,
+        "robots_decisions": q_robots_decisions,
+        "sitemap_extract": q_sitemap_extract,
         "rescore_frontier": q_rescore_frontier,
         "ann_topk": q_ann_topk,
         "term_join_nodes": q_term_join_nodes,
@@ -1153,6 +1268,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_wide": _minhash_oracle_sql(16),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
+        "robots_decisions": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 24 AS h, doc_id % 8 AS c,
+                     CASE doc_id % 8
+                       WHEN 0 THEN '/doc/' || CAST(doc_id % 10 AS VARCHAR)
+                       WHEN 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN '/file' || CAST(doc_id AS VARCHAR) || '.tmp'
+                       WHEN 4 THEN '/tie/a'
+                       WHEN 5 THEN '/doc/x' || CAST(doc_id AS VARCHAR)
+                       WHEN 6 THEN '/private/pub'
+                       ELSE '/free/' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents)
+            SELECT doc_id,
+                   'https://host' || CAST(h AS VARCHAR) || '.example'
+                     || path AS url,
+                   CASE WHEN h % 3 <> 0 THEN
+                     -- cuphicbot group: longest match
+                     CASE WHEN c IN (2, 6) THEN TRUE        -- /private/pub*
+                          WHEN c = 1 THEN FALSE             -- /private/
+                          WHEN c = 3 AND h % 4 = 0
+                            THEN FALSE                      -- /*.tmp$
+                          ELSE TRUE END
+                   ELSE
+                     -- * group: /doc/<h%7> beats /doc/; tie -> Allow
+                     CASE WHEN c = 0 AND doc_id % 10 = h % 7 THEN FALSE
+                          ELSE TRUE END
+                   END AS allowed,
+                   CASE WHEN h % 3 <> 0 THEN CAST(1 + h % 5 AS DOUBLE)
+                        ELSE NULL END AS crawl_delay
+            FROM u
+        """,
+        "sitemap_extract": """
+            SELECT 'host' || CAST(doc_id % 12 AS VARCHAR) || '.example'
+                     AS host,
+                   CASE WHEN (doc_id % 12) % 5 = 0 THEN 'sitemap'
+                        ELSE 'url' END AS kind,
+                   CASE WHEN (doc_id % 12) % 5 = 0
+                        THEN 'https://host' || CAST(doc_id % 12 AS VARCHAR)
+                             || '.example/sitemaps/'
+                             || CAST(doc_id AS VARCHAR) || '.xml'
+                        ELSE 'https://host' || CAST(doc_id % 12 AS VARCHAR)
+                             || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                   END AS loc,
+                   CASE WHEN (doc_id % 12) % 5 <> 0 AND doc_id % 3 <> 0
+                        THEN '2026-01-' || CAST(10 + doc_id % 19 AS VARCHAR)
+                        ELSE NULL END AS lastmod,
+                   CASE WHEN (doc_id % 12) % 5 <> 0 AND doc_id % 4 = 0
+                        THEN CAST(doc_id % 10 AS DOUBLE) / 10.0
+                        ELSE NULL END AS priority
+            FROM documents
+        """,
         "rescore_frontier": """
             SELECT 'https://host' || (doc_id % 10) || '.example/doc/'
                      || doc_id AS url,

@@ -1,0 +1,248 @@
+"""RFC 9309 robots.txt: vectorized parse + relational longest-match.
+
+The crawl's default robots stage is the closed-form epoch spec
+(crawl.robots_rules — oracle-reproducible by construction). This
+module is the PRODUCTION-shaped counterpart for real robots.txt
+bodies fetched from hosts (reference parity: cuphic has no crawler —
+the robots stage belongs to the north rule's frontier/scheduler,
+"robots.txt cache" — and follows RFC 9309 semantics):
+
+* ``parse_robots_text``      — pure-Python single-body parser
+  (groups, allow/disallow rules, crawl-delay, sitemaps). Unit-level
+  and reused inside the Arrow batches.
+* ``parse_robots``           — DataFrame (host, body) -> long rules
+  table via ``mapInPandas`` (one Arrow batch per partition; the same
+  slow-path budget as page parsing — robots bodies are fetched once
+  per host per TTL, orders of magnitude rarer than pages).
+* ``robots_allowed``         — per-URL allow/deny decision, pure
+  DataFrame ops: group selection (specific product token beats
+  ``*``), candidate rules via an equi-join on host, pattern match
+  JVM-side (each pattern is compiled to an anchored Java regex AT
+  PARSE TIME and matched with a column-side ``rlike`` — no Python in
+  the per-URL path), longest-match wins, tie -> Allow (RFC 9309
+  §2.2.2: least restrictive rule).
+
+Scale notes: the rules table is O(hosts x rules/host) — tiny next to
+the frontier. ``robots_allowed`` shuffles once on ``host`` (or
+broadcasts if the caller wraps ``rules`` in ``F.broadcast``), and the
+per-URL verdict is an aggregation keyed by the URL itself, so skewed
+hosts spread across partitions exactly like the rest of the crawl.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd  # noqa: F401  (module-level: pandas_udf typehints)
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_robots_text",
+    "pattern_to_regex",
+    "parse_robots",
+    "robots_allowed",
+    "url_path_col",
+    "PARSED_SCHEMA",
+]
+
+_FIELDS = {"user-agent", "allow", "disallow", "crawl-delay", "sitemap"}
+
+
+def pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored Java-compatible regex.
+
+    ``*`` matches any run of octets; a TRAILING ``$`` anchors the
+    end; everything else is literal. ``re.escape`` never escapes
+    alphanumerics, so its output is valid for Java's Pattern too
+    (backslash before a non-alphabetic char is a literal there).
+    """
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(seg) for seg in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def _agent_token(value: str) -> str:
+    """Product token: first whitespace-delimited word, version tail
+    (``/1.2``) dropped, lowercased — the comparison RFC 9309 §2.2.1
+    prescribes is case-insensitive on the product token."""
+    tok = value.split()[0] if value.split() else ""
+    return tok.split("/")[0].lower()
+
+
+def parse_robots_text(body: str) -> dict:
+    """Parse one robots.txt body into groups + sitemaps.
+
+    Returns ``{"groups": [{"agents": [...], "rules": [(allow,
+    pattern), ...], "delay": float|None}], "sitemaps": [...]}``.
+
+    RFC 9309 shape: a group is one or more consecutive User-agent
+    lines followed by its rules; a User-agent line after rules starts
+    a new group; rules before any User-agent line are ignored; blank
+    lines are not significant; ``#`` starts a comment; field names
+    are case-insensitive; an empty Allow/Disallow value matches
+    nothing (dropped). ``Crawl-delay`` attaches to the group (first
+    numeric value wins), ``Sitemap`` is global.
+    """
+    groups: list[dict] = []
+    pending_agents: list[str] = []
+    current: dict | None = None
+    sitemaps: list[str] = []
+
+    if body.startswith("\ufeff"):
+        body = body[1:]
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field not in _FIELDS:
+            continue
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
+        if field == "user-agent":
+            tok = _agent_token(value)
+            if not tok:
+                continue
+            if current is not None and not pending_agents:
+                # UA line after rules: close the group, start fresh.
+                current = None
+            pending_agents.append(tok)
+            continue
+        # allow / disallow / crawl-delay: attach to the open group.
+        if pending_agents:
+            current = {"agents": pending_agents, "rules": [],
+                       "delay": None}
+            groups.append(current)
+            pending_agents = []
+        if current is None:
+            continue  # rule outside any group: ignored (RFC 9309 §2.2)
+        if field == "crawl-delay":
+            if current["delay"] is None:
+                try:
+                    current["delay"] = float(value)
+                except ValueError:
+                    pass
+            continue
+        if value:  # empty Allow/Disallow matches nothing
+            current["rules"].append((field == "allow", value))
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+PARSED_SCHEMA = ("host string, kind string, agent string, "
+                 "allow boolean, pattern string, regex string, "
+                 "pattern_len int, delay double")
+
+
+def parse_robots(bodies: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, body) -> long parsed table, one Arrow pass.
+
+    Output rows, discriminated by ``kind``:
+
+    * ``rule``    — (host, agent, allow, pattern, regex, pattern_len)
+      one row PER (agent in group) x (rule in group): group merging
+      for repeated agents (RFC 9309 §2.2.1) then falls out of plain
+      relational selection downstream.
+    * ``delay``   — (host, agent, delay)
+    * ``sitemap`` — (host, pattern=url)
+    """
+    cols = [host_col, body_col]
+
+    def gen(batches):
+        for pdf in batches:
+            out: list[tuple] = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if body is None:
+                    continue
+                if isinstance(body, (bytes, bytearray)):
+                    body = bytes(body).decode("utf-8", "replace")
+                parsed = parse_robots_text(body)
+                for g in parsed["groups"]:
+                    for agent in g["agents"]:
+                        for allow, pattern in g["rules"]:
+                            out.append((host, "rule", agent, allow,
+                                        pattern,
+                                        pattern_to_regex(pattern),
+                                        len(pattern), None))
+                        if g["delay"] is not None:
+                            out.append((host, "delay", agent, None,
+                                        None, None, None, g["delay"]))
+                for sm in parsed["sitemaps"]:
+                    out.append((host, "sitemap", None, None, sm, None,
+                                None, None))
+            yield pd.DataFrame(out, columns=[
+                "host", "kind", "agent", "allow", "pattern", "regex",
+                "pattern_len", "delay"])
+
+    return bodies.select(*cols).mapInPandas(gen, PARSED_SCHEMA)
+
+
+def url_path_col(url):
+    """path?query part of an absolute URL as a column expression
+    (empty path -> ``/`` per RFC 9309 §2.2.2)."""
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/[^#]*)?", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def _select_group(parsed: DataFrame, kind: str, agent: str) -> DataFrame:
+    """Rows of ``kind`` from the group that applies to ``agent`` per
+    host: the specific product-token group if the host has one, else
+    the ``*`` group (RFC 9309 §2.2.1)."""
+    agent = agent.lower()
+    cand = (parsed
+            .filter((F.col("kind") == kind)
+                    & F.col("agent").isin(agent, "*"))
+            .withColumn("_spec", (F.col("agent") == agent).cast("int")))
+    w = Window.partitionBy("host")
+    return (cand
+            .withColumn("_mx", F.max("_spec").over(w))
+            .filter(F.col("_spec") == F.col("_mx"))
+            .drop("_spec", "_mx"))
+
+
+def robots_allowed(urls: DataFrame, parsed: DataFrame, agent: str,
+                   url_col: str = "url") -> DataFrame:
+    """Per-URL RFC 9309 verdict, all JVM-side after the parse.
+
+    Adds to ``urls``: ``allowed`` (boolean — no applicable group or
+    no matching rule means allowed), ``crawl_delay`` (double or null,
+    from the same group that decided). Longest pattern wins; equal
+    length -> Allow wins; matching is column-side ``rlike`` against
+    the parse-time regex.
+    """
+    rules = _select_group(parsed, "rule", agent)
+    delays = (_select_group(parsed, "delay", agent)
+              .groupBy("host").agg(F.min("delay").alias("crawl_delay")))
+
+    keyed = urls.select(
+        F.col(url_col).alias("_u"),
+        F.lower(F.regexp_extract(url_col,
+                                 r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)",
+                                 1)).alias("host"),
+        url_path_col(F.col(url_col)).alias("_path")).distinct()
+
+    verdict = (keyed
+               .join(rules, "host")
+               .filter(F.regexp_like(F.col("_path"), F.col("regex")))
+               .groupBy("_u")
+               .agg(F.max(F.struct(
+                   F.col("pattern_len"),
+                   F.col("allow").cast("int").alias("_allow_rank"),
+                   F.col("allow"))).alias("_best"))
+               .select("_u", F.col("_best.allow").alias("_rule_allow")))
+
+    out = (keyed
+           .join(verdict, "_u", "left")
+           .join(delays, "host", "left")
+           .select(F.col("_u").alias(url_col),
+                   F.coalesce("_rule_allow", F.lit(True)).alias("allowed"),
+                   "crawl_delay"))
+    return urls.join(out, url_col, "left")

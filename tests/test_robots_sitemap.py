@@ -1,0 +1,192 @@
+"""RFC 9309 robots.txt parse/longest-match + sitemap-via-patterns.
+
+The robots pure parser is pinned against hand-derived RFC 9309
+semantics (group selection, longest match, tie -> Allow, wildcards,
+$-anchor, empty values, comments, case-insensitive fields); the
+DataFrame face is pinned end-to-end on a small corpus. The sitemap
+extractor is pinned on urlset/sitemapindex bodies including optional
+fields and whitespace noise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cuphic_spark.frontier.robots import (
+    parse_robots_text,
+    pattern_to_regex,
+    parse_robots,
+    robots_allowed,
+)
+from cuphic_spark.frontier.sitemap import (
+    extract_sitemap_entries,
+    parse_sitemaps,
+)
+
+BODY = """\
+# demo robots
+User-agent: OtherBot
+Disallow: /
+
+User-Agent: CuphicBot/2.1
+Disallow: /private/
+Allow: /private/pub*
+Disallow: /*.tmp$
+Crawl-delay: 3
+Crawl-delay: 9
+
+User-agent: *
+Disallow: /doc/3
+Allow: /doc/
+Allow: /tie/a
+Disallow: /tie/a
+Sitemap: https://h.example/sitemap.xml
+"""
+
+
+class TestParseRobotsText:
+    def test_groups_and_fields(self):
+        p = parse_robots_text(BODY)
+        agents = [g["agents"] for g in p["groups"]]
+        assert agents == [["otherbot"], ["cuphicbot"], ["*"]]
+        cuphic = p["groups"][1]
+        assert cuphic["rules"] == [(False, "/private/"),
+                                   (True, "/private/pub*"),
+                                   (False, "/*.tmp$")]
+        assert cuphic["delay"] == 3.0  # first numeric value wins
+        assert p["sitemaps"] == ["https://h.example/sitemap.xml"]
+
+    def test_stacked_agents_share_group(self):
+        p = parse_robots_text(
+            "User-agent: a\nUser-agent: b\nDisallow: /x\n")
+        assert p["groups"][0]["agents"] == ["a", "b"]
+
+    def test_rules_before_any_group_ignored(self):
+        p = parse_robots_text("Disallow: /x\nUser-agent: *\nAllow: /\n")
+        assert len(p["groups"]) == 1
+        assert p["groups"][0]["rules"] == [(True, "/")]
+
+    def test_empty_value_and_comments_and_unknown_fields(self):
+        p = parse_robots_text(
+            "User-agent: *\nDisallow:\nDisallow: /a # tail comment\n"
+            "Host: example.com\nNoise without colon\n")
+        assert p["groups"][0]["rules"] == [(False, "/a")]
+
+    def test_bom_and_crlf(self):
+        p = parse_robots_text("﻿User-agent: *\r\nDisallow: /a\r\n")
+        assert p["groups"][0]["rules"] == [(False, "/a")]
+
+    def test_ua_after_rules_starts_new_group(self):
+        p = parse_robots_text(
+            "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n")
+        assert [(g["agents"], g["rules"]) for g in p["groups"]] == [
+            (["a"], [(False, "/x")]), (["b"], [(False, "/y")])]
+
+
+class TestPatternToRegex:
+    @pytest.mark.parametrize("pattern,path,match", [
+        ("/private/", "/private/doc", True),
+        ("/private/", "/privateX", False),
+        ("/private/pub*", "/private/pub", True),
+        ("/private/pub*", "/private/public/1", True),
+        ("/*.tmp$", "/a/b.tmp", True),
+        ("/*.tmp$", "/a/b.tmp2", False),
+        ("/a$", "/a", True),
+        ("/a$", "/ab", False),
+        ("/doc/3", "/doc/34", True),   # prefix semantics
+        ("/p?q=*", "/p?q=1", True),    # regex metachars escaped
+        ("/p?q=*", "/pXq=1", False),
+    ])
+    def test_semantics(self, pattern, path, match):
+        import re
+        assert bool(re.match(pattern_to_regex(pattern), path)) is match
+
+
+class TestRobotsDataFrame:
+    def test_end_to_end_decisions(self, spark):
+        bodies = spark.createDataFrame(
+            [("h.example", BODY),
+             ("empty.example", "")],
+            "host string, robots_txt string")
+        parsed = parse_robots(bodies)
+        urls = spark.createDataFrame(
+            [("https://h.example/private/doc1",),
+             ("https://h.example/private/pub9",),
+             ("https://h.example/junk.tmp",),
+             ("https://h.example/free",),
+             ("https://h.example/tie/a",),
+             ("https://HOST-CASE.example/x",),
+             ("https://empty.example/anything",)],
+            "url string")
+        got = {r["url"]: (r["allowed"], r["crawl_delay"])
+               for r in robots_allowed(urls, parsed, "CuphicBot").collect()}
+        assert got["https://h.example/private/doc1"] == (False, 3.0)
+        assert got["https://h.example/private/pub9"] == (True, 3.0)
+        assert got["https://h.example/junk.tmp"] == (False, 3.0)
+        assert got["https://h.example/free"] == (True, 3.0)
+        # the * group does NOT apply (specific group exists):
+        assert got["https://h.example/tie/a"] == (True, 3.0)
+        assert got["https://HOST-CASE.example/x"] == (True, None)
+        assert got["https://empty.example/anything"] == (True, None)
+
+    def test_star_group_when_no_specific(self, spark):
+        bodies = spark.createDataFrame(
+            [("s.example",
+              "User-agent: *\nDisallow: /doc/3\nAllow: /doc/\n"
+              "Allow: /tie/a\nDisallow: /tie/a\n")],
+            "host string, robots_txt string")
+        parsed = parse_robots(bodies)
+        urls = spark.createDataFrame(
+            [("https://s.example/doc/34",),
+             ("https://s.example/doc/4",),
+             ("https://s.example/tie/a",)], "url string")
+        got = {r["url"]: r["allowed"]
+               for r in robots_allowed(urls, parsed, "cuphicbot").collect()}
+        assert got["https://s.example/doc/34"] is False   # longest match
+        assert got["https://s.example/doc/4"] is True
+        assert got["https://s.example/tie/a"] is True     # tie -> Allow
+
+    def test_sitemap_rows_surface(self, spark):
+        bodies = spark.createDataFrame(
+            [("h.example", BODY)], "host string, robots_txt string")
+        rows = (parse_robots(bodies)
+                .filter("kind = 'sitemap'").collect())
+        assert [r["pattern"] for r in rows] == [
+            "https://h.example/sitemap.xml"]
+
+
+class TestSitemap:
+    def test_urlset_fields(self):
+        entries = extract_sitemap_entries(b"""<urlset>
+  <url><loc>https://h0.example/doc/1</loc><lastmod>2026-01-03</lastmod></url>
+  <url><loc>https://h0.example/doc/2</loc><priority>0.8</priority></url>
+  <url><lastmod>2026-01-05</lastmod><loc>https://h0.example/doc/3</loc></url>
+</urlset>""")
+        assert entries == [
+            ("url", "https://h0.example/doc/1", "2026-01-03", None),
+            ("url", "https://h0.example/doc/2", None, 0.8),
+            ("url", "https://h0.example/doc/3", "2026-01-05", None)]
+
+    def test_sitemapindex(self):
+        entries = extract_sitemap_entries(
+            b"<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>"
+            b"<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>")
+        assert entries == [("sitemap", "https://a/s1.xml", None, None),
+                           ("sitemap", "https://a/s2.xml", None, None)]
+
+    def test_entry_without_loc_dropped_and_bad_priority(self):
+        entries = extract_sitemap_entries(
+            b"<urlset><url><lastmod>2026-01-01</lastmod></url>"
+            b"<url><loc>https://a/x</loc><priority>high</priority></url>"
+            b"</urlset>")
+        assert entries == [("url", "https://a/x", None, None)]
+
+    def test_dataframe_face_lenient(self, spark):
+        bodies = spark.createDataFrame(
+            [("h0.example",
+              "<urlset><url><loc>https://h0.example/a</loc></url></urlset>"),
+             ("bad.example", "<urlset><url>")],
+            "host string, sitemap_xml string")
+        rows = parse_sitemaps(bodies).collect()
+        assert [(r["host"], r["kind"], r["loc"]) for r in rows] == [
+            ("h0.example", "url", "https://h0.example/a")]
