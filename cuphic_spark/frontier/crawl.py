@@ -163,6 +163,15 @@ class CrawlConfig:
     robots_ttl_waves: int = 0     # robots-cache TTL in waves: epoch =
     # wave // ttl selects the rules version (0 = static spec, the
     # deterministic default); oracle models the same schedule
+    redirect_mod: int = 0         # deterministic 3xx spec: url ids
+    # with i % redirect_mod == 0 answer 301 + Location instead of a
+    # page (0 = no redirects, the pinned default). The Location
+    # flows through the SAME link pipeline as an extracted href
+    # (canonicalize -> seen -> frontier), so chains resolve across
+    # waves and loops terminate via the seen set; fetch_log carries
+    # the status and the wave metrics count redirects. A custom
+    # fetch_fn reports real statuses via the (status, location,
+    # body) return shape.
     aqe: str = "off"              # crawl-session AQE profile: 'off'
     # (default) disables spark.sql.adaptive for the duration of the
     # crawl (restoring the caller's setting on exit), 'inherit'
@@ -203,10 +212,17 @@ def robots_rules(spark: SparkSession, version: int = 0,
     sandbox the spec is versioned closed-form so the oracle can
     reproduce every epoch. The crawl derives the epoch from the wave
     number (``CrawlConfig.robots_ttl_waves``): rules stay CACHED —
-    one tiny broadcast per wave, never per url."""
-    rows = [(f"host{h}.example", webgraph.DENY_PREFIX)
+    one tiny broadcast per wave, never per url.
+
+    The dim shape is (host, deny_prefixes array) — the same shape
+    ``frontier.robots.prefix_rules`` derives from REAL robots.txt
+    bodies via the RFC 9309 parser, so a production crawl swaps the
+    spec for parsed bodies (``CrawlConfig.extra['robots_txt_fn']``)
+    without touching the wave loop."""
+    rows = [(f"host{h}.example", [webgraph.DENY_PREFIX])
             for h in range(n_hosts) if h % 7 == version % 7]
-    return spark.createDataFrame(rows, "host string, deny_prefix string")
+    return spark.createDataFrame(
+        rows, "host string, deny_prefixes array<string>")
 
 
 def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
@@ -271,7 +287,7 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
                    page_weight: int = 30, dropped_acc=None,
                    link_extract: str = "streaming",
                    n_hosts: int = webgraph.N_HOSTS,
-                   fetch_fn=None) -> DataFrame:
+                   fetch_fn=None, redirect_mod: int = 0) -> DataFrame:
     """Simulated fetch FUSED with link extraction: ONE Arrow stage
     generates the page body, parses it through the lenient ladder,
     and runs the cuphic kernel scan for ``[:a {:href href} ???]`` —
@@ -297,24 +313,37 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
     per page). ``'kernel'`` keeps the general engine scan; both are
     pinned identical by tests.
 
-    ``fetch_fn(url) -> bytes`` is the pluggable FETCHER (default: the
-    deterministic webgraph simulator — this sandbox has no network).
-    A production deployment drops an httpx/aiohttp batch fetcher in
-    here (`CrawlConfig.extra['fetch_fn']`); everything downstream —
-    lenient parse ladder, link extraction, politeness, seen set,
-    checkpointing — is fetcher-agnostic (pinned by the custom-
-    fetcher crawl test)."""
+    ``fetch_fn(url) -> bytes | (status, location, bytes)`` is the
+    pluggable FETCHER (default: the deterministic webgraph simulator
+    — this sandbox has no network). A bare ``bytes`` return means
+    status 200; the tuple shape lets an HTTP fetcher report real
+    statuses. A 3xx status with a Location SHORT-CIRCUITS the parse:
+    the Location becomes the page's single outlink and rides the
+    normal link pipeline (canonicalize -> seen -> frontier), so
+    redirect chains resolve across waves and loops terminate via the
+    seen set. A production deployment drops an httpx/aiohttp batch
+    fetcher in here (`CrawlConfig.extra['fetch_fn']`); everything
+    downstream — lenient parse ladder, link extraction, politeness,
+    seen set, checkpointing — is fetcher-agnostic (pinned by the
+    custom-fetcher crawl test)."""
     import pandas as pd
 
     from ..operators.parse import parse_html_lenient
 
     schema = T.StructType(scheduled.schema.fields + [
+        T.StructField("status", T.IntegerType()),
         T.StructField("bytes", T.LongType()),
         T.StructField("hrefs", T.ArrayType(T.StringType())),
     ])
 
     if fetch_fn is None:
         def fetch_fn(u):
+            i = webgraph.id_of_url(u)
+            if webgraph.is_redirector(i, redirect_mod):
+                return (301,
+                        webgraph.redirect_target_url(i, universe,
+                                                     n_hosts),
+                        b"")
             return webgraph.gen_html(u, universe, page_weight,
                                      n_hosts).encode()
 
@@ -346,16 +375,25 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
 
         for pdf in batches:
             pdf = pdf.copy()
-            nbytes, hrefs_col = [], []
+            status_col, nbytes, hrefs_col = [], [], []
             for u in pdf["url"]:
-                data = fetch_fn(u)
-                hrefs = page_hrefs(data)
-                if hrefs is None:
-                    if dropped_acc is not None:
-                        dropped_acc.add(1)
-                    hrefs = []
+                res = fetch_fn(u)
+                if isinstance(res, tuple):
+                    status, location, data = res
+                else:
+                    status, location, data = 200, None, res
+                if 300 <= status < 400 and location:
+                    hrefs = [location]
+                else:
+                    hrefs = page_hrefs(data)
+                    if hrefs is None:
+                        if dropped_acc is not None:
+                            dropped_acc.add(1)
+                        hrefs = []
+                status_col.append(status)
                 nbytes.append(len(data))
                 hrefs_col.append(hrefs)
+            pdf["status"] = status_col
             pdf["bytes"] = nbytes
             pdf["hrefs"] = hrefs_col
             yield pdf
@@ -407,8 +445,20 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
 
     robots_version = (wave // cfg.robots_ttl_waves
                       if cfg.robots_ttl_waves else 0)
-    robots = robots_rules(spark, version=robots_version,
-                          n_hosts=cfg.n_hosts)
+    robots_txt_fn = cfg.extra.get("robots_txt_fn")
+    if robots_txt_fn is not None:
+        # production robots source: (host, robots_txt) bodies ->
+        # RFC 9309 parse -> prefix dim (refuses non-prefix corpora);
+        # the spec path below stays the oracle-pinned default
+        from .robots import parse_robots, prefix_rules
+
+        robots = prefix_rules(
+            parse_robots(robots_txt_fn(spark, robots_version,
+                                       cfg.n_hosts)),
+            agent=cfg.extra.get("robots_agent", "cuphicbot"))
+    else:
+        robots = robots_rules(spark, version=robots_version,
+                              n_hosts=cfg.n_hosts)
     plan = bands_mod.plan_read(manifest, cfg.wave_cap)
 
     # ONE window ranks eligible rows per host; denied rows rank inside
@@ -429,11 +479,13 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         eligible_src = frontier.where(F.col("score") >= plan.s_cut)
         fr = eligible_src.withColumn("path", path_col(F.col("url")))
         joined = fr.join(F.broadcast(robots), "host", "left")
-        is_denied = (F.col("deny_prefix").isNotNull()
-                     & F.col("path").startswith(F.col("deny_prefix")))
+        is_denied = F.coalesce(
+            F.exists(F.col("deny_prefixes"),
+                     lambda p: F.col("path").startswith(p)),
+            F.lit(False))
         ranked = (joined.withColumn("den", is_denied)
                   .withColumn("host_rank", F.row_number().over(w_host))
-                  .drop("deny_prefix", "path")).cache()
+                  .drop("deny_prefixes", "path")).cache()
         stats = (ranked
                  .where(F.col("den")
                         | (F.col("host_rank") <= cfg.budget_per_host))
@@ -531,7 +583,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                               dropped_acc=dropped_acc,
                               link_extract=cfg.link_extract,
                               n_hosts=cfg.n_hosts,
-                              fetch_fn=cfg.extra.get("fetch_fn"))
+                              fetch_fn=cfg.extra.get("fetch_fn"),
+                              redirect_mod=cfg.redirect_mod)
                .cache())
 
     links = fetched.select(F.col("url").alias("base_url"),
@@ -708,10 +761,13 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
 
     fetch_log = (fetched.select(
         F.lit(wave).alias("wave"), "rank_in_wave", "url",
-        "host", "depth", "score", "bytes")
+        "host", "depth", "score", "status", "bytes")
         .observe(obs_fetch,
                  F.count(F.lit(1)).alias("n"),
-                 F.coalesce(F.sum("bytes"), F.lit(0)).alias("b")))
+                 F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
+                 F.coalesce(F.sum(((F.col("status") >= 300)
+                                   & (F.col("status") < 400))
+                                  .cast("long")), F.lit(0)).alias("r")))
 
     def _obs_get(obs, fallback):
         """Observed metrics, with a fallback for degenerate waves: a
@@ -741,7 +797,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         checkpoint writes ran (each observation rides on a write)."""
         fetch_m = _obs_get(obs_fetch, lambda: fetched.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"))
+            F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
+            F.coalesce(F.sum(((F.col("status") >= 300)
+                              & (F.col("status") < 400))
+                             .cast("long")), F.lit(0)).alias("r"))
             .collect()[0].asDict())
         links_m = _obs_get(obs_links, lambda: distinct_links.agg(
             F.count(F.lit(1)).alias("d"),
@@ -760,6 +819,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             "dupes": int(links_m["d"]) - int(new_m["n"]),
             "bytes": int(fetch_m["b"]),
             "pages_dropped": int(dropped_acc.value),
+            "redirects": int(fetch_m["r"]),
         }
 
     def n_new() -> int:

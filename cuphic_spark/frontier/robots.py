@@ -42,6 +42,7 @@ __all__ = [
     "parse_robots_text",
     "pattern_to_regex",
     "parse_robots",
+    "prefix_rules",
     "robots_allowed",
     "url_path_col",
     "PARSED_SCHEMA",
@@ -206,6 +207,33 @@ def _select_group(parsed: DataFrame, kind: str, agent: str) -> DataFrame:
             .withColumn("_mx", F.max("_spec").over(w))
             .filter(F.col("_spec") == F.col("_mx"))
             .drop("_spec", "_mx"))
+
+
+def prefix_rules(parsed: DataFrame, agent: str) -> DataFrame:
+    """Crawl fast-path dim from parsed robots: (host, deny_prefixes
+    array<string>) — the shape the wave loop broadcast-joins and
+    prefix-matches JVM-side (crawl.run_wave).
+
+    Only plain-prefix Disallow groups qualify: any Allow rule or a
+    pattern containing ``*``/``$`` needs longest-match semantics and
+    REFUSES here (loudly, not by silent approximation) — route such
+    corpora through ``robots_allowed`` instead. The validation
+    collect is bounded: it fetches at most one offending rule from
+    the host-dim-sized rules table."""
+    rules = _select_group(parsed, "rule", agent)
+    bad = (rules.filter(F.col("allow")
+                        | F.col("pattern").contains("*")
+                        | F.col("pattern").contains("$"))
+           .select("host", "allow", "pattern").limit(1).collect())
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"robots rules for host {r['host']!r} exceed the prefix "
+            f"fast path ({'Allow' if r['allow'] else 'pattern'} "
+            f"{r['pattern']!r}); use robots_allowed for full RFC 9309 "
+            "longest-match")
+    return (rules.groupBy("host")
+            .agg(F.collect_list("pattern").alias("deny_prefixes")))
 
 
 def robots_allowed(urls: DataFrame, parsed: DataFrame, agent: str,

@@ -127,6 +127,23 @@ def expected_canonical_links(i: int, universe: int,
             for k in range(n_links(i))]
 
 
+def is_redirector(i: int, redirect_mod: int) -> bool:
+    """Deterministic redirect spec: with ``redirect_mod`` R > 0,
+    every url id with ``i % R == 0`` answers 301 instead of a page."""
+    return redirect_mod > 0 and i % redirect_mod == 0
+
+
+def redirect_target_url(i: int, universe: int,
+                        n_hosts: int = N_HOSTS) -> str:
+    """301 Location for redirector ``i``: the next url id (mod
+    universe). For R >= 2 the target id has ``(i+1) % R == 1``, so a
+    target is never itself a redirector — single-hop by construction
+    here; in general multi-hop chains resolve ACROSS waves (the
+    target re-enters the frontier like any discovered link) and
+    loops terminate via the seen set."""
+    return url_of((i + 1) % universe, n_hosts)
+
+
 def robots_denied(url: str) -> bool:
     """True if the graph's robots rules deny this url."""
     m = re.match(r"https://host(\d+)\.example(/.*)$", url)

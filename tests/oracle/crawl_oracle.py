@@ -259,7 +259,8 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         robots_ttl_waves: int = 0, n_hosts: int = 10,
         use_bloom: bool = False, bloom_bits: int = 1 << 20,
         bloom_min_seen: int = 50_000,
-        bloom_fp_rebuild: float = 0.2) -> OracleState:
+        bloom_fp_rebuild: float = 0.2,
+        redirect_mod: int = 0) -> OracleState:
     split_rows = band_split_rows or max(wave_cap, 1)
     st = OracleState()
     # bloom twin (only when the caller models it — the default test
@@ -348,14 +349,30 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         links: dict[str, int] = {}
         total_links = 0
         total_bytes = 0
+        n_redirects = 0
         for rank, (url, depth, sc) in enumerate(scheduled, start=1):
+            i = webgraph.id_of_url(url)
+            if webgraph.is_redirector(i, redirect_mod):
+                # 301: Location is the page's single outlink — no
+                # body, no parse; rides the normal link pipeline
+                target = webgraph.redirect_target_url(i, universe,
+                                                      n_hosts)
+                n_redirects += 1
+                st.fetch_log.append({
+                    "wave": wave, "rank_in_wave": rank, "url": url,
+                    "host": host_of_url(url), "depth": depth,
+                    "score": sc, "status": 301, "bytes": 0,
+                })
+                links[target] = links.get(target, 0) + 1
+                total_links += 1
+                continue
             html = webgraph.gen_html(url, universe, page_weight,
                                      n_hosts)
             total_bytes += len(html.encode())
             st.fetch_log.append({
                 "wave": wave, "rank_in_wave": rank, "url": url,
                 "host": host_of_url(url), "depth": depth, "score": sc,
-                "bytes": len(html.encode()),
+                "status": 200, "bytes": len(html.encode()),
             })
             for href in _HREF_RE.findall(html):
                 canon = canonicalize(href, url)
@@ -410,6 +427,7 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
             # the synthetic graph always parses strictly; real crawls
             # surface lenient-ladder drops here
             "pages_dropped": 0,
+            "redirects": n_redirects,
             "frontier_rows_read": rows_read,
             # wave delta = residual of consumed segments + new — the
             # O(rows_read + new) write-volume invariant the banded

@@ -972,6 +972,45 @@ def test_robots_ttl_refresh_matches_oracle(spark, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_redirects_match_oracle(spark, tmp_path, oracle_state):
+    """3xx handling: every url id % 3 == 0 answers 301 + Location
+    instead of a page. The Location must ride the normal link
+    pipeline (canonicalize -> seen -> frontier: chains resolve across
+    waves, loops die on the seen set), fetch_log must carry the
+    status, and the redirects metric must count them — all pinned
+    against the oracle twin, plus non-vacuity (the redirected crawl
+    diverges from the plain one) and a default-off pin (redirect_mod
+    =0 keeps status 200 everywhere and metrics identical to the
+    pre-redirect spec)."""
+    from cuphic_spark.frontier import webgraph
+
+    kw = dict(universe=5000, n_seeds=12, budget_per_host=4, wave_cap=24,
+              n_waves=3)
+    d = str(tmp_path / "redirects")
+    cfg = CrawlConfig(checkpoint_dir=d, redirect_mod=3, **kw)
+    summary = crawl(spark, cfg)
+    oracle = crawl_oracle.run(redirect_mod=3, **kw)
+    assert summary["metrics"] == oracle.metrics
+    assert sum(m["redirects"] for m in summary["metrics"]) > 0
+    log = read_fetch_log(spark, cfg).orderBy("wave", "rank_in_wave").collect()
+    assert [(r.wave, r.rank_in_wave, r.url, r.status, r.bytes)
+            for r in log] == \
+        [(e["wave"], e["rank_in_wave"], e["url"], e["status"], e["bytes"])
+         for e in oracle.fetch_log]
+    # redirectors answer 0 bytes with status 301; everything else 200
+    for r in log:
+        i = webgraph.id_of_url(r.url)
+        assert (r.status, r.bytes == 0) == \
+            ((301, True) if i % 3 == 0 else (200, False))
+    # non-vacuous: the redirected schedule diverges from the plain one
+    plain = crawl_oracle.run(**kw)
+    assert oracle.metrics != plain.metrics
+    # default-off: no redirects, metrics equal the plain oracle
+    assert all(m["redirects"] == 0 for m in plain.metrics)
+    assert all(m["redirects"] == 0 for m in oracle_state.metrics)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.mark.parametrize("bw", [3, 500, 20000])
 def test_band_width_invariance_vs_oracle(spark, tmp_path, oracle_state, bw):
     """band_width is an IO knob, not a semantics knob: at any width

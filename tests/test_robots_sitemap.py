@@ -155,6 +155,81 @@ class TestRobotsDataFrame:
             "https://h.example/sitemap.xml"]
 
 
+class TestPrefixRules:
+    def test_prefix_dim_shape(self, spark):
+        from cuphic_spark.frontier.robots import prefix_rules
+
+        bodies = spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /private/\n"
+                           "Disallow: /tmp/\n"),
+             ("b.example", "User-agent: *\nDisallow:\n")],
+            "host string, robots_txt string")
+        dim = prefix_rules(parse_robots(bodies), "cuphicbot")
+        rows = {r["host"]: sorted(r["deny_prefixes"])
+                for r in dim.collect()}
+        assert rows == {"a.example": ["/private/", "/tmp/"]}
+
+    @pytest.mark.parametrize("body", [
+        "User-agent: *\nAllow: /ok\nDisallow: /x\n",
+        "User-agent: *\nDisallow: /x*\n",
+        "User-agent: *\nDisallow: /x$\n",
+    ])
+    def test_refuses_non_prefix_corpora(self, spark, body):
+        from cuphic_spark.frontier.robots import prefix_rules
+
+        bodies = spark.createDataFrame(
+            [("a.example", body)], "host string, robots_txt string")
+        with pytest.raises(ValueError, match="prefix fast path"):
+            prefix_rules(parse_robots(bodies), "cuphicbot")
+
+
+class TestRfcRobotsInCrawl:
+    def test_rfc_source_matches_spec_crawl(self, spark, tmp_path):
+        """The production robots source end-to-end: per-host
+        robots.txt bodies ENCODING the epoch spec (h%7 == epoch%7
+        hosts disallow /private/) parsed by the RFC parser and fed to
+        the wave loop via extra['robots_txt_fn'] must schedule
+        byte-identically to the closed-form spec path — parse ->
+        group-select -> prefix-dim == robots_rules."""
+        import shutil
+
+        from cuphic_spark.frontier.crawl import (
+            CrawlConfig,
+            crawl,
+            read_fetch_log,
+        )
+        from tests.oracle import crawl_oracle
+
+        kw = dict(universe=5000, n_seeds=12, budget_per_host=4,
+                  wave_cap=24, n_waves=2)
+
+        def bodies_fn(spark_, version, n_hosts):
+            rows = []
+            for h in range(n_hosts):
+                if h % 7 == version % 7:
+                    body = ("# spec twin\nUser-agent: otherbot\n"
+                            "Disallow: /\n\nUser-agent: *\n"
+                            "Disallow: /private/\n")
+                else:
+                    body = "User-agent: *\nDisallow:\n"
+                rows.append((f"host{h}.example", body))
+            return spark_.createDataFrame(
+                rows, "host string, robots_txt string")
+
+        d = str(tmp_path / "rfc_robots")
+        cfg = CrawlConfig(checkpoint_dir=d, **kw,
+                          extra={"robots_txt_fn": bodies_fn})
+        summary = crawl(spark, cfg)
+        oracle = crawl_oracle.run(**kw)
+        assert summary["metrics"] == oracle.metrics
+        log = read_fetch_log(spark, cfg).orderBy(
+            "wave", "rank_in_wave").collect()
+        assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+            [(e["wave"], e["rank_in_wave"], e["url"])
+             for e in oracle.fetch_log]
+        shutil.rmtree(d, ignore_errors=True)
+
+
 class TestSitemap:
     def test_urlset_fields(self):
         entries = extract_sitemap_entries(b"""<urlset>
