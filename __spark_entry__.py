@@ -234,6 +234,35 @@ def q_lenient_extract(spark, sf_dir):
             .select("url", F.col("text").alias("extracted")))
 
 
+def q_charset_extract(spark, sf_dir):
+    """Charset-sniff gate: non-UTF-8 page bytes built closed-form
+    (binary concat of UTF-8 fragments + raw high bytes via unhex)
+    must extract to the RIGHT unicode text through the recode rung —
+    even docs carry a windows-1252 label with byte 0xE9 (é), odd docs
+    carry an iso-8859-1 label with byte 0x92, which the WHATWG alias
+    must decode as cp1252's curly quote (chr(8217)), NOT 8859-1's C1
+    control. The oracle states the expected text directly with
+    chr()."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    even = (F.col("doc_id") % 2) == 0
+    head = F.when(
+        even,
+        F.lit('<doc><meta charset="windows-1252"/><p>caf'))\
+        .otherwise(F.lit('<doc><meta charset="iso-8859-1"/><p>it'))
+    raw_byte = F.when(even, F.unhex(F.lit("E9")))\
+        .otherwise(F.unhex(F.lit("92")))
+    tail = F.when(even, F.lit(" ")).otherwise(F.lit("s "))
+    pages = docs.select(
+        F.concat(F.lit("cp1252://"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.encode(head, "UTF-8"), raw_byte,
+                 F.encode(F.concat(tail, F.col("text"),
+                                   F.lit("</p></doc>")), "UTF-8"))
+        .alias("html"))
+    return (pages_extract_text(pages)
+            .select("url", F.col("text").alias("extracted")))
+
+
 def q_frontier_merge(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -740,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_topk": q_politeness_topk,
         "seen_anti_join": q_seen_anti_join,
         "lenient_extract": q_lenient_extract,
+        "charset_extract": q_charset_extract,
         "rewrite_drop_links": q_rewrite_drop_links,
         "frontier_merge": q_frontier_merge,
         "events_agg": q_events_agg,
@@ -1230,6 +1260,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
             FROM documents WHERE doc_id < 200
+        """,
+        "charset_extract": """
+            SELECT 'cp1252://' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'caf' || chr(233) || ' ' || text
+                        ELSE 'it' || chr(8217) || 's ' || text
+                   END AS extracted
+            FROM documents WHERE doc_id < 300
         """,
         "rewrite_drop_links": f"""
             WITH pages AS ({_PAGES_CTE})

@@ -79,6 +79,53 @@ def encode_value(v) -> str:
 
 
 _BARE_AMP = None  # compiled lazily executor-side
+_CHARSET_RE = None
+_VOID_RE = None
+
+# HTML void elements (WHATWG): written without a closing tag in real
+# pages, which is a well-formedness error to an XML parser. The
+# repair rung self-closes them; the strict rung never sees this.
+_VOID_TAGS = ("area|base|br|col|embed|hr|img|input|link|meta|param"
+              "|source|track|wbr")
+
+# WHATWG encoding-standard alias: pages labelled ISO-8859-1 (or plain
+# ascii) are decoded as windows-1252 — its strict superset that real
+# browsers (and so real web text) actually use for the 0x80-0x9F range.
+_WHATWG_1252 = {"iso-8859-1", "iso8859-1", "latin-1", "latin1",
+                "us-ascii", "ascii", "windows-1252", "cp1252"}
+
+
+def sniff_charset(raw: bytes) -> str | None:
+    """BOM / XML-declaration / meta-charset sniff over the head bytes.
+
+    Returns a codec name usable with ``bytes.decode`` or None when
+    nothing is declared (caller falls back to UTF-8). Order: BOMs
+    first (they are authoritative), then ``<?xml ... encoding=``,
+    then HTML ``<meta charset=`` / ``http-equiv`` content within the
+    first KiB (the WHATWG prescan window). Unknown labels return
+    None rather than raising."""
+    global _CHARSET_RE
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # the codec consumes the BOM it just matched
+    if _CHARSET_RE is None:
+        import re as _re
+        _CHARSET_RE = _re.compile(
+            br"""(?:encoding|charset)\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""",
+            _re.IGNORECASE)
+    m = _CHARSET_RE.search(raw[:1024])
+    if not m:
+        return None
+    name = m.group(1).decode("ascii", "replace").strip().lower()
+    if name in _WHATWG_1252:
+        return "windows-1252"
+    import codecs
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None
+    return name
 
 
 def parse_html_lenient(data, parser=parse_xml) -> tuple[list | None, str]:
@@ -86,19 +133,23 @@ def parse_html_lenient(data, parser=parse_xml) -> tuple[list | None, str]:
 
     Returns (tree, mode): mode is 'strict' when the page parses as-is
     (byte-identity semantics fully preserved — the reference corpus
-    always takes this path), 'fixup' after conservative repairs (bare
-    ``&`` escaped, junk before the first ``<`` stripped), 'wrapped'
+    always takes this path), 'recoded' when a sniffed non-UTF-8
+    charset (BOM / XML decl / meta charset) decodes the page into a
+    clean parse, 'fixup' after conservative repairs (bare ``&``
+    escaped, junk before the first ``<`` stripped), 'wrapped'
     when multiple roots needed a synthetic ``<root>`` wrapper, or
     'dropped' with tree None when nothing salvages the page. Callers
     surface drops through a ``pages_dropped`` counter rather than
-    silently shrinking the output.
+    silently shrinking the output. The fixup/wrapped rungs reuse the
+    sniffed decoding too, so a windows-1252 tag-soup page keeps its
+    0x80-0xFF characters instead of collapsing to U+FFFD.
 
     ``parser`` swaps the per-rung parse function (must raise on
     malformed input, like ``parse_xml``): the extraction operator
     passes ``extract_text_streaming`` so every rung of the SAME
     ladder runs tree-free. The synthetic <root> wrapper is
     text-invariant, so the rungs stay equivalent for extraction."""
-    global _BARE_AMP
+    global _BARE_AMP, _VOID_RE
     raw = bytes(data) if isinstance(data, (bytes, bytearray, memoryview)) \
         else data
     try:
@@ -110,9 +161,36 @@ def parse_html_lenient(data, parser=parse_xml) -> tuple[list | None, str]:
     if _BARE_AMP is None:
         _BARE_AMP = _re.compile(r"&(?![a-zA-Z][a-zA-Z0-9]*;|#[0-9]+;"
                                 r"|#x[0-9a-fA-F]+;)")
-    txt = raw.decode("utf-8", errors="replace") if isinstance(raw, bytes) \
-        else raw
-    fixed = _BARE_AMP.sub("&amp;", txt)
+        _VOID_RE = _re.compile(
+            rf"<({_VOID_TAGS})(\s[^<>]*?)?(?<!/)>", _re.IGNORECASE)
+    txt = None
+    if isinstance(raw, bytes):
+        enc = sniff_charset(raw)
+        if enc is not None:
+            try:
+                txt = raw.decode(enc, errors="replace")
+            except LookupError:
+                txt = None
+            if txt is not None and txt.startswith("<?xml"):
+                # the bytes are UTF-8 from here on — a stale
+                # encoding= in the XML declaration would make expat
+                # re-misinterpret them
+                txt = _re.sub(
+                    r"^(<\?xml[^?>]*?)\s+encoding\s*=\s*"
+                    r"(\"[^\"]*\"|'[^']*')",
+                    r"\1", txt, count=1)
+            if txt is not None and enc not in ("utf-8", "utf-8-sig"):
+                # the recode alone may make the page well-formed
+                # (expat defaults to UTF-8 and chokes on the raw bytes)
+                try:
+                    return parser(txt.encode("utf-8")), "recoded"
+                except Exception:
+                    pass
+        if txt is None:
+            txt = raw.decode("utf-8", errors="replace")
+    else:
+        txt = raw
+    fixed = _VOID_RE.sub(r"<\1\2/>", _BARE_AMP.sub("&amp;", txt))
     lt = fixed.find("<")
     if lt > 0:
         fixed = fixed[lt:]

@@ -201,6 +201,59 @@ def test_lenient_parse_ladder(spark):
     assert acc.value == 2
 
 
+def test_charset_sniff_and_void_elements():
+    """Non-UTF-8 crawl reality: a sniffed BOM / XML-decl / meta
+    charset recodes the page instead of collapsing its 0x80-0xFF
+    bytes to U+FFFD, and HTML void elements (<meta>, <br>, <img>...)
+    are self-closed in the repair rung instead of dropping the page.
+    The strict path is untouched (byte-identity corpus unaffected)."""
+    from cuphic_spark.kernel.xmlparse import extract_text_streaming
+    from cuphic_spark.operators.parse import (
+        parse_html_lenient,
+        sniff_charset,
+    )
+
+    def extract(b):
+        return parse_html_lenient(b, parser=extract_text_streaming)
+
+    # meta charset windows-1252: 0xE9 is invalid UTF-8, valid cp1252
+    assert extract(
+        b'<doc><meta charset="windows-1252"/><p>caf\xe9</p></doc>') == \
+        ("café", "recoded")
+    # WHATWG alias: a page LABELLED iso-8859-1 decodes as cp1252
+    # (0x92 is a C1 control in 8859-1 but a curly quote in cp1252)
+    assert extract(
+        b'<doc><meta charset="iso-8859-1"/><p>it\x92s</p></doc>') == \
+        ("it’s", "recoded")
+    # XML declaration encoding reaches the sniffer too (expat handles
+    # 8859-1 natively, so force the repair rung with a bare &)
+    assert extract(
+        b'<?xml version="1.0" encoding="ISO-8859-15"?>'
+        b"<doc><p>a &b \xa4</p></doc>")[0] == "a &b €"
+    # UTF-16 BOM soup: decoded via the BOM, repaired via the ladder
+    u16 = b"\xff\xfe" + "junk <doc><p>café</p></doc>".encode(
+        "utf-16-le")
+    assert extract(u16) == ("café", "fixup")
+    # unknown label: no crash, utf-8-replace fallback
+    text, mode = extract(
+        b'<doc><meta charset="no-such-enc"/><p>x\xe9y</p></doc>')
+    assert mode == "fixup" and text == "x�y"
+    # void elements self-close in the repair rung
+    assert extract(
+        b'<doc><p>one<br>two</p><img src="x.jpg"></doc>') == \
+        ("onetwo", "fixup")
+    assert extract(
+        b'<doc><meta charset="windows-1252"><p>caf\xe9</p></doc>') == \
+        ("café", "fixup")
+    # already-self-closed void tags stay strict
+    assert extract(b"<doc><p>a<br/>b</p></doc>") == ("ab", "strict")
+    # strict path byte-identity untouched
+    assert extract(b"<doc><p>plain</p></doc>") == ("plain", "strict")
+
+    assert sniff_charset(b"\xef\xbb\xbf<doc/>") == "utf-8-sig"
+    assert sniff_charset(b"<doc><p>nothing declared</p></doc>") is None
+
+
 def test_subtree_assist_deep_nesting_no_recursion_limit(spark):
     """Advisor round-2 (low): subtree reconstruction must not recurse
     — a document nested past Python's recursion limit (~1000) would
