@@ -459,6 +459,13 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     else:
         robots = robots_rules(spark, version=robots_version,
                               n_hosts=cfg.n_hosts)
+    # optional per-host politeness budgets (e.g. derived from robots
+    # Crawl-delay via robots.budgets_from_delays): a tiny (host,
+    # host_budget) dim broadcast like the robots rules; hosts absent
+    # from it fall back to the scalar budget_per_host
+    budgets_fn = cfg.extra.get("host_budgets_fn")
+    host_budgets = (budgets_fn(spark, wave, cfg.n_hosts)
+                    if budgets_fn is not None else None)
     plan = bands_mod.plan_read(manifest, cfg.wave_cap)
 
     # ONE window ranks eligible rows per host; denied rows rank inside
@@ -479,6 +486,15 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         eligible_src = frontier.where(F.col("score") >= plan.s_cut)
         fr = eligible_src.withColumn("path", path_col(F.col("url")))
         joined = fr.join(F.broadcast(robots), "host", "left")
+        if host_budgets is not None:
+            joined = (joined
+                      .join(F.broadcast(host_budgets), "host", "left")
+                      .withColumn("host_budget",
+                                  F.coalesce(F.col("host_budget"),
+                                             F.lit(cfg.budget_per_host))))
+        else:
+            joined = joined.withColumn("host_budget",
+                                       F.lit(cfg.budget_per_host))
         is_denied = F.coalesce(
             F.exists(F.col("deny_prefixes"),
                      lambda p: F.col("path").startswith(p)),
@@ -488,7 +504,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                   .drop("deny_prefixes", "path")).cache()
         stats = (ranked
                  .where(F.col("den")
-                        | (F.col("host_rank") <= cfg.budget_per_host))
+                        | (F.col("host_rank") <= F.col("host_budget")))
                  .groupBy("den", "score").agg(F.count("*").alias("cnt"))
                  .collect())
         if len(stats) > cfg.max_score_histogram:
@@ -515,8 +531,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     passthrough = frontier.where(F.col("score") < plan.s_cut)
     budgeted = (ranked
                 .where(~F.col("den")
-                       & (F.col("host_rank") <= cfg.budget_per_host))
-                .drop("den", "host_rank"))
+                       & (F.col("host_rank") <= F.col("host_budget")))
+                .drop("den", "host_rank", "host_budget"))
 
     # Global top-W WITHOUT TakeOrdered (orderBy+limit would merge
     # W rows x partitions single-threaded on the driver — at W=10^5+
@@ -741,7 +757,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     cols = ["url", "host", "depth", "score", "discovered_wave"]
     over_budget = (ranked
                    .where(~F.col("den")
-                          & (F.col("host_rank") > cfg.budget_per_host))
+                          & (F.col("host_rank") > F.col("host_budget")))
                    .select(*cols))
     # the wave's frontier DELTA: residual of the consumed segments
     # (over-budget ∪ unscheduled ∪ below-cut passthrough — denied

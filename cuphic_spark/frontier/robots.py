@@ -43,6 +43,7 @@ __all__ = [
     "pattern_to_regex",
     "parse_robots",
     "prefix_rules",
+    "budgets_from_delays",
     "robots_allowed",
     "url_path_col",
     "PARSED_SCHEMA",
@@ -234,6 +235,27 @@ def prefix_rules(parsed: DataFrame, agent: str) -> DataFrame:
             "longest-match")
     return (rules.groupBy("host")
             .agg(F.collect_list("pattern").alias("deny_prefixes")))
+
+
+def budgets_from_delays(parsed: DataFrame, agent: str,
+                        wave_period_s: float,
+                        cap: int | None = None) -> DataFrame:
+    """(host, host_budget) politeness dim from robots Crawl-delays:
+    a host asking for delay D seconds gets floor(wave_period / D)
+    fetches per wave (min 1 — a polite crawler still makes progress),
+    optionally capped. Hosts without a (positive) delay are ABSENT —
+    the wave loop coalesces them to the scalar budget_per_host. Feed
+    the result via ``CrawlConfig.extra['host_budgets_fn']``."""
+    delays = (_select_group(parsed, "delay", agent)
+              .filter(F.col("delay") > 0)
+              .groupBy("host").agg(F.min("delay").alias("crawl_delay")))
+    budget = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(float(wave_period_s)) / F.col("crawl_delay"))
+        .cast("int"))
+    if cap is not None:
+        budget = F.least(budget, F.lit(int(cap)))
+    return delays.select("host", budget.alias("host_budget"))
 
 
 def robots_allowed(urls: DataFrame, parsed: DataFrame, agent: str,

@@ -230,6 +230,72 @@ class TestRfcRobotsInCrawl:
         shutil.rmtree(d, ignore_errors=True)
 
 
+class TestCrawlDelayBudgets:
+    def test_budgets_from_delays(self, spark):
+        from cuphic_spark.frontier.robots import budgets_from_delays
+
+        bodies = spark.createDataFrame(
+            [("slow.example", "User-agent: *\nCrawl-delay: 10\n"
+                              "Disallow: /x\n"),
+             ("fast.example", "User-agent: *\nCrawl-delay: 0.5\n"
+                              "Disallow: /x\n"),
+             ("zero.example", "User-agent: *\nCrawl-delay: 0\n"
+                              "Disallow: /x\n"),
+             ("none.example", "User-agent: *\nDisallow: /x\n")],
+            "host string, robots_txt string")
+        got = {r["host"]: r["host_budget"] for r in budgets_from_delays(
+            parse_robots(bodies), "cuphicbot", wave_period_s=30,
+            cap=40).collect()}
+        # 30s / 10s = 3; 30 / 0.5 = 60 capped at 40; delay 0 and
+        # missing delay are absent (scalar fallback)
+        assert got == {"slow.example": 3, "fast.example": 40}
+
+    def test_per_host_budgets_match_oracle(self, spark, tmp_path):
+        """Crawl-delay-aware politeness end-to-end: a (host,
+        host_budget) dim throttles host0 (the skew host) to 1 fetch
+        per wave; scheduling must match the oracle given the same
+        budgets, diverge from the uniform-budget crawl, and absent
+        hosts must keep the scalar budget."""
+        import shutil
+
+        from cuphic_spark.frontier.crawl import (
+            CrawlConfig,
+            crawl,
+            read_fetch_log,
+        )
+        from tests.oracle import crawl_oracle
+
+        kw = dict(universe=5000, n_seeds=12, budget_per_host=4,
+                  wave_cap=24, n_waves=2)
+
+        def budgets_fn(spark_, wave, n_hosts):
+            return spark_.createDataFrame(
+                [("host0.example", 1)],
+                "host string, host_budget int")
+
+        d = str(tmp_path / "delay_budgets")
+        cfg = CrawlConfig(checkpoint_dir=d, **kw,
+                          extra={"host_budgets_fn": budgets_fn})
+        summary = crawl(spark, cfg)
+        oracle = crawl_oracle.run(
+            **kw, host_budgets={"host0.example": 1})
+        assert summary["metrics"] == oracle.metrics
+        log = read_fetch_log(spark, cfg).orderBy(
+            "wave", "rank_in_wave").collect()
+        assert [(r.wave, r.rank_in_wave, r.url) for r in log] == \
+            [(e["wave"], e["rank_in_wave"], e["url"])
+             for e in oracle.fetch_log]
+        # throttle actually binds: host0 is the i%3==0 skew host
+        waves = {}
+        for r in log:
+            if r.host == "host0.example":
+                waves[r.wave] = waves.get(r.wave, 0) + 1
+        assert waves and all(v == 1 for v in waves.values())
+        # and the schedule diverges from the uniform-budget oracle
+        assert oracle.metrics != crawl_oracle.run(**kw).metrics
+        shutil.rmtree(d, ignore_errors=True)
+
+
 class TestSitemap:
     def test_urlset_fields(self):
         entries = extract_sitemap_entries(b"""<urlset>
