@@ -322,6 +322,33 @@ class TestSitemap:
             b"</urlset>")
         assert entries == [("url", "https://a/x", None, None)]
 
+    def test_sitemap_frontier_rows(self, spark):
+        """robots Sitemap: -> parse -> frontier rows end-to-end: url
+        entries become frontier-shaped rows scored by priority;
+        sitemapindex children are excluded (they are more sitemaps,
+        not pages)."""
+        from cuphic_spark.frontier.sitemap import sitemap_frontier_rows
+
+        bodies = spark.createDataFrame(
+            [("h0.example",
+              "<urlset>"
+              "<url><loc>https://h0.example/a</loc>"
+              "<priority>0.9</priority></url>"
+              "<url><loc>https://h0.example/b</loc></url>"
+              "</urlset>"),
+             ("h1.example",
+              "<sitemapindex><sitemap>"
+              "<loc>https://h1.example/s1.xml</loc>"
+              "</sitemap></sitemapindex>")],
+            "host string, sitemap_xml string")
+        rows = {r["url"]: (r["host"], r["depth"], r["score"],
+                           r["discovered_wave"])
+                for r in sitemap_frontier_rows(
+                    parse_sitemaps(bodies), wave=2).collect()}
+        assert rows == {
+            "https://h0.example/a": ("h0.example", 0, 15900, 2),
+            "https://h0.example/b": ("h0.example", 0, 15500, 2)}
+
     def test_dataframe_face_lenient(self, spark):
         bodies = spark.createDataFrame(
             [("h0.example",
