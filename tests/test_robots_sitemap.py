@@ -83,6 +83,71 @@ class TestParseRobotsText:
             (["a"], [(False, "/x")]), (["b"], [(False, "/y")])]
 
 
+class TestRobotsFuzz:
+    def test_parser_never_crashes_on_line_soup(self):
+        """300 deterministic pseudo-random robots bodies (shuffled
+        field soup, junk lines, weird casing/whitespace, empty
+        values, high unicode) must parse without raising and produce
+        structurally well-formed groups."""
+        import random
+
+        rng = random.Random(42)
+        fields = ["User-agent", "user-AGENT", "Disallow", "Allow",
+                  "Crawl-delay", "Sitemap", "Host", "Noise"]
+        values = ["*", "cuphicbot", "", "/", "/a/b", "/a*", "/x$",
+                  "café/€", "  spaced  ", "9", "nan",
+                  "no colon here", ":", "# only comment"]
+        for _ in range(300):
+            lines = []
+            for _ in range(rng.randrange(0, 25)):
+                if rng.random() < 0.2:
+                    lines.append(rng.choice(values))
+                else:
+                    lines.append(f"{rng.choice(fields)}:"
+                                 f"{rng.choice(values)}")
+            parsed = parse_robots_text("\n".join(lines))
+            for g in parsed["groups"]:
+                assert g["agents"]
+                for allow, pattern in g["rules"]:
+                    assert isinstance(allow, bool) and pattern
+                    # every emitted pattern must compile to a valid
+                    # regex (the JVM matches these column-side)
+                    import re
+                    re.compile(pattern_to_regex(pattern))
+
+    def test_differential_vs_stdlib_on_prefix_corpora(self):
+        """Where RFC 9309 and stdlib urllib.robotparser semantics
+        coincide — single-group, Disallow-only plain prefixes (no
+        wildcards, no Allow, so rule ORDER cannot differ from
+        longest-match) — the two parsers must agree on every
+        decision."""
+        import random
+        import urllib.robotparser
+
+        rng = random.Random(7)
+        paths = ["/", "/a", "/a/b", "/a/bc", "/b", "/ab", "/a/b/c",
+                 "/abc/d", "/x"]
+        for _ in range(50):
+            prefixes = rng.sample(
+                ["/a", "/a/b", "/b", "/ab", "/abc", "/x"],
+                rng.randrange(1, 4))
+            body = "User-agent: *\n" + "".join(
+                f"Disallow: {p}\n" for p in prefixes)
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(body.splitlines())
+            parsed = parse_robots_text(body)
+            rules = [(a, pat) for g in parsed["groups"]
+                     for a, pat in g["rules"]]
+            import re
+            for path in paths:
+                matches = [(len(pat), a) for a, pat in rules
+                           if re.match(pattern_to_regex(pat), path)]
+                mine = (max(matches)[1] if matches else True)
+                assert mine == rp.can_fetch("cuphicbot",
+                                            f"https://h.example{path}"), \
+                    (body, path)
+
+
 class TestPatternToRegex:
     @pytest.mark.parametrize("pattern,path,match", [
         ("/private/", "/private/doc", True),
