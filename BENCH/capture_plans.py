@@ -140,6 +140,30 @@ def main() -> None:
         "filter skips row groups inside kept files: check "
         "PushedFilters on part and the bounded file count.")
 
+    from cuphic_spark.frontier.robots import parse_robots, robots_allowed
+
+    bodies = spark.createDataFrame(
+        [(f"h{i}.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/pub*\n"
+          f"Crawl-delay: {1 + i % 5}\n")
+         for i in range(20)],
+        "host string, robots_txt string")
+    urls = spark.range(500).selectExpr(
+        "concat('https://h', id % 20, '.example/private/doc', id) as url")
+    add("RFC 9309 robots decision (parse once, decide column-side)",
+        robots_allowed(urls, parse_robots(bodies), "cuphicbot"),
+        "Round 6: the MapInPandas stages parse the robots bodies "
+        "(host-dim sized, never per URL); every per-URL step is "
+        "JVM-side — the candidate join is a BroadcastHashJoin on "
+        "host with the RULES dim broadcast (explicit hint: the "
+        "parsed dim's Arrow lineage has no stats, and the URL side "
+        "is the 10^10-row side at crawl scale), the pattern match "
+        "is RLike over the parse-time regex column, and the longest-"
+        "match/tie verdict is a struct-max aggregation keyed by url. "
+        "Check: MapInPandas only on the bodies lineage, "
+        "BroadcastExchange on the rules AND delay dims, no Python "
+        "in the per-URL path.")
+
     (REPO / "BENCH" / "PLANS.md").write_text(
         "# Physical plans of the key operators (captured, sf0.001)\n\n"
         + "\n".join(sections))

@@ -279,8 +279,12 @@ def robots_allowed(urls: DataFrame, parsed: DataFrame, agent: str,
                                  1)).alias("host"),
         url_path_col(F.col(url_col)).alias("_path")).distinct()
 
+    # the parsed dims are O(hosts x rules/host) — BROADCAST them
+    # explicitly: their MapInPandas lineage has no stats, so without
+    # the hint Catalyst may instead broadcast (or worse, shuffle) the
+    # URL side, which is the 10^10-row side at crawl scale
     verdict = (keyed
-               .join(rules, "host")
+               .join(F.broadcast(rules), "host")
                .filter(F.regexp_like(F.col("_path"), F.col("regex")))
                .groupBy("_u")
                .agg(F.max(F.struct(
@@ -291,7 +295,7 @@ def robots_allowed(urls: DataFrame, parsed: DataFrame, agent: str,
 
     out = (keyed
            .join(verdict, "_u", "left")
-           .join(delays, "host", "left")
+           .join(F.broadcast(delays), "host", "left")
            .select(F.col("_u").alias(url_col),
                    F.coalesce("_rule_allow", F.lit(True)).alias("allowed"),
                    "crawl_delay"))
