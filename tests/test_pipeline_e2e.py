@@ -1,0 +1,91 @@
+"""The whole product in one test: crawl → extract → text stats →
+near-dup → embedding ANN, chained through the REAL operator
+surfaces the way a training-data pipeline would run them.
+
+Each stage is individually oracled elsewhere; this test pins the
+COMPOSITION — schemas line up, row-set invariants hold across stage
+boundaries, and planted signal (a duplicated page) survives the
+whole chain. sf0.001 keeps it seconds-fast.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_crawl_to_training_data_pipeline(spark, tmp_path):
+    from cuphic_spark.frontier.crawl import (
+        CrawlConfig,
+        crawl,
+        read_fetch_log,
+    )
+    from cuphic_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cuphic_spark.operators.parse import pages_extract_text
+    from cuphic_spark.operators.similarity import cosine_topk
+    from cuphic_spark.operators.textstats import quality_score, token_count
+    from cuphic_spark.frontier import webgraph
+
+    # ---- stage 1: crawl (2 waves over the deterministic graph) ----
+    d = str(tmp_path / "pipeline_crawl")
+    cfg = CrawlConfig(universe=5000, n_seeds=12, budget_per_host=4,
+                      wave_cap=24, n_waves=2, checkpoint_dir=d)
+    summary = crawl(spark, cfg)
+    log = read_fetch_log(spark, cfg)
+    n_fetched = log.count()
+    assert n_fetched == sum(m["scheduled"] for m in summary["metrics"])
+
+    # ---- stage 2: re-fetch + extract text for the crawled urls ----
+    # (the crawl's fused stage extracts links; a training pipeline
+    # re-extracts TEXT from the stored bodies — same simulator here)
+    def refetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["html"] = [
+                webgraph.gen_html(u, cfg.universe, cfg.page_weight,
+                                  cfg.n_hosts).encode()
+                for u in pdf["url"]]
+            yield pdf[["url", "html"]]
+
+    pages = (log.select("url")
+             .mapInPandas(refetch, "url string, html binary"))
+    docs = (pages_extract_text(pages)
+            .select(F.xxhash64("url").alias("doc_id"), "url", "text"))
+    assert docs.count() == n_fetched          # no page dropped
+    assert docs.where(F.length("text") < 1).count() == 0
+
+    # ---- stage 3: text statistics over the extracted corpus ----
+    stats = (token_count(docs)
+             .join(quality_score(docs), "doc_id"))
+    assert stats.count() == n_fetched
+    row = stats.agg(F.min("n_tokens"), F.max("n_chars_actual")).first()
+    assert row[0] > 0 and row[1] > 0
+
+    # ---- stage 4: near-dup detection with a PLANTED duplicate ----
+    # every page body is unique by construction, so the only LSH
+    # pair that verifies at high Jaccard is the one we plant
+    first = docs.orderBy("url").limit(1).select(
+        (F.col("doc_id") + 1).alias("doc_id"), "url", "text")
+    corpus = docs.unionByName(first).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        corpus, minhash_lsh_pairs(corpus, k=3, n_hashes=8,
+                                  band_size=2))
+    exact = pairs.where(F.col("jaccard_milli") == 1000)
+    assert exact.count() == 1                 # the planted dup, only
+
+    # ---- stage 5: embedding ANN over deterministic embeddings ----
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.where(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding")))
+    top = cosine_topk(emb, q, k=3)
+    got = top.groupBy("query_id").count().collect()
+    assert {r["count"] for r in got} == {3}
+
+    shutil.rmtree(d, ignore_errors=True)
