@@ -12,9 +12,13 @@ training-data pipeline actually meets most often:
   serialized as a PROGRESSIVE stream (SOF2, T.81 Annex G) with a
   libjpeg-style scan script — spectral selection AND successive
   approximation, so every progressive decode path is exercised.
+* ``encode_jpeg_planar``: the same quantized coefficients as one
+  non-interleaved baseline scan PER COMPONENT — the differential pin
+  for multi-scan baseline decode.
 * ``decode_jpeg``: baseline sequential OR progressive JFIF -> uint8
   array: any integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
-  ...), with or without restart intervals, multi-scan SOF2 with DC/AC
+  ...), with or without restart intervals, baseline multi-scan
+  (planar, component-subset scans), multi-scan SOF2 with DC/AC
   first + refinement scans and EOB-run coding — the common wild-JPEG
   shapes. Tables (DQT/DHT) are read from the stream;
   arithmetic-coded, hierarchical, and 12-bit streams raise
@@ -389,6 +393,63 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_planar(img: np.ndarray, quality: int = 85,
+                       subsampling: str = "444",
+                       restart_interval: int = 0) -> bytes:
+    """Baseline MULTI-SCAN JFIF: the same quantized coefficients as
+    ``encode_jpeg`` serialized as one NON-INTERLEAVED scan per
+    component (T.81 A.2.2) — the differential pin for multi-scan
+    baseline decode (decode(planar(x)) must equal
+    decode(baseline(x)) bit-for-bit). ``restart_interval`` counts
+    DATA UNITS here (non-interleaved scans have no MCUs); the RSTn
+    sequence restarts at RST0 within each scan, per-scan DC reset."""
+    (h, w, nc, samps, qtabs, quantized,
+     mcus_x, mcus_y) = _quantize_image(img, quality, subsampling)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+
+    dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+                _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    ac_codes = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+                _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
+
+    out = _frame_headers(h, w, nc, samps, qtabs, 0xC0)
+    out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_segment(0x10, AC_LUM_BITS, AC_LUM_VALS)
+    if nc == 3:
+        out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += _dht_segment(0x11, AC_CHROM_BITS, AC_CHROM_VALS)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    for ci in range(nc):
+        t = min(ci, 1)
+        hi, vi = samps[ci]
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        bw = _BitWriter()
+        prev = 0
+        rst_idx = 0
+        since = 0
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                if restart_interval and since == restart_interval:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                    rst_idx += 1
+                    since = 0
+                    prev = 0
+                zz = quantized[ci][by, bx].reshape(64)[ZIGZAG]
+                prev = _encode_block(bw, zz, prev,
+                                     dc_codes[t], ac_codes[t])
+                since += 1
+        bw.flush()
+        sos = bytes([1, ci + 1, (t << 4) | t, 0, 63, 0])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -963,13 +1024,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential (SOF0) or progressive (SOF2) JFIF ->
     (h, w, 3) RGB uint8 (grayscale replicates to 3 channels).
     Supported: 8-bit, any integer-ratio sampling factors (4:4:4,
-    4:2:0, 4:2:2, ...), with or without restart intervals; for SOF2
-    the full multi-scan protocol — interleaved/non-interleaved DC
-    first + refinement, per-component AC spectral bands with EOB-run
-    coding and successive-approximation refinement (round-5 verdict
-    item 4). Arithmetic coding, hierarchical, 12-bit, and
-    multi-scan BASELINE streams raise NotImplementedError naming the
-    feature."""
+    4:2:0, 4:2:2, ...), with or without restart intervals; baseline
+    streams may be ONE interleaved scan or a sequence of
+    component-subset scans (non-interleaved / planar — each
+    component coded exactly once); for SOF2 the full multi-scan
+    protocol — interleaved/non-interleaved DC first + refinement,
+    per-component AC spectral bands with EOB-run coding and
+    successive-approximation refinement (round-5 verdict item 4).
+    Arithmetic coding, hierarchical, and 12-bit streams raise
+    NotImplementedError naming the feature."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1063,11 +1126,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            if scans and not progressive:
-                raise NotImplementedError(
-                    "multi-scan baseline stream unsupported (a "
-                    "second SOS would previously have silently "
-                    "replaced the first scan's data)")
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
@@ -1137,68 +1195,81 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         _decode_progressive_scans(scans, comps, grids, mcus_x,
                                   mcus_y, h, w, hmax, vmax)
     else:
-        scan = scans[0]
-        scan_comps = scan["comps"]
-        if len(scan_comps) != nc:
-            raise NotImplementedError(
-                "non-interleaved (partial-component) baseline scan "
-                "unsupported")
-        entropy = scan["segments"]
-        entropy_rst_ids = scan["rst_ids"]
-        restart_interval = scan["ri"]
-        huff = scan["huff"]
-        if len(entropy) > 1 and not restart_interval:
-            raise ValueError("RST markers present but no DRI segment")
-        scan_by_cid = {cid: (dc, ac) for cid, dc, ac in scan_comps}
-        seg_idx = 0
-        reader = _BitReader(entropy[0])
-        prev_dc = [0] * nc
-        since_rst = 0
-        for mi in range(n_mcus):
-            if restart_interval and since_rst == restart_interval:
-                # restart: next segment, byte-aligned, DC reset
-                if seg_idx >= len(entropy_rst_ids):
-                    raise ValueError("entropy stream ended before all "
-                                     "MCUs (missing RST marker)")
-                if entropy_rst_ids[seg_idx] != seg_idx % 8:
+        # baseline: one interleaved scan (the classic shape) OR a
+        # sequence of scans over component subsets (non-interleaved /
+        # planar streams — T.81 allows both; libjpeg's jpeg_write_
+        # raw_data and some camera firmwares emit per-component
+        # scans). Each component must be coded exactly once across
+        # the scans; walks and restart segmentation reuse the
+        # progressive machinery (the restart-counting unit is the MCU
+        # for an interleaved scan, the data unit otherwise —
+        # T.81 A.2.2/A.2.3).
+        idx_of = {c[0]: i for i, c in enumerate(comps)}
+        seen_cids: list[int] = []
+        for scan in scans:
+            if scan["ss"] != 0 or scan["se"] != 63 \
+                    or scan["ah"] or scan["al"]:
+                raise ValueError(
+                    "baseline scan carries progressive parameters "
+                    f"(Ss={scan['ss']} Se={scan['se']} "
+                    f"Ah={scan['ah']} Al={scan['al']})")
+            scan_cids = [cid for cid, _dc, _ac in scan["comps"]]
+            for cid in scan_cids:
+                if cid not in idx_of:
                     raise ValueError(
-                        f"RST marker out of sequence: got RST"
-                        f"{entropy_rst_ids[seg_idx]}, expected "
-                        f"RST{seg_idx % 8}")
-                seg_idx += 1
-                reader = _BitReader(entropy[seg_idx])
-                prev_dc = [0] * nc
-                since_rst = 0
-            my, mx = divmod(mi, mcus_x)
-            for ci, (cid, hi, vi, _tq) in enumerate(comps):
-                dc_t, ac_t = scan_by_cid[cid]
-                cols = mcus_x * hi
-                for v in range(vi):
-                    for hh in range(hi):
-                        bi = (my * vi + v) * cols + (mx * hi + hh)
-                        size = _read_symbol(reader, huff[(0, dc_t)])
-                        diff = _extend(reader.bits(size), size) \
-                            if size else 0
-                        prev_dc[ci] += diff
-                        zz = grids[ci][bi]
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k <= 63:
-                            sym = _read_symbol(reader, huff[(1, ac_t)])
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("invalid AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-            since_rst += 1
+                        f"scan references unknown component {cid}")
+                if cid in seen_cids:
+                    raise ValueError(
+                        f"component {cid} coded in two baseline scans")
+            seen_cids += scan_cids
+            huff = scan["huff"]
+            tables = {}
+            for cid, dc_t, ac_t in scan["comps"]:
+                if (0, dc_t) not in huff or (1, ac_t) not in huff:
+                    raise ValueError(
+                        f"scan references undefined Huffman table "
+                        f"(DC {dc_t} / AC {ac_t})")
+                tables[cid] = (huff[(0, dc_t)], huff[(1, ac_t)])
+            ri = scan["ri"]
+            cur = _SegmentCursor(scan["segments"], scan["rst_ids"], ri)
+            walk = _prog_unit_walk(scan_cids, comps, idx_of, mcus_x,
+                                   mcus_y, h, w, hmax, vmax)
+            prev_dc: dict[int, int] = {}
+            last_unit = -1
+            for unit, ci, bi in walk:
+                if unit != last_unit:
+                    if ri and last_unit >= 0 and unit % ri == 0:
+                        cur.restart()
+                        prev_dc = {}
+                    last_unit = unit
+                dc_table, ac_table = tables[comps[ci][0]]
+                reader = cur.reader
+                size = _read_symbol(reader, dc_table)
+                diff = _extend(reader.bits(size), size) if size else 0
+                prev_dc[ci] = prev_dc.get(ci, 0) + diff
+                zz = grids[ci][bi]
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k <= 63:
+                    sym = _read_symbol(reader, ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+        if sorted(seen_cids) != sorted(idx_of):
+            raise ValueError(
+                "baseline scans do not cover every component exactly "
+                f"once (coded {sorted(seen_cids)} of "
+                f"{sorted(idx_of)})")
     planes = []
     for ci, (_cid, hi, vi, tq) in enumerate(comps):
         # coefs hold ZIGZAG-ordered values; bring them to natural

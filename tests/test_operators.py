@@ -1006,6 +1006,63 @@ def test_jpeg_420_dri_decode():
         decode_jpeg(bytes(s444))
 
 
+def test_jpeg_multiscan_baseline():
+    """Baseline MULTI-SCAN (planar) streams — one non-interleaved
+    scan per component — must decode bit-identically to the
+    interleaved serialization of the SAME quantized coefficients
+    (libjpeg raw-data / camera-firmware shape; previously refused).
+    Also pins the loud failures: duplicate component coverage and
+    progressive parameters inside a baseline scan."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_planar,
+    )
+
+    rng = _np.random.default_rng(11)
+    for shape, sub, ri in [((40, 56, 3), "444", 0),
+                           ((33, 41, 3), "420", 3),
+                           ((24, 24), "444", 2)]:
+        img = rng.integers(0, 256, size=shape, dtype=_np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                       restart_interval=ri))
+        plan = decode_jpeg(encode_jpeg_planar(img, subsampling=sub,
+                                              restart_interval=ri))
+        assert _np.array_equal(base, plan), (shape, sub, ri)
+
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=_np.uint8)
+    stream = encode_jpeg_planar(img)
+    # three single-component scans present
+    assert stream.count(b"\xff\xda") == 3
+
+    # duplicate coverage: repeat the first scan's SOS+entropy before
+    # EOI -> component coded twice
+    first_sos = stream.index(b"\xff\xda")
+    second_sos = stream.index(b"\xff\xda", first_sos + 2)
+    dup = (stream[:-2] + stream[first_sos:second_sos] + b"\xff\xd9")
+    with _pytest.raises(ValueError, match="two baseline scans"):
+        decode_jpeg(dup)
+
+    # progressive params in a baseline scan: patch Ss of scan 1
+    body_len = int.from_bytes(stream[first_sos + 2:first_sos + 4],
+                              "big")
+    ss_off = first_sos + 2 + body_len - 3
+    assert stream[ss_off] == 0 and stream[ss_off + 1] == 63
+    bad = bytearray(stream)
+    bad[ss_off] = 1
+    with _pytest.raises(ValueError, match="progressive parameters"):
+        decode_jpeg(bytes(bad))
+
+    # missing coverage: truncate after the second scan's entropy
+    third_sos = stream.index(b"\xff\xda", second_sos + 2)
+    partial = stream[:third_sos] + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="cover every component"):
+        decode_jpeg(partial)
+
+
 def test_jpeg_huffman_tables_are_valid_prefix_codes():
     """The embedded Annex-K tables must form valid canonical Huffman
     codes: per-length counts within capacity (Kraft inequality), all
