@@ -148,10 +148,13 @@ def q_media_features(spark, sf_dir):
     return feats.select(
         "media_id", "kind", "format",
         # jpeg rows (every fifth image: 4:2:0 + restart intervals,
-        # decoded for real through operators/jpeg.py) have no closed-
-        # form byte size (entropy-coded), so both sides emit NULL;
-        # their width/height below still come from the actual decode
-        F.when(F.col("format") != "jpeg", F.col("n_bytes"))
+        # every other one progressive SOF2, every fourth planar
+        # multi-scan) and png rows (ids % 15 == 12: from-scratch
+        # zlib codec, filters cycled, alternating RGBA) have no
+        # closed-form byte size (entropy/deflate-coded), so both
+        # sides emit NULL; their width/height below still come from
+        # the actual decode
+        F.when(~F.col("format").isin("jpeg", "png"), F.col("n_bytes"))
         .alias("n_bytes"),
         F.when(F.col("kind") == "image",
                F.col("feature")[0].cast("int")).alias("width"),
@@ -861,11 +864,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS media_id,
                      doc_id % 3 AS k,
                      doc_id % 5 = 0 AS jp,
+                     doc_id % 5 = 2 AS pn,
                      CASE WHEN doc_id % 5 = 0
                           THEN 24 + (doc_id % 7) * 5
+                          WHEN doc_id % 5 = 2
+                          THEN 18 + (doc_id % 6) * 7
                           ELSE 16 + (doc_id % 5) * 8 END AS w,
                      CASE WHEN doc_id % 5 = 0
                           THEN 20 + (doc_id % 11) * 3
+                          WHEN doc_id % 5 = 2
+                          THEN 14 + (doc_id % 4) * 5
                           ELSE 12 + (doc_id % 3) * 8 END AS h,
                      50 + (doc_id * 37) % 200 AS dur
               FROM documents WHERE doc_id < 150)
@@ -873,10 +881,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                           ELSE 'video' END AS kind,
                    CASE WHEN k = 0 AND jp THEN 'jpeg'
+                        WHEN k = 0 AND pn THEN 'png'
                         WHEN k = 0 THEN 'ppm'
                         WHEN k = 1 THEN 'wav'
                         ELSE 'fake' END AS format,
-                   CASE WHEN k = 0 AND jp THEN NULL
+                   CASE WHEN k = 0 AND (jp OR pn) THEN NULL
                         WHEN k = 0 THEN 9 + length(w::VARCHAR)
                                + length(h::VARCHAR) + 3 * w * h
                         WHEN k = 1 THEN 44 + 16 * dur

@@ -8,12 +8,17 @@ Decode is REAL for the codec-free formats:
 * **PPM/PGM (P6/P5 binary)** — pure-numpy header+raster decode,
   channel means/std/aspect features, and a real area-average resize
   re-encoded as PPM;
-* **JPEG (baseline SOF0 and progressive SOF2, any integer-ratio
-  subsampling, restart intervals)** — a from-scratch pure-numpy
-  codec (operators/jpeg.py, ITU T.81 subset): real Huffman +
-  dequant + IDCT decode feeding the same feature/resize paths;
+* **JPEG (baseline SOF0 — interleaved or planar multi-scan — and
+  progressive SOF2, any integer-ratio subsampling, restart
+  intervals)** — a from-scratch pure-numpy codec
+  (operators/jpeg.py, ITU T.81 subset): real Huffman + dequant +
+  IDCT decode feeding the same feature/resize paths;
   still-unsupported streams (arithmetic, hierarchical, 12-bit)
-  raise NotImplementedError naming the feature.
+  raise NotImplementedError naming the feature;
+* **PNG (8-bit grey/RGB/RGBA, all five scanline filters,
+  non-interlaced)** — a from-scratch codec over stdlib zlib
+  (operators/png.py): CRC-checked chunks, full unfilter, LOSSLESS
+  roundtrip pin; palette/16-bit/Adam7 raise by name.
 
 Formats that genuinely need external codecs (MP3/MP4/WebP …) raise
 ``NotImplementedError`` unless ``deterministic_fake=True`` routes
@@ -182,6 +187,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pgm"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -191,6 +198,18 @@ def jpeg_features(payload: bytes) -> list[float]:
     from .jpeg import decode_jpeg
 
     img = decode_jpeg(payload).astype(np.float32)
+    h, w, _ = img.shape
+    means = [float(img[:, :, c].mean()) / 255.0 for c in range(3)]
+    return [float(w), float(h), w / h, *means,
+            float(img.std()) / 255.0, 0.0]
+
+
+def png_features(payload: bytes) -> list[float]:
+    """Same feature shape, over the REAL (lossless) PNG decode
+    (operators/png.py)."""
+    from .png import decode_png
+
+    img = decode_png(payload).astype(np.float32)
     h, w, _ = img.shape
     means = [float(img[:, :, c].mean()) / 255.0 for c in range(3)]
     return [float(w), float(h), w / h, *means,
@@ -252,8 +271,35 @@ def synth_jpeg(media_id: int) -> bytes:
         (yy * 255 // max(1, h - 1)),
         np.full((h, w), media_id % 256),
     ], axis=-1).astype(np.uint8)
-    enc = encode_jpeg_progressive if media_id % 2 == 0 else encode_jpeg
+    if media_id % 2 == 0:
+        enc = encode_jpeg_progressive
+    elif media_id % 4 == 3:
+        # planar baseline (one scan per component) — the multi-scan
+        # sequential shape, decoded via the same walk machinery
+        from .jpeg import encode_jpeg_planar as enc
+    else:
+        enc = encode_jpeg
     return enc(img, quality=90, subsampling="420", restart_interval=4)
+
+
+def synth_png(media_id: int) -> bytes:
+    """Deterministic gradient as a PNG (lossless — the decode must
+    recover these bytes exactly). Every other PNG carries an alpha
+    channel (dropped on decode); scanline filters cycle 0..4 inside
+    the encoder, so every unfilter path runs per gate image."""
+    from .png import encode_png
+
+    w = 18 + (media_id % 6) * 7
+    h = 14 + (media_id % 4) * 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = [
+        (xx * 255 // max(1, w - 1)),
+        (yy * 255 // max(1, h - 1)),
+        np.full((h, w), media_id % 256),
+    ]
+    if media_id % 2 == 0:
+        planes.append(np.full((h, w), 200))
+    return encode_png(np.stack(planes, axis=-1).astype(np.uint8))
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
@@ -274,6 +320,10 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             payload = synth_jpeg(i)
             meta = {"width": str(24 + (i % 7) * 5),
                     "height": str(20 + (i % 11) * 3)}
+        elif kind == "image" and i % 5 == 2:
+            payload = synth_png(i)
+            meta = {"width": str(18 + (i % 6) * 7),
+                    "height": str(14 + (i % 4) * 5)}
         elif kind == "image":
             payload = synth_ppm(i)
             meta = {"width": str(16 + (i % 5) * 8),
@@ -307,6 +357,9 @@ def synth_payloads(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     metas.append({"sample_rate": "8000"})
                 elif kind == "image" and i % 5 == 0:
                     payloads.append(synth_jpeg(i))
+                    metas.append({})
+                elif kind == "image" and i % 5 == 2:
+                    payloads.append(synth_png(i))
                     metas.append({})
                 elif kind == "image":
                     payloads.append(synth_ppm(i))
@@ -354,13 +407,15 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                     feats.append(wav_features(b))
                 elif fmt in ("ppm", "pgm"):
                     feats.append(pnm_features(b))
-                elif fmt == "jpeg":
-                    # the from-scratch decoder covers baseline AND
-                    # progressive jpeg; arithmetic/corrupt streams
+                elif fmt in ("jpeg", "png"):
+                    # the from-scratch decoders cover baseline,
+                    # planar and progressive jpeg + non-interlaced
+                    # png; arithmetic/interlaced/corrupt streams
                     # must not kill the task when the fake fallback
                     # is on (undecodable -> seeded fake)
                     try:
-                        feats.append(jpeg_features(b))
+                        feats.append(jpeg_features(b) if fmt == "jpeg"
+                                     else png_features(b))
                     except Exception:
                         if not deterministic_fake:
                             raise
@@ -371,7 +426,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                     feats.append(_fake_feature(b, dim))
                 else:
                     raise NotImplementedError(
-                        "payload is not WAV/PNM/JPEG — real "
+                        "payload is not WAV/PNM/JPEG/PNG — real "
                         "decoding of other formats requires PIL/librosa/"
                         "ffmpeg (absent in this container); pass "
                         "deterministic_fake=True to route them to "
@@ -406,8 +461,8 @@ def resize_images(media: DataFrame, width: int = 224,
                   deterministic_fake: bool = True) -> DataFrame:
     """REAL image resize for PNM payloads: decode -> area-average
     resize to ``width`` (aspect kept) -> re-encode as P6, inside one
-    Arrow batch loop. Baseline JPEG decodes through the from-scratch
-    codec; other formats raise unless ``deterministic_fake=True``
+    Arrow batch loop. JPEG and PNG decode through the from-scratch
+    codecs; other formats raise unless ``deterministic_fake=True``
     (seeded truncation stand-in)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -425,13 +480,15 @@ def resize_images(media: DataFrame, width: int = 224,
                 img = None
                 if fmt in ("ppm", "pgm"):
                     img = decode_pnm(b)
-                elif fmt == "jpeg":
+                elif fmt in ("jpeg", "png"):
                     try:
-                        from .jpeg import decode_jpeg
-
-                        img = decode_jpeg(b)
+                        if fmt == "jpeg":
+                            from .jpeg import decode_jpeg as _dec
+                        else:
+                            from .png import decode_png as _dec
+                        img = _dec(b)
                     except Exception:
-                        # non-baseline/corrupt jpeg: fall through to
+                        # unsupported/corrupt stream: fall through to
                         # the fake stand-in (or raise in strict mode)
                         if not deterministic_fake:
                             raise

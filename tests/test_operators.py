@@ -142,6 +142,13 @@ def test_multimodal_real_decode(spark):
             assert (w, h) == (24 + (mid % 7) * 5, 20 + (mid % 11) * 3)
             assert abs(m0 - 0.5) < 0.06
             assert abs(m2 - (mid % 256) / 255.0) < 0.06
+        elif r.kind == "image" and mid % 5 == 2:
+            # ids % 15 == 12 are PNGs through the from-scratch zlib
+            # codec — LOSSLESS, so the recovered stats are exact
+            assert r.format == "png"
+            w, h, aspect, m0, m1, m2, std, _ = r.feature
+            assert (w, h) == (18 + (mid % 6) * 7, 14 + (mid % 4) * 5)
+            assert abs(m2 - (mid % 256) / 255.0) < 0.005  # constant B
         elif r.kind == "image":
             assert r.format == "ppm"
             w, h, aspect, m0, m1, m2, std, _ = r.feature
@@ -168,6 +175,8 @@ def test_multimodal_real_decode(spark):
         assert img.shape[1] == 16 == r.out_width
         if mid % 5 == 0:  # jpeg source: exact dims, lossy channels
             src_w, src_h = 24 + (mid % 7) * 5, 20 + (mid % 11) * 3
+        elif mid % 5 == 2:  # png source: lossless real decode
+            src_w, src_h = 18 + (mid % 6) * 7, 14 + (mid % 4) * 5
         else:
             src_w, src_h = 16 + (mid % 5) * 8, 12 + (mid % 3) * 8
         assert img.shape[0] == r.out_height == max(1, round(
@@ -1061,6 +1070,76 @@ def test_jpeg_multiscan_baseline():
     partial = stream[:third_sos] + b"\xff\xd9"
     with _pytest.raises(ValueError, match="cover every component"):
         decode_jpeg(partial)
+
+
+def test_png_codec_roundtrip_and_refusals():
+    """From-scratch PNG codec: LOSSLESS roundtrip (the encoder
+    cycles all five scanline filters, so one roundtrip exercises
+    every unfilter path) across grey/RGB/RGBA and odd sizes;
+    multi-IDAT streams; CRC corruption and unsupported shapes
+    (palette, 16-bit, Adam7) fail loudly by name."""
+    import struct
+    import zlib
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.png import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    rng = _np.random.default_rng(5)
+    for shape in [(12, 17, 3), (8, 8), (20, 5, 4), (1, 1, 3),
+                  (7, 3), (33, 2, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=_np.uint8)
+        dec = decode_png(encode_png(img))
+        if img.ndim == 2:
+            exp = _np.repeat(img[:, :, None], 3, axis=2)
+        elif img.shape[2] == 4:
+            exp = img[:, :, :3]
+        else:
+            exp = img
+        assert _np.array_equal(dec, exp), shape
+
+    img = rng.integers(0, 256, size=(10, 10, 3), dtype=_np.uint8)
+    stream = encode_png(img)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I",
+                              zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # multi-IDAT: split the deflate stream across two chunks
+    ihdr_end = stream.index(b"IDAT") - 4
+    idat_len, = struct.unpack(
+        ">I", stream[ihdr_end:ihdr_end + 4])
+    idat = stream[ihdr_end + 8:ihdr_end + 8 + idat_len]
+    rebuilt = (stream[:ihdr_end]
+               + chunk(b"IDAT", idat[:7]) + chunk(b"IDAT", idat[7:])
+               + chunk(b"IEND", b""))
+    assert _np.array_equal(decode_png(rebuilt), img)
+
+    # CRC corruption is loud
+    bad = bytearray(stream)
+    bad[len(PNG_MAGIC) + 20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+
+    # unsupported shapes refuse by name (IHDR hand-patched)
+    def with_ihdr(depth, color, interlace):
+        ih = struct.pack(">IIBBBBB", 10, 10, depth, color, 0, 0,
+                         interlace)
+        return (PNG_MAGIC + chunk(b"IHDR", ih)
+                + stream[stream.index(b"IDAT") - 4:])
+
+    with _pytest.raises(NotImplementedError, match="palette"):
+        decode_png(with_ihdr(8, 3, 0))
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(with_ihdr(16, 2, 0))
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(with_ihdr(8, 2, 1))
 
 
 def test_jpeg_huffman_tables_are_valid_prefix_codes():
