@@ -154,7 +154,8 @@ def q_media_features(spark, sf_dir):
         # closed-form byte size (entropy/deflate-coded), so both
         # sides emit NULL; their width/height below still come from
         # the actual decode
-        F.when(~F.col("format").isin("jpeg", "png"), F.col("n_bytes"))
+        F.when(~F.col("format").isin("jpeg", "png", "gif"),
+               F.col("n_bytes"))
         .alias("n_bytes"),
         F.when(F.col("kind") == "image",
                F.col("feature")[0].cast("int")).alias("width"),
@@ -865,15 +866,20 @@ def oracle_sql() -> dict[str, str]:
                      doc_id % 3 AS k,
                      doc_id % 5 = 0 AS jp,
                      doc_id % 5 = 2 AS pn,
+                     doc_id % 5 = 4 AS gf,
                      CASE WHEN doc_id % 5 = 0
                           THEN 24 + (doc_id % 7) * 5
                           WHEN doc_id % 5 = 2
                           THEN 18 + (doc_id % 6) * 7
+                          WHEN doc_id % 5 = 4
+                          THEN 22 + (doc_id % 7) * 4
                           ELSE 16 + (doc_id % 5) * 8 END AS w,
                      CASE WHEN doc_id % 5 = 0
                           THEN 20 + (doc_id % 11) * 3
                           WHEN doc_id % 5 = 2
                           THEN 14 + (doc_id % 4) * 5
+                          WHEN doc_id % 5 = 4
+                          THEN 16 + (doc_id % 5) * 4
                           ELSE 12 + (doc_id % 3) * 8 END AS h,
                      50 + (doc_id * 37) % 200 AS dur
               FROM documents WHERE doc_id < 150)
@@ -882,10 +888,11 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'video' END AS kind,
                    CASE WHEN k = 0 AND jp THEN 'jpeg'
                         WHEN k = 0 AND pn THEN 'png'
+                        WHEN k = 0 AND gf THEN 'gif'
                         WHEN k = 0 THEN 'ppm'
                         WHEN k = 1 THEN 'wav'
                         ELSE 'fake' END AS format,
-                   CASE WHEN k = 0 AND (jp OR pn) THEN NULL
+                   CASE WHEN k = 0 AND (jp OR pn OR gf) THEN NULL
                         WHEN k = 0 THEN 9 + length(w::VARCHAR)
                                + length(h::VARCHAR) + 3 * w * h
                         WHEN k = 1 THEN 44 + 16 * dur

@@ -18,7 +18,12 @@ Decode is REAL for the codec-free formats:
 * **PNG (8-bit grey/RGB/RGBA, all five scanline filters,
   non-interlaced)** — a from-scratch codec over stdlib zlib
   (operators/png.py): CRC-checked chunks, full unfilter, LOSSLESS
-  roundtrip pin; palette/16-bit/Adam7 raise by name.
+  roundtrip pin; palette/16-bit/Adam7 raise by name;
+* **GIF (GIF87a/89a incl. ANIMATED)** — a from-scratch LZW decoder
+  (operators/gif.py): global/local palettes, interlace, multi-frame
+  compositing with delays/transparency/disposal 0-2 — real frames
+  for the one animated format that needs no codec libs; lossless
+  roundtrip pin via the paired encoder.
 
 Formats that genuinely need external codecs (MP3/MP4/WebP …) raise
 ``NotImplementedError`` unless ``deterministic_fake=True`` routes
@@ -189,6 +194,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:4] == b"GIF8" and payload[4:6] in (b"7a", b"9a"):
+        return "gif"
     return None
 
 
@@ -214,6 +221,21 @@ def png_features(payload: bytes) -> list[float]:
     means = [float(img[:, :, c].mean()) / 255.0 for c in range(3)]
     return [float(w), float(h), w / h, *means,
             float(img.std()) / 255.0, 0.0]
+
+
+def gif_features(payload: bytes) -> list[float]:
+    """Same feature shape over the REAL multi-frame GIF decode
+    (operators/gif.py); stats from the FIRST frame, the spare slot
+    carries the frame count (the one animated format a codec-free
+    pipeline decodes)."""
+    from .gif import decode_gif
+
+    frames, _delays = decode_gif(payload)
+    img = frames[0].astype(np.float32)
+    h, w, _ = img.shape
+    means = [float(img[:, :, c].mean()) / 255.0 for c in range(3)]
+    return [float(w), float(h), w / h, *means,
+            float(img.std()) / 255.0, float(len(frames))]
 
 
 # --------------------------------------------------------------------------
@@ -282,6 +304,25 @@ def synth_jpeg(media_id: int) -> bytes:
     return enc(img, quality=90, subsampling="420", restart_interval=4)
 
 
+def synth_gif(media_id: int) -> bytes:
+    """Deterministic ANIMATED gif: 3 frames of a rolled 4-color
+    gradient (palette-sized by construction), closed-form dims, every
+    other one interlaced — lossless, so decode recovers dims, exact
+    channel stats of frame 0, and the frame count."""
+    from .gif import encode_gif
+
+    w = 22 + (media_id % 7) * 4
+    h = 16 + (media_id % 5) * 4
+    xx = np.tile(np.arange(w, dtype=np.int64), (h, 1))
+    base = ((xx * 4 // max(1, w)) * 60).astype(np.uint8)
+    img = np.stack([base, 255 - base,
+                    np.full((h, w), media_id % 256)],
+                   axis=-1).astype(np.uint8)
+    frames = np.stack([np.roll(img, s * 3, axis=1) for s in range(3)])
+    return encode_gif(frames, delays_ms=[40, 40, 120],
+                      interlace=media_id % 2 == 0)
+
+
 def synth_png(media_id: int) -> bytes:
     """Deterministic gradient as a PNG (lossless — the decode must
     recover these bytes exactly). Every other PNG carries an alpha
@@ -324,6 +365,10 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             payload = synth_png(i)
             meta = {"width": str(18 + (i % 6) * 7),
                     "height": str(14 + (i % 4) * 5)}
+        elif kind == "image" and i % 5 == 4:
+            payload = synth_gif(i)
+            meta = {"width": str(22 + (i % 7) * 4),
+                    "height": str(16 + (i % 5) * 4)}
         elif kind == "image":
             payload = synth_ppm(i)
             meta = {"width": str(16 + (i % 5) * 8),
@@ -360,6 +405,9 @@ def synth_payloads(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     metas.append({})
                 elif kind == "image" and i % 5 == 2:
                     payloads.append(synth_png(i))
+                    metas.append({})
+                elif kind == "image" and i % 5 == 4:
+                    payloads.append(synth_gif(i))
                     metas.append({})
                 elif kind == "image":
                     payloads.append(synth_ppm(i))
@@ -407,15 +455,17 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                     feats.append(wav_features(b))
                 elif fmt in ("ppm", "pgm"):
                     feats.append(pnm_features(b))
-                elif fmt in ("jpeg", "png"):
+                elif fmt in ("jpeg", "png", "gif"):
                     # the from-scratch decoders cover baseline,
                     # planar and progressive jpeg + non-interlaced
                     # png; arithmetic/interlaced/corrupt streams
                     # must not kill the task when the fake fallback
                     # is on (undecodable -> seeded fake)
                     try:
-                        feats.append(jpeg_features(b) if fmt == "jpeg"
-                                     else png_features(b))
+                        feats.append(
+                            jpeg_features(b) if fmt == "jpeg"
+                            else png_features(b) if fmt == "png"
+                            else gif_features(b))
                     except Exception:
                         if not deterministic_fake:
                             raise
@@ -426,7 +476,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                     feats.append(_fake_feature(b, dim))
                 else:
                     raise NotImplementedError(
-                        "payload is not WAV/PNM/JPEG/PNG — real "
+                        "payload is not WAV/PNM/JPEG/PNG/GIF — real "
                         "decoding of other formats requires PIL/librosa/"
                         "ffmpeg (absent in this container); pass "
                         "deterministic_fake=True to route them to "
@@ -480,13 +530,17 @@ def resize_images(media: DataFrame, width: int = 224,
                 img = None
                 if fmt in ("ppm", "pgm"):
                     img = decode_pnm(b)
-                elif fmt in ("jpeg", "png"):
+                elif fmt in ("jpeg", "png", "gif"):
                     try:
                         if fmt == "jpeg":
-                            from .jpeg import decode_jpeg as _dec
-                        else:
-                            from .png import decode_png as _dec
-                        img = _dec(b)
+                            from .jpeg import decode_jpeg
+                            img = decode_jpeg(b)
+                        elif fmt == "png":
+                            from .png import decode_png
+                            img = decode_png(b)
+                        else:  # gif: first frame
+                            from .gif import decode_gif
+                            img = decode_gif(b)[0][0]
                     except Exception:
                         # unsupported/corrupt stream: fall through to
                         # the fake stand-in (or raise in strict mode)

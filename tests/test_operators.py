@@ -149,6 +149,15 @@ def test_multimodal_real_decode(spark):
             w, h, aspect, m0, m1, m2, std, _ = r.feature
             assert (w, h) == (18 + (mid % 6) * 7, 14 + (mid % 4) * 5)
             assert abs(m2 - (mid % 256) / 255.0) < 0.005  # constant B
+        elif r.kind == "image" and mid % 5 == 4:
+            # ids % 15 == 9 are ANIMATED GIFs through the
+            # from-scratch LZW codec — lossless; the spare feature
+            # slot carries the real frame count
+            assert r.format == "gif"
+            w, h, aspect, m0, m1, m2, std, n_frames = r.feature
+            assert (w, h) == (22 + (mid % 7) * 4, 16 + (mid % 5) * 4)
+            assert n_frames == 3
+            assert abs(m2 - (mid % 256) / 255.0) < 0.005  # constant B
         elif r.kind == "image":
             assert r.format == "ppm"
             w, h, aspect, m0, m1, m2, std, _ = r.feature
@@ -177,6 +186,8 @@ def test_multimodal_real_decode(spark):
             src_w, src_h = 24 + (mid % 7) * 5, 20 + (mid % 11) * 3
         elif mid % 5 == 2:  # png source: lossless real decode
             src_w, src_h = 18 + (mid % 6) * 7, 14 + (mid % 4) * 5
+        elif mid % 5 == 4:  # gif source: first frame, real decode
+            src_w, src_h = 22 + (mid % 7) * 4, 16 + (mid % 5) * 4
         else:
             src_w, src_h = 16 + (mid % 5) * 8, 12 + (mid % 3) * 8
         assert img.shape[0] == r.out_height == max(1, round(
@@ -1070,6 +1081,78 @@ def test_jpeg_multiscan_baseline():
     partial = stream[:third_sos] + b"\xff\xd9"
     with _pytest.raises(ValueError, match="cover every component"):
         decode_jpeg(partial)
+
+
+def test_gif_codec_roundtrip_animation_and_compositing():
+    """From-scratch GIF LZW codec: lossless roundtrip (single frame,
+    interlaced, animated with delays, 256-color palette, a frame
+    large enough to walk the code width up and force a dictionary
+    reset); decode-side compositing semantics (transparency keeps
+    the canvas, disposal 2 restores background); disposal 3 refuses
+    by name."""
+    import struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.gif import decode_gif, encode_gif
+
+    rng = _np.random.default_rng(13)
+    img = (rng.integers(0, 5, size=(13, 21), dtype=_np.uint8) * 50)
+    img = _np.stack([img, img // 2, 255 - img], axis=-1)
+    for interlace in (False, True):
+        frames, _d = decode_gif(encode_gif(img, interlace=interlace))
+        assert _np.array_equal(frames[0], img), interlace
+
+    anim = _np.stack([_np.roll(img, s, axis=1) for s in range(4)])
+    frames, delays = decode_gif(
+        encode_gif(anim, delays_ms=[100, 50, 50, 200]))
+    assert frames.shape == (4, 13, 21, 3)
+    assert all(_np.array_equal(frames[i], anim[i]) for i in range(4))
+    assert delays == [100, 50, 50, 200]
+
+    pal = _np.arange(256, dtype=_np.uint8).reshape(16, 16)
+    full = _np.stack([pal, pal, pal], axis=-1)
+    assert _np.array_equal(decode_gif(encode_gif(full))[0][0], full)
+
+    big = (rng.integers(0, 4, size=(120, 200), dtype=_np.uint8) * 80)
+    big = _np.stack([big] * 3, axis=-1)
+    assert _np.array_equal(decode_gif(encode_gif(big))[0][0], big)
+
+    # hand-build a 2-frame stream: frame 2 is a 1x1 sub-rect with a
+    # TRANSPARENT pixel (canvas must show through), then disposal 2
+    # on frame 1 restores the background color
+    def hand_gif(gflags2, disposal1=0):
+        # 2x2 screen, 4-color table: bg=3 (white)
+        head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 3, 0)
+        table = bytes([10, 0, 0, 0, 200, 0, 0, 0, 250, 255, 255, 255])
+        # frame 1: full 2x2, indices [0,1,2,0]; mcs=2
+        from cuphic_spark.operators.gif import _lzw_encode
+
+        gce1 = b"\x21\xf9\x04" + bytes([disposal1 << 2, 0, 0, 0]) \
+            + b"\x00"
+        lzw1 = _lzw_encode(2, bytes([0, 1, 2, 0]))
+        f1 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+              + bytes([2, len(lzw1)]) + lzw1 + b"\x00")
+        # frame 2: 1x1 at (1,1), index 1, transparency per gflags2
+        gce2 = b"\x21\xf9\x04" + bytes([gflags2, 0, 0, 1]) + b"\x00"
+        lzw2 = _lzw_encode(2, bytes([1]))
+        f2 = (b"\x2c" + struct.pack("<HHHHB", 1, 1, 1, 1, 0)
+              + bytes([2, len(lzw2)]) + lzw2 + b"\x00")
+        return head + table + gce1 + f1 + gce2 + f2 + b"\x3b"
+
+    # transparent index 1: frame 2's pixel keeps frame 1's value
+    frames, _d = decode_gif(hand_gif(gflags2=0x01))
+    assert tuple(frames[1][1, 1]) == (10, 0, 0)   # index 0 shows
+    # opaque: frame 2 paints index 1
+    frames, _d = decode_gif(hand_gif(gflags2=0x00))
+    assert tuple(frames[1][1, 1]) == (0, 200, 0)
+    # disposal 2 after frame 1: canvas under frame 2 restored to bg
+    frames, _d = decode_gif(hand_gif(gflags2=0x01, disposal1=2))
+    assert tuple(frames[1][1, 1]) == (255, 255, 255)
+    # disposal 3 refuses by name
+    with _pytest.raises(NotImplementedError, match="disposal"):
+        decode_gif(hand_gif(gflags2=0x01, disposal1=3))
 
 
 def test_png_codec_roundtrip_and_refusals():
