@@ -267,6 +267,31 @@ def q_charset_extract(spark, sf_dir):
             .select("url", F.col("text").alias("extracted")))
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Main-content extraction gate: pages wrapped in realistic
+    chrome (header with a nested <nav> menu, mid-body aside with
+    markup, a <script>, a footer) must extract EXACTLY the article
+    text — the boilerplate subtrees vanish whole, including kept
+    tags nested inside dropped ones. The oracle is the clean text
+    itself."""
+    from cuphic_spark.operators.parse import pages_extract_content
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 250)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<doc><header>Site <nav><a href="/">home</a> | '
+              '<a href="/about">about</a></nav></header><p>'),
+        F.col("text"),
+        F.lit('</p><aside>ad unit <b>BUY NOW</b> #'), did,
+        F.lit('</aside><script>track('), did,
+        F.lit(')</script><footer>(c) 2026 example.org</footer></doc>'))
+    pages = docs.select(
+        F.concat(F.lit("chrome://"), did).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return (pages_extract_content(pages)
+            .select("url", F.col("text").alias("content")))
+
+
 def q_frontier_merge(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -774,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_anti_join": q_seen_anti_join,
         "lenient_extract": q_lenient_extract,
         "charset_extract": q_charset_extract,
+        "boilerplate_strip": q_boilerplate_strip,
         "rewrite_drop_links": q_rewrite_drop_links,
         "frontier_merge": q_frontier_merge,
         "events_agg": q_events_agg,
@@ -1276,6 +1302,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
             FROM documents WHERE doc_id < 200
+        """,
+        "boilerplate_strip": """
+            SELECT 'chrome://' || CAST(doc_id AS VARCHAR) AS url,
+                   text AS content
+            FROM documents WHERE doc_id < 250
         """,
         "charset_extract": """
             SELECT 'cp1252://' || CAST(doc_id AS VARCHAR) AS url,

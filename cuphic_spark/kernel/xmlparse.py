@@ -220,6 +220,92 @@ def extract_text_streaming(xml) -> str:
     return "".join(ex.parts)
 
 
+#: WHATWG-ish boilerplate set for main-content extraction: chrome,
+#: navigation and non-content containers whose text poisons an LLM
+#: training corpus (the trafilatura/jusText-style default).
+BOILERPLATE_TAGS = frozenset({
+    "script", "style", "nav", "header", "footer", "aside", "form",
+    "noscript", "template", "iframe", "button", "select",
+})
+
+
+class _ContentExtractor(_TextExtractor):
+    """_TextExtractor that SKIPS entire subtrees rooted at dropped
+    tags (case-insensitive): a depth counter opens at the dropped
+    element and swallows text and nested elements — including nested
+    dropped tags — until its end tag closes."""
+
+    __slots__ = ("drop", "skip")
+
+    def __init__(self, drop_tags):
+        super().__init__()
+        self.drop = drop_tags
+        self.skip = 0
+
+    def start(self, name, attrs):
+        if self.skip:
+            self.skip += 1
+            return
+        self._flush()
+        if name.lower() in self.drop:
+            self.skip = 1
+
+    def end(self, name):
+        if self.skip:
+            self.skip -= 1
+            return
+        self._flush()
+
+    def chars(self, data):
+        if not self.skip:
+            self.buf.append(data)
+
+
+def extract_content_streaming(xml, drop_tags=BOILERPLATE_TAGS) -> str:
+    """``extract_text_streaming`` minus the subtrees rooted at
+    ``drop_tags`` — the boilerplate-strip fast path (raises on
+    malformed input like ``parse``, so it slots into the lenient
+    ladder via ``functools.partial``)."""
+    from xml.parsers import expat
+
+    if isinstance(xml, str):
+        xml = xml.encode("utf-8")
+    elif not isinstance(xml, (bytes, bytearray, memoryview)):
+        xml = xml.read()
+        if isinstance(xml, str):
+            xml = xml.encode("utf-8")
+
+    ex = _ContentExtractor(drop_tags)
+    p = expat.ParserCreate()
+    p.buffer_text = True
+    p.StartElementHandler = ex.start
+    p.EndElementHandler = ex.end
+    p.CharacterDataHandler = ex.chars
+    p.Parse(bytes(xml), True)
+    ex._flush()
+    return "".join(ex.parts)
+
+
+def extract_content(hiccup, drop_tags=BOILERPLATE_TAGS) -> str:
+    """Tree twin of ``extract_content_streaming`` (differentially
+    pinned): in-order kept text, skipping dropped-tag subtrees."""
+    parts: list[str] = []
+    stack = [hiccup]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            parts.append(n)
+        elif is_vector(n):
+            tag = n[0] if n else None
+            name = getattr(tag, "name", None)
+            if name is not None and name.lower() in drop_tags:
+                continue
+            content = n[2:] if len(n) > 1 and isinstance(n[1], dict) \
+                else n[1:]
+            stack.extend(reversed(content))
+    return "".join(parts)
+
+
 def parse_minidom(xml) -> list:
     """DOM reference path (kept for differential testing)."""
     if isinstance(xml, bytes):

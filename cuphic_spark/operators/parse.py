@@ -302,6 +302,42 @@ def pages_extract_text(pages: DataFrame, dropped_acc=None) -> DataFrame:
     return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)
 
 
+def pages_extract_content(pages: DataFrame, drop_tags=None,
+                          dropped_acc=None) -> DataFrame:
+    """pages -> (url, text) with BOILERPLATE subtrees removed —
+    main-content extraction for an LLM training corpus: script,
+    style, nav, header, footer, aside, form, ... (kernel
+    BOILERPLATE_TAGS; pass ``drop_tags`` to override) vanish whole,
+    everything else keeps the byte-identity text semantics. Same
+    streaming fast path and lenient ladder as pages_extract_text."""
+    import functools
+
+    from ..kernel.xmlparse import (
+        BOILERPLATE_TAGS,
+        extract_content_streaming,
+    )
+
+    drop = frozenset(t.lower() for t in drop_tags) if drop_tags \
+        else BOILERPLATE_TAGS
+    parser = functools.partial(extract_content_streaming,
+                               drop_tags=drop)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text, _mode = parse_html_lenient(html, parser=parser)
+                if text is None:
+                    if dropped_acc is not None:
+                        dropped_acc.add(1)
+                    continue
+                urls.append(url)
+                texts.append(text)
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)
+
+
 def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str],
                  dropped_acc=None) -> DataFrame:
     """General scrape: parse each page once, match ALL patterns in a

@@ -201,6 +201,55 @@ def test_lenient_parse_ladder(spark):
     assert acc.value == 2
 
 
+def test_boilerplate_content_extraction(spark):
+    """Main-content extraction: boilerplate subtrees (script/style/
+    nav/header/footer/aside/...) vanish WHOLE — including kept tags
+    nested inside them — case-insensitively; the streaming extractor
+    and the tree twin agree; the DataFrame face runs it through the
+    lenient ladder (soup pages included)."""
+    from cuphic_spark.kernel.xmlparse import (
+        BOILERPLATE_TAGS,
+        extract_content,
+        extract_content_streaming,
+        parse as parse_xml,
+    )
+    from cuphic_spark.operators.parse import pages_extract_content
+
+    cases = [
+        (b"<doc><header>SITE</header><p>body</p>"
+         b"<footer>(c)</footer></doc>", "body"),
+        (b"<doc><nav>a<footer>b</footer>c<p>hidden</p></nav>"
+         b"<p>kept</p></doc>", "kept"),
+        (b"<doc><NAV>menu</NAV><p>Body</p>"
+         b"<ScRiPt>var x</ScRiPt></doc>", "Body"),
+        (b"<doc><p>a<aside>x</aside>b</p></doc>", "ab"),
+        (b"<doc><p>plain only</p></doc>", "plain only"),
+    ]
+    for xml, want in cases:
+        assert extract_content_streaming(xml) == want, xml
+        assert extract_content(parse_xml(xml)) == want, xml
+
+    # custom drop set overrides the default
+    assert extract_content_streaming(
+        b"<doc><p>keep</p><blink>drop</blink></doc>",
+        drop_tags=frozenset({"blink"})) == "keep"
+    assert "script" in BOILERPLATE_TAGS
+
+    # DataFrame face: soup page goes through the repair rung, the
+    # unparseable one is counted not silently dropped
+    pages = spark.createDataFrame(
+        [("u1", b"<doc><nav>m</nav><p>alpha</p></doc>"),
+         ("u2", b"junk <doc><header>h</header><p>beta &x</p></doc>"),
+         ("u3", b"<p>never closed")],
+        "url string, html binary")
+    acc = spark.sparkContext.accumulator(0)
+    got = {r.url: r.text
+           for r in pages_extract_content(pages,
+                                          dropped_acc=acc).collect()}
+    assert got == {"u1": "alpha", "u2": "beta &x"}
+    assert acc.value == 1
+
+
 def test_charset_sniff_and_void_elements():
     """Non-UTF-8 crawl reality: a sniffed BOM / XML-decl / meta
     charset recodes the page instead of collapsing its 0x80-0xFF
