@@ -267,6 +267,38 @@ def q_charset_extract(spark, sf_dir):
             .select("url", F.col("text").alias("extracted")))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate: emails/IPv4s/phones injected closed-form
+    into document text, scrubbed by the chained-regexp_replace
+    operator; the oracle runs the VERY SAME patterns (textstats.
+    PII_PATTERNS — constructs with identical Java-regex/RE2
+    semantics) through DuckDB's regexp_replace."""
+    from cuphic_spark.operators.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com via 10.1."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".9 or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" bye"))
+    return (scrub_pii(docs.select("doc_id", injected.alias("text")))
+            .select("doc_id", "scrubbed", "pii_found"))
+
+
+def q_chunk_text(spark, sf_dir):
+    """Context-window chunking gate: 10-word windows at stride 7
+    (overlapping — the retrieval-corpus shape) as pure column
+    expressions; the DuckDB twin re-derives every chunk with
+    list_slice over the same split."""
+    from cuphic_spark.operators.textstats import chunk_text
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return chunk_text(docs, max_words=10, stride=7)
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """Main-content extraction gate: pages wrapped in realistic
     chrome (header with a nested <nav> menu, mid-body aside with
@@ -800,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lenient_extract": q_lenient_extract,
         "charset_extract": q_charset_extract,
         "boilerplate_strip": q_boilerplate_strip,
+        "pii_scrub": q_pii_scrub,
+        "chunk_text": q_chunk_text,
         "rewrite_drop_links": q_rewrite_drop_links,
         "frontier_merge": q_frontier_merge,
         "events_agg": q_events_agg,
@@ -1303,6 +1337,26 @@ def oracle_sql() -> dict[str, str]:
                    text || ' & tail' AS extracted
             FROM documents WHERE doc_id < 200
         """,
+        "pii_scrub": _pii_scrub_oracle_sql(),
+        "chunk_text": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 300),
+            c AS (
+              SELECT doc_id, w,
+                     1 + CAST(ceil(greatest(0, len(w) - 10)
+                                   / 7.0) AS INTEGER) AS n_chunks
+              FROM d)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_id,
+                   array_to_string(
+                     list_slice(w, i * 7 + 1, i * 7 + 10), ' ')
+                     AS chunk,
+                   CAST(len(string_split(array_to_string(
+                     list_slice(w, i * 7 + 1, i * 7 + 10), ' '), ' '))
+                     AS INTEGER) AS n_chunk_words
+            FROM c, UNNEST(range(c.n_chunks)) AS t(i)
+        """,
         "boilerplate_strip": """
             SELECT 'chrome://' || CAST(doc_id AS VARCHAR) AS url,
                    text AS content
@@ -1415,6 +1469,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Oracle for pii_scrub, built from the SAME pattern list the
+    operator applies (textstats.PII_PATTERNS) — single-sourced, so a
+    pattern change cannot silently diverge the two sides."""
+    from cuphic_spark.operators.textstats import PII_PATTERNS
+
+    scrub = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+             " || '@example.com via 10.1.'"
+             " || CAST(doc_id % 200 AS VARCHAR) || '.9 or +1 555-01'"
+             " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+             " || ' bye'")
+    for pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        scrub = f"regexp_replace({scrub}, '{p}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id, {scrub} AS scrubbed, TRUE AS pii_found
+        FROM documents WHERE doc_id < 300
+    """
 
 
 def _minhash_oracle_sql(n_hashes: int) -> str:

@@ -175,3 +175,64 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3,
                     F.substring("fp", 34, 6).cast("int").alias("pos"),
                     F.substring("fp", 1, 32).alias("gram_hash"))
             .distinct())
+
+
+# Shared PII patterns: kept to constructs with IDENTICAL semantics in
+# Java regex (Spark) and RE2 (DuckDB) — character classes, bounded
+# repetition, \b, non-capturing groups — so the oracle can run the
+# very same strings. Order matters: emails first (their local part
+# can contain digits a later pass would mangle), then IPs, then
+# phones.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+[0-9][0-9 ().-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international-format phone numbers —
+    the standard pre-training hygiene pass. Pure column expressions
+    (chained regexp_replace, JVM-side); patterns shared verbatim
+    with the DuckDB oracle (PII_PATTERNS). Adds ``scrubbed`` plus a
+    ``pii_found`` flag (text changed)."""
+    scrubbed = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "*",
+        scrubbed.alias("scrubbed"),
+        (scrubbed != F.col(text_col)).alias("pii_found"))
+
+
+def chunk_text(docs: DataFrame, max_words: int = 50,
+               stride: int | None = None) -> DataFrame:
+    """Split each document into word-window chunks for a model
+    context budget: chunk i covers words [i*stride, i*stride +
+    max_words). ``stride`` defaults to max_words (disjoint chunks);
+    a smaller stride yields overlapping chunks (standard for
+    retrieval corpora). Pure column expressions — the shingle array
+    is built once and sliced per chunk; one explode, no UDF. Empty
+    texts yield one empty chunk (documents are never silently
+    dropped)."""
+    stride = max_words if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # number of windows: 1 + ceil(max(0, n - max_words) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.lit(0), n - max_words) / F.lit(stride)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    return (docs
+            .select("doc_id", "text", idx)
+            .select(
+                "doc_id",
+                "chunk_id",
+                F.array_join(
+                    F.slice(F.split(F.col("text"), " "),
+                            F.col("chunk_id") * stride + 1, max_words),
+                    " ").alias("chunk"))
+            .withColumn("n_chunk_words",
+                        F.size(F.split(F.col("chunk"), " "))))

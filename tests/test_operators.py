@@ -367,6 +367,47 @@ def test_simhash_pairs_hamming_ball(spark, docs):
     assert all(h <= 3 for h in got.values())
 
 
+def test_pii_scrub_and_chunking(spark):
+    """PII redaction edge cases (adjacent PII, no PII, email with
+    digits the IP pass must not re-mangle) and chunking invariants
+    (full coverage, overlap arithmetic, short docs yield one chunk,
+    stride validation)."""
+    import pytest as _pytest
+
+    from cuphic_spark.operators.textstats import chunk_text, scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "a1b2@x9.io 1.2.3.4 +12 345-67890 tail"),
+         (2, "nothing sensitive"),
+         (3, "ver 1.2.3.4.5 stays partly")],  # 5 octets: first 4 match
+        "doc_id long, text string")
+    got = {r.doc_id: (r.scrubbed, r.pii_found)
+           for r in scrub_pii(docs).collect()}
+    assert got[1] == ("<EMAIL> <IP> <PHONE> tail", True)
+    assert got[2] == ("nothing sensitive", False)
+    assert got[3][0] == "ver <IP>.5 stays partly"
+
+    words = " ".join(f"w{i}" for i in range(23))
+    d = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
+                              "doc_id long, text string")
+    rows = chunk_text(d, max_words=10, stride=7).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+    # 23 words @ (10, 7): chunks at 0,7,14 -> 1+ceil(13/7)=3 chunks
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0].split(" ") == [f"w{i}" for i in range(10)]
+    assert by_doc[1][1].split(" ") == [f"w{i}" for i in range(7, 17)]
+    assert by_doc[1][2].split(" ") == [f"w{i}" for i in range(14, 23)]
+    # every word is covered by the union of chunks
+    assert set(words.split()) == {
+        w for c in by_doc[1].values() for w in c.split(" ")}
+    assert by_doc[2] == {0: "short doc"}
+    assert by_doc[3] == {0: ""}          # empty doc: kept, not lost
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_text(d, max_words=10, stride=0)
+
+
 def test_winnowing_shared_run_guarantee(spark):
     """Winnowing's core property (Schleimer et al.): documents
     sharing a run of >= w + k - 1 words share at least one selected
