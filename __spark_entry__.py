@@ -267,6 +267,41 @@ def q_charset_extract(spark, sf_dir):
             .select("url", F.col("text").alias("extracted")))
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC source gate: documents are packed into 10 per-record-gzip
+    WARC files (full HTTP response envelopes) EXECUTOR-side by the
+    paired writer, read back through read_warc — gzip member walk,
+    record framing, response filtering, HTTP envelope strip — and the
+    recovered pages flow through byte-identity text extraction. The
+    oracle re-derives every (url, warc_ts, text) closed-form without
+    touching WARC at all, so the whole container roundtrip is
+    value-pinned."""
+    from cuphic_spark.operators.parse import pages_extract_text
+    from cuphic_spark.sources.warc import read_warc, write_warc
+
+    docs = (_docs(spark, sf_dir).where(F.col("doc_id") < 400)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 10).alias("g")))
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [(f"https://warc{int(d) % 10}.example/doc/{int(d)}",
+                 f"2026-08-{1 + int(d) % 28:02d}T00:00:00Z",
+                 f"<doc><p>warc {t}</p></doc>".encode())
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+        return pd.DataFrame({"content": [write_warc(recs)]})
+
+    files = docs.groupBy("g").applyInPandas(pack, "content binary")
+    pages = read_warc(files)
+    extracted = pages_extract_text(pages.select("url", "html"))
+    return (pages.select("url", "warc_ts")
+            .join(extracted, "url")
+            .select("url", "warc_ts",
+                    F.col("text").alias("extracted")))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction gate: emails/IPv4s/phones injected closed-form
     into document text, scrubbed by the chained-regexp_replace
@@ -832,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lenient_extract": q_lenient_extract,
         "charset_extract": q_charset_extract,
         "boilerplate_strip": q_boilerplate_strip,
+        "warc_extract": q_warc_extract,
         "pii_scrub": q_pii_scrub,
         "chunk_text": q_chunk_text,
         "rewrite_drop_links": q_rewrite_drop_links,
@@ -1336,6 +1372,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
             FROM documents WHERE doc_id < 200
+        """,
+        "warc_extract": """
+            SELECT 'https://warc' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   '2026-08-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') || 'T00:00:00Z'
+                     AS warc_ts,
+                   'warc ' || text AS extracted
+            FROM documents WHERE doc_id < 400
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
         "chunk_text": """

@@ -367,6 +367,53 @@ def test_simhash_pairs_hamming_ball(spark, docs):
     assert all(h <= 3 for h in got.values())
 
 
+def test_warc_reader_writer(spark):
+    """WARC container: roundtrip under per-record gzip, plain, and
+    whole-file gzip; non-response records skipped by the Spark face;
+    truncated gzip members and chunked HTTP bodies fail loudly."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from cuphic_spark.sources.warc import (
+        extract_http_payload,
+        iter_warc_records,
+        read_warc,
+        write_warc,
+    )
+
+    recs = [(f"https://h{i}.example/doc/{i}",
+             f"2026-08-{1 + i % 28:02d}T00:00:00Z",
+             f"<doc><p>page {i}</p></doc>".encode())
+            for i in range(7)]
+    plain = write_warc(recs, per_record_gzip=False)
+    for data in (write_warc(recs), plain, _gzip.compress(plain)):
+        got = [(h["warc-target-uri"], h["warc-date"],
+                extract_http_payload(b))
+               for h, b in iter_warc_records(data)]
+        assert got == [(u, d, p) for u, d, p in recs]
+
+    # a request record interleaved between responses is skipped by
+    # read_warc but seen by the raw iterator
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: https://h0.example/doc/0\r\n"
+           b"Content-Length: 4\r\n\r\nGET!\r\n\r\n")
+    mixed = _gzip.compress(req) + write_warc(recs[:2])
+    assert len(list(iter_warc_records(mixed))) == 3
+    files = spark.createDataFrame([(bytearray(mixed),)],
+                                  "content binary")
+    rows = read_warc(files).orderBy("url").collect()
+    assert [(r.url, bytes(r.html)) for r in rows] == [
+        (recs[0][0], recs[0][2]), (recs[1][0], recs[1][2])]
+    assert rows[0].warc_ts == recs[0][1]
+
+    with _pytest.raises(ValueError, match="gzip"):
+        list(iter_warc_records(write_warc(recs)[:-9]))
+    with _pytest.raises(NotImplementedError, match="chunked"):
+        extract_http_payload(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nx")
+
+
 def test_pii_scrub_and_chunking(spark):
     """PII redaction edge cases (adjacent PII, no PII, email with
     digits the IP pass must not re-mangle) and chunking invariants
