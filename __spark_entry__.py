@@ -267,6 +267,28 @@ def q_charset_extract(spark, sf_dir):
             .select("url", F.col("text").alias("extracted")))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4 repetition signals gate: top-word and top-bigram
+    permille fractions per document (explode → count → window max,
+    all integer-permille with explicit floor so Spark truncation and
+    the DuckDB twin agree)."""
+    from cuphic_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 400))
+
+
+def q_top_terms_tfidf(spark, sf_dir):
+    """Corpus TF-IDF gate: per-doc top-3 terms by tf*ln(N/df) in
+    integer permille, ties broken lexicographically — the classic
+    explode → df aggregate → idf join → window top-k relational
+    shape, re-derived wholesale by the DuckDB twin."""
+    from cuphic_spark.operators.textstats import top_terms_tfidf
+
+    return top_terms_tfidf(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 400), k=3)
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC source gate: documents are packed into 10 per-record-gzip
     WARC files (full HTTP response envelopes) EXECUTOR-side by the
@@ -868,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_extract": q_charset_extract,
         "boilerplate_strip": q_boilerplate_strip,
         "warc_extract": q_warc_extract,
+        "repetition_stats": q_repetition_stats,
+        "top_terms_tfidf": q_top_terms_tfidf,
         "pii_scrub": q_pii_scrub,
         "chunk_text": q_chunk_text,
         "rewrite_drop_links": q_rewrite_drop_links,
@@ -1372,6 +1396,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
             FROM documents WHERE doc_id < 200
+        """,
+        "repetition_stats": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 400),
+            u AS (
+              SELECT doc_id, len(w) AS n_words, unnest(w) AS g FROM d),
+            uc AS (
+              SELECT doc_id, n_words, g, count(*) AS c
+              FROM u GROUP BY 1, 2, 3),
+            um AS (
+              SELECT doc_id, n_words, max(c) AS top_c
+              FROM uc GROUP BY 1, 2),
+            b AS (
+              SELECT doc_id, len(w) AS n_words,
+                     unnest([array_to_string(w[i:i+1], ' ')
+                             FOR i IN range(1, len(w))]) AS g
+              FROM d WHERE len(w) >= 2),
+            bc AS (
+              SELECT doc_id, n_words, g, count(*) AS c
+              FROM b GROUP BY 1, 2, 3),
+            bm AS (
+              SELECT doc_id,
+                     CAST(floor(max(c) * 1000.0
+                                / (any_value(n_words) - 1))
+                          AS INTEGER) AS top_bigram_permille
+              FROM bc GROUP BY 1)
+            SELECT um.doc_id,
+                   CAST(um.n_words AS INTEGER) AS n_words,
+                   CAST(floor(um.top_c * 1000.0 / um.n_words)
+                        AS INTEGER) AS top_word_permille,
+                   coalesce(bm.top_bigram_permille, 0)
+                     AS top_bigram_permille
+            FROM um LEFT JOIN bm USING (doc_id)
+        """,
+        "top_terms_tfidf": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 400),
+            t AS (
+              SELECT doc_id, len(w) AS n_words, unnest(w) AS term
+              FROM d),
+            tf AS (
+              SELECT doc_id, n_words, term, count(*) AS tf
+              FROM t GROUP BY 1, 2, 3),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS nd FROM d),
+            s AS (
+              SELECT doc_id, term,
+                     CAST(round(tf * 1000.0 / n_words
+                                * ln(nd * 1.0 / df)) AS INTEGER)
+                       AS score_permille
+              FROM tf JOIN df USING (term), n),
+            r AS (
+              SELECT doc_id, term, score_permille,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_permille DESC, term) AS rank
+              FROM s)
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+                   score_permille
+            FROM r WHERE rank <= 3
         """,
         "warc_extract": """
             SELECT 'https://warc' || CAST(doc_id % 10 AS VARCHAR)

@@ -236,3 +236,85 @@ def chunk_text(docs: DataFrame, max_words: int = 50,
                     " ").alias("chunk"))
             .withColumn("n_chunk_words",
                         F.size(F.split(F.col("chunk"), " "))))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition signals: the fraction of a
+    document's word mass inside its MOST FREQUENT word and bigram
+    (natural-language text sits low; boilerplate/spam/keyword-stuffed
+    pages spike). Relational shape: one explode per n-gram order,
+    count per (doc, gram), window-max per doc — two doc-keyed
+    shuffles with map-side partial aggregation, no UDF. Ties break by
+    count only (the FRACTION is tie-invariant). Docs shorter than 2
+    words report 0 for the bigram fraction."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    base = docs.select("doc_id", words.alias("w"), n.alias("n_words"))
+
+    uni = (base.select("doc_id", "n_words",
+                       F.explode("w").alias("g"))
+           .groupBy("doc_id", "n_words", "g")
+           .agg(F.count("*").alias("c"))
+           .groupBy("doc_id", "n_words")
+           .agg(F.max("c").alias("top_c")))
+    top_word_frac = F.floor(
+        F.col("top_c") * 1000 / F.col("n_words")).cast("int")
+
+    bi = (base.where(F.col("n_words") >= 2)
+          .select("doc_id", "n_words",
+                  F.explode(F.transform(
+                      F.sequence(F.lit(0), F.col("n_words") - 2),
+                      lambda i: F.concat_ws(
+                          " ", F.slice(F.col("w"), i + 1, 2))))
+                  .alias("g"))
+          .groupBy("doc_id", "n_words", "g")
+          .agg(F.count("*").alias("c"))
+          .groupBy("doc_id")
+          .agg(F.max("c").alias("top_bi_c"),
+               F.first("n_words").alias("nb")))
+    top_bigram_frac = F.floor(
+        F.col("top_bi_c") * 1000 / (F.col("nb") - 1)).cast("int")
+
+    out = (uni.select("doc_id",
+                      F.col("n_words").alias("n_words"),
+                      top_word_frac.alias("top_word_permille"))
+           .join(bi.select("doc_id",
+                           top_bigram_frac
+                           .alias("top_bigram_permille")),
+                 "doc_id", "left"))
+    return out.select(
+        "doc_id", "n_words", "top_word_permille",
+        F.coalesce("top_bigram_permille", F.lit(0))
+        .alias("top_bigram_permille"))
+
+
+def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Corpus-level TF-IDF: per document, the top-k terms by
+    tf * ln(N / df) — the classic relational analytics shape (term
+    explode → document-frequency aggregate → broadcast-sized idf
+    join → per-doc window top-k). Scores are returned in integer
+    permille (round(1000 * tf*idf)) so the DuckDB twin is
+    hash-stable; ties break lexicographically by term for a total
+    order."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    terms = (docs.select("doc_id",
+                         F.size(words).alias("n_words"),
+                         F.explode(words).alias("term"))
+             .groupBy("doc_id", "n_words", "term")
+             .agg(F.count("*").alias("tf")))
+    n_docs = docs.select(F.countDistinct("doc_id")).first()[0]
+    df = (terms.groupBy("term")
+          .agg(F.countDistinct("doc_id").alias("df")))
+    scored = (terms.join(df, "term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * 1000 / F.col("n_words")
+                              * F.log(F.lit(float(n_docs))
+                                      / F.col("df")))
+                      .cast("int").alias("score_permille")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_permille"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "score_permille"))

@@ -367,6 +367,39 @@ def test_simhash_pairs_hamming_ball(spark, docs):
     assert all(h <= 3 for h in got.values())
 
 
+def test_repetition_and_tfidf(spark):
+    """Repetition fractions on a hand-computable corpus (spam doc
+    spikes, natural text sits low, 1-word doc reports 0 bigram) and
+    TF-IDF top-k with deterministic lexicographic tie-break."""
+    from cuphic_spark.operators.textstats import (
+        repetition_stats,
+        top_terms_tfidf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "buy now buy now buy now"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "solo")],
+        "doc_id long, text string")
+    rep = {r.doc_id: (r.n_words, r.top_word_permille,
+                      r.top_bigram_permille)
+           for r in repetition_stats(docs).collect()}
+    assert rep[1] == (6, 500, 600)   # 3x 'buy'/6; 3x 'buy now'/5
+    assert rep[2] == (9, 222, 125)   # 2x 'the'/9; all bigrams once
+    assert rep[3] == (1, 1000, 0)
+
+    top = top_terms_tfidf(docs, k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc 1: buy/now tie on score -> lexicographic
+    assert by_doc[1] == [(1, "buy"), (2, "now")]
+    # doc 3: 'solo' unique to it -> max idf, rank 1
+    assert by_doc[3][0][1] == "solo"
+    # deterministic across runs
+    assert top == top_terms_tfidf(docs, k=2).collect()
+
+
 def test_warc_reader_writer(spark):
     """WARC container: roundtrip under per-record gzip, plain, and
     whole-file gzip; non-response records skipped by the Spark face;
