@@ -292,12 +292,14 @@ def q_top_terms_tfidf(spark, sf_dir):
 def q_warc_extract(spark, sf_dir):
     """WARC source gate: documents are packed into 10 per-record-gzip
     WARC files (full HTTP response envelopes) EXECUTOR-side by the
-    paired writer, read back through read_warc — gzip member walk,
-    record framing, response filtering, HTTP envelope strip — and the
-    recovered pages flow through byte-identity text extraction. The
-    oracle re-derives every (url, warc_ts, text) closed-form without
-    touching WARC at all, so the whole container roundtrip is
-    value-pinned."""
+    paired writer — even-numbered files carry CHUNKED
+    transfer-encoding bodies (what wild Common-Crawl-era captures
+    contain), odd ones identity bodies — read back through read_warc:
+    gzip member walk, record framing, response filtering, HTTP
+    envelope strip + de-chunking, and the recovered pages flow
+    through byte-identity text extraction. The oracle re-derives
+    every (url, warc_ts, text) closed-form without touching WARC at
+    all, so the whole container roundtrip is value-pinned."""
     from cuphic_spark.operators.parse import pages_extract_text
     from cuphic_spark.sources.warc import read_warc, write_warc
 
@@ -309,11 +311,14 @@ def q_warc_extract(spark, sf_dir):
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
+        g = int(pdf["g"].iloc[0])
         recs = [(f"https://warc{int(d) % 10}.example/doc/{int(d)}",
                  f"2026-08-{1 + int(d) % 28:02d}T00:00:00Z",
                  f"<doc><p>warc {t}</p></doc>".encode())
                 for d, t in zip(pdf["doc_id"], pdf["text"])]
-        return pd.DataFrame({"content": [write_warc(recs)]})
+        chunk = 11 if g % 2 == 0 else None
+        return pd.DataFrame({"content": [write_warc(recs,
+                                                    chunk=chunk)]})
 
     files = docs.groupBy("g").applyInPandas(pack, "content binary")
     pages = read_warc(files)
@@ -478,10 +483,13 @@ def _synth_robots_body(h: int) -> str:
 
     Shape: an ``otherbot`` group to be ignored; hosts with h%3 != 0
     get a ``cuphicbot`` group (deny /private/, allow /private/pub*,
-    h%4==0 adds the $-anchored wildcard deny, a crawl-delay); every
-    host gets a ``*`` group (longest-match /doc/<h%7> deny inside an
-    allow, plus an equal-length Allow/Disallow tie that Allow must
-    win)."""
+    h%4==0 adds the $-anchored wildcard deny, a crawl-delay EXCEPT
+    when h%5==2); every host gets a ``*`` group (longest-match
+    /doc/<h%7> deny inside an allow, an equal-length Allow/Disallow
+    tie that Allow must win, and a Crawl-delay of 9). The h%5==2
+    hosts pin RFC 9309 group selection for delays: the cuphicbot
+    group decided, it has no Crawl-delay, so the verdict carries
+    NULL — it must NOT borrow the ``*`` group's 9."""
     lines = [f"# synthetic robots for host{h}",
              "User-agent: otherbot", "Disallow: /", ""]
     if h % 3 != 0:
@@ -490,9 +498,12 @@ def _synth_robots_body(h: int) -> str:
                   "Allow: /private/pub*"]
         if h % 4 == 0:
             lines.append("Disallow: /*.tmp$")
-        lines += [f"Crawl-delay: {1 + h % 5}", ""]
+        if h % 5 != 2:
+            lines.append(f"Crawl-delay: {1 + h % 5}")
+        lines.append("")
     lines += ["User-agent: *", f"Disallow: /doc/{h % 7}",
-              "Allow: /doc/", "Allow: /tie/a", "Disallow: /tie/a"]
+              "Allow: /doc/", "Allow: /tie/a", "Disallow: /tie/a",
+              "Crawl-delay: 9"]
     return "\n".join(lines) + "\n"
 
 
@@ -1570,8 +1581,13 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN c = 0 AND doc_id % 10 = h % 7 THEN FALSE
                           ELSE TRUE END
                    END AS allowed,
-                   CASE WHEN h % 3 <> 0 THEN CAST(1 + h % 5 AS DOUBLE)
-                        ELSE NULL END AS crawl_delay
+                   CASE WHEN h % 3 <> 0 THEN
+                     -- delay from the GROUP THAT DECIDED (cuphicbot):
+                     -- h%5==2 hosts have none -> NULL, never the *
+                     -- group's 9 (RFC 9309 group selection)
+                     CASE WHEN h % 5 = 2 THEN NULL
+                          ELSE CAST(1 + h % 5 AS DOUBLE) END
+                   ELSE 9.0 END AS crawl_delay
             FROM u
         """,
         "sitemap_extract": """

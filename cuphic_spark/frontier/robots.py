@@ -197,16 +197,22 @@ def url_path_col(url):
 def _select_group(parsed: DataFrame, kind: str, agent: str) -> DataFrame:
     """Rows of ``kind`` from the group that applies to ``agent`` per
     host: the specific product-token group if the host has one, else
-    the ``*`` group (RFC 9309 §2.2.1)."""
+    the ``*`` group (RFC 9309 §2.2.1).
+
+    Group selection happens ONCE per host over ALL agent-bearing
+    rows (rules and delays together), THEN filters to ``kind`` — so
+    a specific group with rules but no Crawl-delay yields no delay
+    row (null downstream) instead of borrowing the ``*`` group's
+    delay, which would mix two groups (advisor round-6)."""
     agent = agent.lower()
     cand = (parsed
-            .filter((F.col("kind") == kind)
-                    & F.col("agent").isin(agent, "*"))
+            .filter(F.col("agent").isin(agent, "*"))
             .withColumn("_spec", (F.col("agent") == agent).cast("int")))
     w = Window.partitionBy("host")
     return (cand
             .withColumn("_mx", F.max("_spec").over(w))
-            .filter(F.col("_spec") == F.col("_mx"))
+            .filter((F.col("_spec") == F.col("_mx"))
+                    & (F.col("kind") == kind))
             .drop("_spec", "_mx"))
 
 

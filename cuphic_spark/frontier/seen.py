@@ -397,12 +397,29 @@ def bloom_shard_bits(bitmap: bytes) -> int:
     return (len(bitmap) - 1) * 8
 
 
+def _check_shard_m(m_shard: int) -> int:
+    """m_shard must be a positive multiple of 8: the probe re-derives
+    the modulus from bitmap length as (nbytes - 1) * 8, which only
+    round-trips m // 8 + 1 bytes exactly when 8 | m. Any other m
+    would make the probe use a DIFFERENT modulus than the build —
+    bloom FALSE NEGATIVES, i.e. already-seen urls skipping the exact
+    anti-join (advisor round-6). Rejected loudly instead."""
+    if m_shard <= 0 or m_shard % 8:
+        raise ValueError(
+            f"m_shard must be a positive multiple of 8, got {m_shard} "
+            "(the shard modulus is persisted via bitmap length; a "
+            "non-multiple-of-8 m cannot round-trip and would produce "
+            "bloom false negatives on probe/resume)")
+    return m_shard
+
+
 def build_bloom_shards(seen: DataFrame, n_partitions: int,
                        m_shard: int) -> DataFrame:
     """One bloom bitmap per seen partition, built executor-side
     (applyInPandas over the partition group — bit-setting is
     order-independent, so shards are byte-deterministic at any
     parallelism)."""
+    _check_shard_m(m_shard)
     keyed = seen.select(
         _partition_of(F.col("url"), n_partitions).alias("partition"),
         F.xxhash64("url").alias("h"))
@@ -424,6 +441,7 @@ def merge_bloom_shards(shards: DataFrame, delta: DataFrame,
     partition-local, each shard touched once, O(delta) work). Shards
     with no delta pass through unchanged; delta urls landing in a
     partition with no shard yet create it."""
+    _check_shard_m(m_shard)
     keyed = delta.select(
         _partition_of(F.col("url"), n_partitions).alias("partition"),
         F.xxhash64("url").alias("h"))

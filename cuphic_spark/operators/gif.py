@@ -222,9 +222,19 @@ def decode_gif(payload: bytes):
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:
-            bg_rgb = (table[bg] if gct is not None and bg < len(table)
+            # the background color index is defined against the
+            # GLOBAL color table (GIF89a §18); with only a local
+            # table the background is unspecified -> black
+            bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
                       else np.zeros(3, dtype=np.uint8))
             canvas[top:top + fh, left:left + fw] = bg_rgb
+        # a graphic-control extension applies ONLY to the first
+        # following rendering block (GIF89a §23) — reset so a frame
+        # without its own GCE doesn't inherit the previous frame's
+        # transparency/disposal/delay
+        delay = 0
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return np.stack(frames), delays

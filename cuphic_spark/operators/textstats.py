@@ -195,14 +195,21 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the standard pre-training hygiene pass. Pure column expressions
     (chained regexp_replace, JVM-side); patterns shared verbatim
     with the DuckDB oracle (PII_PATTERNS). Adds ``scrubbed`` plus a
-    ``pii_found`` flag (text changed)."""
+    ``pii_found`` flag (text changed; null text -> false)."""
     scrubbed = F.col(text_col)
     for pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return docs.select(
-        "*",
-        scrubbed.alias("scrubbed"),
-        (scrubbed != F.col(text_col)).alias("pii_found"))
+    # materialize the chained regex ONCE and derive the flag from the
+    # materialized column in a second projection — one projection
+    # would evaluate the replace chain twice per row (column + flag),
+    # doubling regex cost on the hottest corpus path; CollapseProject
+    # keeps the two Projects apart because the alias is non-cheap and
+    # referenced twice (advisor round-6)
+    return (docs
+            .select("*", scrubbed.alias("scrubbed"))
+            .select("*",
+                    F.coalesce(F.col("scrubbed") != F.col(text_col),
+                               F.lit(False)).alias("pii_found")))
 
 
 def chunk_text(docs: DataFrame, max_words: int = 50,

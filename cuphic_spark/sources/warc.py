@@ -9,10 +9,11 @@ scratch — stdlib zlib decodes member-at-a-time via ``unused_data``.
 
 ``response`` records carry a full HTTP response as their block
 (status line + headers + body, per the application/http content
-type); ``extract_http_payload`` strips the HTTP envelope and, when
-present, applies the only transfer-encoding Common Crawl emits
-(chunked is refused loudly rather than mis-parsed — CC stores
-identity bodies).
+type); ``extract_http_payload`` strips the HTTP envelope and
+decodes chunked transfer-encoding (RFC 9112 §7.1) when the headers
+declare it — wild WARCs (Common-Crawl-era captures) contain chunked
+responses, so identity AND chunked bodies both ingest; only invalid
+chunk framing refuses.
 
 Spark face: ``read_warc`` turns a DataFrame of WARC file bytes into
 page rows ``(url, warc_ts, html)`` — the exact input_hint shape —
@@ -27,36 +28,62 @@ parallelism unit exactly as on a real Common Crawl bucket.
 
 from __future__ import annotations
 
-import gzip
+import re
 import zlib
 
 import pandas as pd  # noqa: F401  (module-level: Arrow typehints)
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_warc", "iter_warc_records", "extract_http_payload",
+__all__ = ["write_warc", "encode_chunked", "dechunk",
+           "iter_warc_records", "extract_http_payload",
            "read_warc", "WARC_PAGE_SCHEMA"]
 
 _CRLF = b"\r\n"
 
 
-def write_warc(records, per_record_gzip: bool = True) -> bytes:
+def encode_chunked(payload: bytes, chunk_size: int) -> bytes:
+    """RFC 9112 §7.1 chunked framing: hex size line, data, CRLF per
+    chunk, then the 0-size last chunk. The paired encoder for the
+    reader's de-chunking path (deterministic — fixed chunk size)."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    out = bytearray()
+    for i in range(0, len(payload), chunk_size):
+        part = payload[i:i + chunk_size]
+        out += b"%x" % len(part) + _CRLF + part + _CRLF
+    out += b"0" + _CRLF * 2
+    return bytes(out)
+
+
+def write_warc(records, per_record_gzip: bool = True,
+               chunk: int | None = None) -> bytes:
     """records: iterable of (url, warc_date, payload_bytes, headers)
     where ``headers`` is an optional dict of extra HTTP headers.
     Each record is a WARC/1.0 ``response`` whose block is a full
     HTTP/1.1 200 response carrying ``payload``; with
     ``per_record_gzip`` each record becomes its own gzip member
-    (the Common Crawl layout)."""
+    (the Common Crawl layout). ``chunk`` switches the HTTP body to
+    chunked transfer-encoding in ``chunk``-byte chunks (what wild
+    captures contain) — the WARC Content-Length still covers the
+    framed block, per ISO 28500."""
     out = bytearray()
     for rec in records:
         url, date, payload = rec[0], rec[1], bytes(rec[2])
         extra = rec[3] if len(rec) > 3 and rec[3] else {}
-        http_headers = [b"HTTP/1.1 200 OK",
-                        b"Content-Type: text/html; charset=UTF-8",
-                        b"Content-Length: %d" % len(payload)]
+        if chunk is not None:
+            body = encode_chunked(payload, chunk)
+            http_headers = [b"HTTP/1.1 200 OK",
+                            b"Content-Type: text/html; charset=UTF-8",
+                            b"Transfer-Encoding: chunked"]
+        else:
+            body = payload
+            http_headers = [b"HTTP/1.1 200 OK",
+                            b"Content-Type: text/html; charset=UTF-8",
+                            b"Content-Length: %d" % len(payload)]
         for k, v in extra.items():
             http_headers.append(f"{k}: {v}".encode())
-        http = _CRLF.join(http_headers) + _CRLF * 2 + payload
+        http = _CRLF.join(http_headers) + _CRLF * 2 + body
         warc_headers = _CRLF.join([
             b"WARC/1.0",
             b"WARC-Type: response",
@@ -67,7 +94,13 @@ def write_warc(records, per_record_gzip: bool = True) -> bytes:
         ])
         record = warc_headers + _CRLF * 2 + http + _CRLF * 2
         if per_record_gzip:
-            out += gzip.compress(record, 6)
+            # zlib's gzip framing (wbits=31) writes mtime=0, unlike
+            # gzip.compress which stamps wall-clock time into the
+            # member header — identical inputs must produce identical
+            # bytes so a Spark task retry regenerates the same file
+            # (repo byte-determinism contract; advisor round-6)
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(record) + co.flush()
         else:
             out += record
     return bytes(out)
@@ -123,21 +156,57 @@ def iter_warc_records(data: bytes):
         pos = block_start + length
 
 
+def dechunk(body: bytes) -> bytes:
+    """Decode an RFC 9112 §7.1 chunked body: hex-size line (chunk
+    extensions after ``;`` ignored), data, CRLF, ... , 0-size last
+    chunk (trailer section ignored). Invalid framing — bad size
+    line, truncated data, missing chunk CRLF — refuses loudly; a
+    silently mis-framed body would corrupt every downstream byte
+    invariant."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked body: bad chunk size {size_tok!r}")
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) carry no body bytes
+        part = body[pos:pos + size]
+        if len(part) != size:
+            raise ValueError("chunked body: chunk data truncated")
+        out += part
+        if body[pos + size:pos + size + 2] != _CRLF:
+            raise ValueError("chunked body: missing CRLF after chunk")
+        pos += size + 2
+
+
+# header-block test, not substring: 'Transfer-Encoding:chunked' (no
+# space) and odd casing are all valid HTTP (advisor round-6)
+_CHUNKED_RE = re.compile(r"transfer-encoding\s*:\s*chunked", re.I)
+
+
 def extract_http_payload(block: bytes) -> bytes:
     """Strip the HTTP response envelope from a ``response`` record
     block (status line + headers + CRLFCRLF + body). Non-HTTP blocks
-    pass through; chunked transfer-encoding refuses loudly."""
+    pass through; chunked transfer-encoding is decoded (wild WARCs
+    contain chunked captures); only invalid chunk framing refuses."""
     if not block.startswith(b"HTTP/"):
         return block
     head_end = block.find(_CRLF * 2)
     if head_end < 0:
         raise ValueError("HTTP response without header terminator")
-    head = block[:head_end].decode("latin-1").lower()
-    if "transfer-encoding: chunked" in head:
-        raise NotImplementedError(
-            "chunked transfer-encoding in WARC HTTP block "
-            "(Common Crawl stores identity bodies)")
-    return block[head_end + 4:]
+    head = block[:head_end].decode("latin-1")
+    body = block[head_end + 4:]
+    if _CHUNKED_RE.search(head):
+        return dechunk(body)
+    return body
 
 
 WARC_PAGE_SCHEMA = "url string, warc_ts string, html binary"

@@ -523,6 +523,16 @@ def test_bloom_shards_prune_no_false_negatives(spark):
     fl2 = bloom_shards_prune(other, empty_shards, 4)
     assert fl2.where(F.col("maybe_seen")).count() == 0
 
+    # m_shard not a multiple of 8 cannot round-trip through the
+    # bitmap-length modulus derivation (probe would use a different
+    # modulus than the build -> false negatives): rejected loudly
+    import pytest as _pytest
+    for bad in (100, 7, 0, -8):
+        with _pytest.raises(ValueError, match="multiple of 8"):
+            build_bloom_shards(base, 4, bad)
+        with _pytest.raises(ValueError, match="multiple of 8"):
+            merge_bloom_shards(shards, delta, 4, bad)
+
 
 def test_oracle_xxh64_matches_spark(spark):
     """The oracle's pure-Python xxh64 must equal Spark's F.xxhash64

@@ -403,12 +403,17 @@ def test_repetition_and_tfidf(spark):
 def test_warc_reader_writer(spark):
     """WARC container: roundtrip under per-record gzip, plain, and
     whole-file gzip; non-response records skipped by the Spark face;
-    truncated gzip members and chunked HTTP bodies fail loudly."""
+    identical inputs produce identical bytes (gzip mtime pinned to
+    0); chunked transfer-encoding decodes (incl. the no-space header
+    spelling); truncated gzip members and invalid chunk framing fail
+    loudly."""
     import gzip as _gzip
 
     import pytest as _pytest
 
     from cuphic_spark.sources.warc import (
+        dechunk,
+        encode_chunked,
         extract_http_payload,
         iter_warc_records,
         read_warc,
@@ -442,9 +447,33 @@ def test_warc_reader_writer(spark):
 
     with _pytest.raises(ValueError, match="gzip"):
         list(iter_warc_records(write_warc(recs)[:-9]))
-    with _pytest.raises(NotImplementedError, match="chunked"):
-        extract_http_payload(
-            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nx")
+
+    # byte determinism: the gzip member header must not carry a
+    # wall-clock mtime (task-retry byte-identity contract)
+    import time as _time
+    a = write_warc(recs)
+    _time.sleep(1.1)
+    assert write_warc(recs) == a
+
+    # chunked transfer-encoding: roundtrip through the writer's
+    # chunked framing, both header spellings, extension tolerated
+    chunked = write_warc(recs, chunk=7)
+    got = [(h["warc-target-uri"], extract_http_payload(b))
+           for h, b in iter_warc_records(chunked)]
+    assert got == [(u, p) for u, _d, p in recs]
+    body = encode_chunked(b"hello world payload", 5)
+    assert dechunk(body) == b"hello world payload"
+    assert extract_http_payload(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding:chunked\r\n\r\n"
+        + body) == b"hello world payload"   # no space after colon
+    assert dechunk(b"5;ext=1\r\nabcde\r\n0\r\n\r\n") == b"abcde"
+    # invalid framing refuses loudly, by name
+    with _pytest.raises(ValueError, match="chunk size"):
+        dechunk(b"zz\r\nabc\r\n0\r\n\r\n")
+    with _pytest.raises(ValueError, match="truncated"):
+        dechunk(b"a\r\nshort\r\n")
+    with _pytest.raises(ValueError, match="CRLF after chunk"):
+        dechunk(b"3\r\nabcXX0\r\n\r\n")
 
 
 def test_pii_scrub_and_chunking(spark):
@@ -459,13 +488,20 @@ def test_pii_scrub_and_chunking(spark):
     docs = spark.createDataFrame(
         [(1, "a1b2@x9.io 1.2.3.4 +12 345-67890 tail"),
          (2, "nothing sensitive"),
-         (3, "ver 1.2.3.4.5 stays partly")],  # 5 octets: first 4 match
+         (3, "ver 1.2.3.4.5 stays partly"),  # 5 octets: first 4 match
+         (4, None)],                          # null text -> flag False
         "doc_id long, text string")
     got = {r.doc_id: (r.scrubbed, r.pii_found)
            for r in scrub_pii(docs).collect()}
     assert got[1] == ("<EMAIL> <IP> <PHONE> tail", True)
     assert got[2] == ("nothing sensitive", False)
     assert got[3][0] == "ver <IP>.5 stays partly"
+    assert got[4] == (None, False)
+    # the regex chain must be evaluated ONCE per row: exactly one
+    # chain of the 3 patterns in the optimized plan, not two
+    plan = scrub_pii(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 3
 
     words = " ".join(f"w{i}" for i in range(23))
     d = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
@@ -1274,6 +1310,54 @@ def test_gif_codec_roundtrip_animation_and_compositing():
     # disposal 3 refuses by name
     with _pytest.raises(NotImplementedError, match="disposal"):
         decode_gif(hand_gif(gflags2=0x01, disposal1=3))
+
+    # GCE scope (GIF89a §23): a graphic control applies ONLY to the
+    # first following rendering block — frame 2 WITHOUT its own GCE
+    # must not inherit frame 1's transparency or disposal
+    def hand_gif_no_gce2(disposal1=0, transparent1=False):
+        head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 3, 0)
+        table = bytes([10, 0, 0, 0, 200, 0, 0, 0, 250, 255, 255, 255])
+        from cuphic_spark.operators.gif import _lzw_encode
+
+        gflags1 = (disposal1 << 2) | (1 if transparent1 else 0)
+        gce1 = b"\x21\xf9\x04" + bytes([gflags1, 0, 0, 1]) + b"\x00"
+        lzw1 = _lzw_encode(2, bytes([0, 1, 2, 0]))
+        f1 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+              + bytes([2, len(lzw1)]) + lzw1 + b"\x00")
+        lzw2 = _lzw_encode(2, bytes([1]))     # index 1 at (1,1): NO GCE
+        f2 = (b"\x2c" + struct.pack("<HHHHB", 1, 1, 1, 1, 0)
+              + bytes([2, len(lzw2)]) + lzw2 + b"\x00")
+        return head + table + gce1 + f1 + f2 + b"\x3b"
+
+    # frame 1 transparent on index 1; frame 2's index-1 pixel must
+    # PAINT (opaque), not show through
+    frames, delays = decode_gif(hand_gif_no_gce2(transparent1=True))
+    assert tuple(frames[1][1, 1]) == (0, 200, 0)
+    # frame 1 disposal 2; frame 2 must not re-trigger the restore,
+    # and its delay resets to 0
+    frames, delays = decode_gif(hand_gif_no_gce2(disposal1=2))
+    assert tuple(frames[1][1, 1]) == (0, 200, 0)
+    assert delays == [0, 0]
+    # disposal 2 with only a LOCAL table on the frame: background
+    # restore indexes the GLOBAL table (here: none -> black)
+    def hand_gif_local_only():
+        head = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x00, 1, 0)
+        from cuphic_spark.operators.gif import _lzw_encode
+
+        gce1 = b"\x21\xf9\x04" + bytes([2 << 2, 0, 0, 0]) + b"\x00"
+        lzw = _lzw_encode(2, bytes([2]))
+        f1 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80 | 1)
+              + bytes([30, 40, 50, 0, 200, 0, 99, 99, 99, 1, 2, 3])
+              + bytes([2, len(lzw)]) + lzw + b"\x00")
+        f2 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80 | 1)
+              + bytes([30, 40, 50, 0, 200, 0, 99, 99, 99, 1, 2, 3])
+              + bytes([2, len(_lzw_encode(2, bytes([3])))])
+              + _lzw_encode(2, bytes([3])) + b"\x00")
+        return head + gce1 + f1 + f2 + b"\x3b"
+
+    frames, _d = decode_gif(hand_gif_local_only())
+    assert tuple(frames[0][0, 0]) == (99, 99, 99)   # frame 1 paints
+    assert tuple(frames[1][0, 0]) == (1, 2, 3)      # frame 2 over black
 
 
 def test_png_codec_roundtrip_and_refusals():

@@ -315,6 +315,37 @@ class TestCrawlDelayBudgets:
         # missing delay are absent (scalar fallback)
         assert got == {"slow.example": 3, "fast.example": 40}
 
+    def test_delay_from_deciding_group_only(self, spark):
+        """RFC 9309 group selection happens once per host: a specific
+        group with rules but no Crawl-delay yields NULL delay / no
+        budget — it must not borrow the ``*`` group's delay (mixing
+        two groups)."""
+        from cuphic_spark.frontier.robots import (
+            budgets_from_delays,
+            robots_allowed,
+        )
+
+        bodies = spark.createDataFrame(
+            [("mix.example",
+              "User-agent: CuphicBot\nDisallow: /x\n\n"
+              "User-agent: *\nDisallow: /y\nCrawl-delay: 9\n"),
+             ("star.example",
+              "User-agent: *\nDisallow: /y\nCrawl-delay: 7\n")],
+            "host string, robots_txt string")
+        parsed = parse_robots(bodies)
+        urls = spark.createDataFrame(
+            [("https://mix.example/x",), ("https://mix.example/y",),
+             ("https://star.example/y",)], "url string")
+        got = {r["url"]: (r["allowed"], r["crawl_delay"])
+               for r in robots_allowed(urls, parsed, "CuphicBot")
+               .collect()}
+        assert got["https://mix.example/x"] == (False, None)
+        assert got["https://mix.example/y"] == (True, None)
+        assert got["https://star.example/y"] == (False, 7.0)
+        bud = {r["host"]: r["host_budget"] for r in budgets_from_delays(
+            parsed, "cuphicbot", wave_period_s=14).collect()}
+        assert bud == {"star.example": 2}
+
     def test_per_host_budgets_match_oracle(self, spark, tmp_path):
         """Crawl-delay-aware politeness end-to-end: a (host,
         host_budget) dim throttles host0 (the skew host) to 1 fetch
