@@ -797,17 +797,84 @@ def q_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+_CRAWL_GATE_KW = dict(universe=5000, n_seeds=12, budget_per_host=4,
+                      wave_cap=24, n_waves=3)
+
+
 def q_crawl_fetch_log(spark, sf_dir):
     """Deterministic 3-wave crawl; returns the full fetch log (the
-    'crawl ordering' artifact the oracle pins in tests/test_frontier).
-    Not SQL-expressible (iterative) -> driver records rows-only."""
+    'crawl ordering' artifact). The iterative crawl itself is not
+    SQL-expressible, but its EXPECTED OUTPUT is: the single-process
+    python oracle (tests/oracle/crawl_oracle.py — independent
+    canonicalization, robots, frontier model) re-derives the exact
+    rows driver-side and the oracle SQL inlines them as a VALUES
+    table, so the gate hash-pins ordering, scores, and byte counts
+    (round-6 verdict #4: rows-only -> hashed)."""
     import tempfile
 
     from cuphic_spark.frontier.crawl import CrawlConfig, crawl, read_fetch_log
 
     d = tempfile.mkdtemp(prefix="cuphic_gate_crawl_")
-    cfg = CrawlConfig(universe=5000, n_seeds=12, budget_per_host=4,
-                      wave_cap=24, n_waves=3, checkpoint_dir=d)
+    cfg = CrawlConfig(**_CRAWL_GATE_KW, checkpoint_dir=d)
+    crawl(spark, cfg)
+    return (read_fetch_log(spark, cfg)
+            .select("wave", "rank_in_wave", "url", "depth", "score", "bytes")
+            .orderBy("wave", "rank_in_wave"))
+
+
+def _wildcard_robots_body(h: int) -> str:
+    """Deterministic FULL-RFC robots.txt for host h: wildcards, ``$``
+    anchors, and Allow rules no prefix dim can express, so the wave
+    loop must take the rules_dim/denied_by_rules path (robots_mode
+    auto -> full). An ``otherbot`` group and a deny-everything ``*``
+    group must both be ignored for cuphicbot. Rule shapes: even
+    hosts deny /private/ but Allow the LONGER /private/doc/1* back
+    (longest-match); h%3==0 hosts add the anchored wildcard
+    /doc/*3$ (denies ids ending in 3 — including skew host 0);
+    h%3==1 hosts carry an equal-length Allow/Disallow tie on /doc/
+    that Allow must win."""
+    lines = [f"# full-RFC robots for host{h}",
+             "User-agent: otherbot", "Disallow: /", "",
+             "User-agent: CuphicBot/1.0",
+             "Disallow: /never-generated/"]
+    if h % 2 == 0:
+        lines += ["Disallow: /private/",
+                  "Allow: /private/doc/1*"]
+    if h % 3 == 0:
+        lines += ["Disallow: /doc/*3$"]
+    if h % 3 == 1:
+        lines += ["Allow: /doc/", "Disallow: /doc/"]
+    lines += ["", "User-agent: *", "Disallow: /"]
+    return "\n".join(lines) + "\n"
+
+
+_ROBOTS_FULL_KW = dict(universe=4000, n_seeds=10, budget_per_host=4,
+                       wave_cap=24, n_waves=3)
+
+
+def _wildcard_bodies_fn(spark, version, n_hosts):
+    return spark.createDataFrame(
+        [(f"host{h}.example", _wildcard_robots_body(h))
+         for h in range(n_hosts)],
+        "host string, robots_txt string")
+
+
+def q_crawl_robots_full(spark, sf_dir):
+    """Round-6 verdict #1 gate: a 3-wave crawl whose robots source
+    is a wildcard+Allow corpus (``_wildcard_robots_body``) fed
+    through extra['robots_txt_fn'] — parse_robots -> auto mode
+    detects non-prefix rules -> rules_dim broadcast ->
+    denied_by_rules longest-match verdict inside the wave loop. The
+    oracle re-runs the single-process crawl with deny verdicts from
+    the pure-Python RFC evaluator (agent_group/path_allowed) and
+    inlines the expected fetch log as VALUES — full hash pin."""
+    import tempfile
+
+    from cuphic_spark.frontier.crawl import CrawlConfig, crawl, read_fetch_log
+
+    d = tempfile.mkdtemp(prefix="cuphic_gate_robots_full_")
+    cfg = CrawlConfig(**_ROBOTS_FULL_KW, checkpoint_dir=d,
+                      extra={"robots_txt_fn": _wildcard_bodies_fn})
     crawl(spark, cfg)
     return (read_fetch_log(spark, cfg)
             .select("wave", "rank_in_wave", "url", "depth", "score", "bytes")
@@ -937,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
+        "crawl_robots_full": q_crawl_robots_full,
         "tei_scrape_kernel": q_tei_scrape_kernel,
     }
 
@@ -1618,7 +1686,123 @@ def oracle_sql() -> dict[str, str]:
                    0 AS depth
             FROM documents
         """,
+        "crawl_fetch_log": _fetch_log_values_sql(_CRAWL_GATE_KW),
+        "crawl_robots_full": _crawl_robots_full_oracle_sql(),
+        "tei_scrape_kernel": _tei_scrape_oracle_sql(),
     }
+
+
+def _crawl_oracle_module():
+    """Import the single-process crawl oracle robustly: the driver
+    may call oracle_sql() with any cwd, so fall back to putting the
+    repo root (this file's directory) on sys.path."""
+    try:
+        from tests.oracle import crawl_oracle
+    except ImportError:
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from tests.oracle import crawl_oracle
+    return crawl_oracle
+
+
+def _fetch_log_values_sql(kw: dict, robots_deny_fn=None) -> str:
+    """Expected fetch log as an inline VALUES table: the iterative
+    crawl is not SQL-expressible, but its OUTPUT is a deterministic
+    pure function of the config — the python oracle (independent
+    canonicalization / robots / frontier model) re-derives the rows
+    driver-side in milliseconds at gate scale, and DuckDB hash-pins
+    them (round-6 verdict #4)."""
+    co = _crawl_oracle_module()
+    st = co.run(**kw, robots_deny_fn=robots_deny_fn)
+    rows = ",\n            ".join(
+        f"({e['wave']}, {e['rank_in_wave']}, '{e['url']}', "
+        f"{e['depth']}, {e['score']}, {e['bytes']})"
+        for e in st.fetch_log)
+    return f"""
+        SELECT wave, rank_in_wave, url, depth, score, bytes
+        FROM (VALUES
+            {rows}
+        ) AS t(wave, rank_in_wave, url, depth, score, bytes)
+    """
+
+
+def _crawl_robots_full_oracle_sql() -> str:
+    """crawl_robots_full twin: deny verdicts from the pure-Python
+    RFC 9309 evaluator (robots.agent_group/path_allowed) over the
+    same wildcard corpus, fed into the python crawl oracle. The
+    matcher semantics themselves are independently pinned by the
+    robots_decisions gate (closed-form DuckDB CASE) and the
+    pattern-semantics pytest table; this gate pins their WAVE-LOOP
+    integration."""
+    import re as _re
+
+    from cuphic_spark.frontier.robots import (
+        agent_group,
+        parse_robots_text,
+        path_allowed,
+    )
+
+    co = _crawl_oracle_module()
+    groups = {h: agent_group(
+        parse_robots_text(_wildcard_robots_body(h)), "cuphicbot")
+        for h in range(10)}
+
+    def deny(url, version):
+        h = int(_re.match(r"https://host(\d+)\.", url).group(1))
+        return not path_allowed(groups[h], co.path_of_url(url))
+
+    return _fetch_log_values_sql(_ROBOTS_FULL_KW, robots_deny_fn=deny)
+
+
+def _tei_scrape_oracle_sql() -> str:
+    """Independent ElementTree twin of the kernel TEI scrape counts
+    (round-6 verdict #4: the last rows-only gate -> hashed). The
+    kernel path is expat -> hiccup -> pattern matcher; this twin is
+    ET.iter over the same 12 files with the pattern semantics
+    restated closed-form: [tag ???] = every element;
+    [:p {:xml/id ?id} ???] = every p (?attr is optional);
+    [:persName {:ref ref :type ?type} full-name] = persName with a
+    ref attr and EXACTLY one hiccup child (non-blank text segments
+    merge, blanks drop); [:item (... c)] = item with >= 1 child."""
+    import pathlib as _pathlib
+    import xml.etree.ElementTree as _ET
+
+    def _local(tag):
+        return tag.split("}")[-1]
+
+    def _n_children(el):
+        n = 1 if (el.text or "").strip() else 0
+        for c in el:
+            n += 1
+            if (c.tail or "").strip():
+                n += 1
+        return n
+
+    counts = {"all-tags": 0, "p": 0, "persName": 0, "items": 0}
+    tei_dir = _pathlib.Path("/root/reference/resources/examples/tei")
+    for path in sorted(tei_dir.glob("*.xml")):
+        root = _ET.fromstring(path.read_bytes())
+        for el in root.iter():
+            counts["all-tags"] += 1
+            t = _local(el.tag)
+            if t == "p":
+                counts["p"] += 1
+            elif t == "persName":
+                if (any(_local(k) == "ref" for k in el.attrib)
+                        and _n_children(el) == 1):
+                    counts["persName"] += 1
+            elif t == "item" and _n_children(el) >= 1:
+                counts["items"] += 1
+    vals = ",\n            ".join(
+        f"('{k}', {v})" for k, v in sorted(counts.items()))
+    return f"""
+        SELECT pattern_key, n_matches
+        FROM (VALUES
+            {vals}
+        ) AS t(pattern_key, n_matches)
+    """
 
 
 def _pii_scrub_oracle_sql() -> str:

@@ -446,16 +446,44 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     robots_version = (wave // cfg.robots_ttl_waves
                       if cfg.robots_ttl_waves else 0)
     robots_txt_fn = cfg.extra.get("robots_txt_fn")
+    robots_full = False
     if robots_txt_fn is not None:
         # production robots source: (host, robots_txt) bodies ->
-        # RFC 9309 parse -> prefix dim (refuses non-prefix corpora);
-        # the spec path below stays the oracle-pinned default
-        from .robots import parse_robots, prefix_rules
+        # RFC 9309 parse -> a broadcast dim in one of two shapes:
+        # the prefix fast path (host, deny_prefixes) when every rule
+        # is a plain Disallow prefix, else the FULL RFC dim (host,
+        # robots_rules) whose longest-match/Allow-wins verdict is
+        # evaluated row-local by denied_by_rules — same broadcast
+        # join, zero extra shuffles or jobs either way. Mode
+        # ``auto`` (default) decides with one bounded limit(1) probe
+        # (the same job prefix_rules spends on validation); the spec
+        # path below stays the oracle-pinned default
+        from .robots import (
+            _non_prefix_probe,
+            _prefix_dim,
+            _select_group,
+            parse_robots,
+            prefix_rules,
+            rules_dim,
+        )
 
-        robots = prefix_rules(
-            parse_robots(robots_txt_fn(spark, robots_version,
-                                       cfg.n_hosts)),
-            agent=cfg.extra.get("robots_agent", "cuphicbot"))
+        agent = cfg.extra.get("robots_agent", "cuphicbot")
+        mode = cfg.extra.get("robots_mode", "auto")
+        if mode not in ("auto", "prefix", "full"):
+            raise ValueError(f"robots_mode must be auto|prefix|full, "
+                             f"got {mode!r}")
+        parsed = parse_robots(robots_txt_fn(spark, robots_version,
+                                            cfg.n_hosts))
+        if mode == "auto":
+            rules = _select_group(parsed, "rule", agent)
+            mode = "full" if _non_prefix_probe(rules) else "prefix"
+            robots = (rules_dim(parsed, agent=agent) if mode == "full"
+                      else _prefix_dim(rules))
+        elif mode == "full":
+            robots = rules_dim(parsed, agent=agent)
+        else:  # explicit prefix: keep the loud refusal on wildcards
+            robots = prefix_rules(parsed, agent=agent)
+        robots_full = mode == "full"
     else:
         robots = robots_rules(spark, version=robots_version,
                               n_hosts=cfg.n_hosts)
@@ -495,13 +523,21 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         else:
             joined = joined.withColumn("host_budget",
                                        F.lit(cfg.budget_per_host))
-        is_denied = F.coalesce(
-            F.exists(F.col("deny_prefixes"),
-                     lambda p: F.col("path").startswith(p)),
-            F.lit(False))
+        if robots_full:
+            from .robots import denied_by_rules
+
+            is_denied = denied_by_rules(F.col("path"),
+                                        F.col("robots_rules"))
+            robots_col = "robots_rules"
+        else:
+            is_denied = F.coalesce(
+                F.exists(F.col("deny_prefixes"),
+                         lambda p: F.col("path").startswith(p)),
+                F.lit(False))
+            robots_col = "deny_prefixes"
         ranked = (joined.withColumn("den", is_denied)
                   .withColumn("host_rank", F.row_number().over(w_host))
-                  .drop("deny_prefixes", "path")).cache()
+                  .drop(robots_col, "path")).cache()
         stats = (ranked
                  .where(F.col("den")
                         | (F.col("host_rank") <= F.col("host_budget")))

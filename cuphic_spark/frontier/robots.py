@@ -43,6 +43,10 @@ __all__ = [
     "pattern_to_regex",
     "parse_robots",
     "prefix_rules",
+    "rules_dim",
+    "denied_by_rules",
+    "agent_group",
+    "path_allowed",
     "budgets_from_delays",
     "robots_allowed",
     "url_path_col",
@@ -216,6 +220,16 @@ def _select_group(parsed: DataFrame, kind: str, agent: str) -> DataFrame:
             .drop("_spec", "_mx"))
 
 
+def _non_prefix_probe(rules: DataFrame) -> list:
+    """At most one rule that exceeds prefix semantics (an Allow, or a
+    pattern with ``*``/``$``) — bounded collect over the
+    host-dim-sized rules table (one tiny job)."""
+    return (rules.filter(F.col("allow")
+                         | F.col("pattern").contains("*")
+                         | F.col("pattern").contains("$"))
+            .select("host", "allow", "pattern").limit(1).collect())
+
+
 def prefix_rules(parsed: DataFrame, agent: str) -> DataFrame:
     """Crawl fast-path dim from parsed robots: (host, deny_prefixes
     array<string>) — the shape the wave loop broadcast-joins and
@@ -224,14 +238,12 @@ def prefix_rules(parsed: DataFrame, agent: str) -> DataFrame:
     Only plain-prefix Disallow groups qualify: any Allow rule or a
     pattern containing ``*``/``$`` needs longest-match semantics and
     REFUSES here (loudly, not by silent approximation) — route such
-    corpora through ``robots_allowed`` instead. The validation
+    corpora through ``rules_dim``/``denied_by_rules`` (the wave
+    loop's full-RFC path) or ``robots_allowed``. The validation
     collect is bounded: it fetches at most one offending rule from
     the host-dim-sized rules table."""
     rules = _select_group(parsed, "rule", agent)
-    bad = (rules.filter(F.col("allow")
-                        | F.col("pattern").contains("*")
-                        | F.col("pattern").contains("$"))
-           .select("host", "allow", "pattern").limit(1).collect())
+    bad = _non_prefix_probe(rules)
     if bad:
         r = bad[0]
         raise ValueError(
@@ -239,8 +251,83 @@ def prefix_rules(parsed: DataFrame, agent: str) -> DataFrame:
             f"fast path ({'Allow' if r['allow'] else 'pattern'} "
             f"{r['pattern']!r}); use robots_allowed for full RFC 9309 "
             "longest-match")
+    return _prefix_dim(rules)
+
+
+def _prefix_dim(rules: DataFrame) -> DataFrame:
+    """(host, deny_prefixes) agg over ALREADY-VALIDATED prefix-only
+    rules — lets the wave loop's auto mode reuse its one probe job
+    instead of probing twice."""
     return (rules.groupBy("host")
             .agg(F.collect_list("pattern").alias("deny_prefixes")))
+
+
+def rules_dim(parsed: DataFrame, agent: str) -> DataFrame:
+    """Full-RFC crawl dim: (host, robots_rules array<struct<regex,
+    pattern_len, allow>>) — one row per host that HAS an applicable
+    group (hosts absent -> left-join null -> allowed). The wave loop
+    broadcast-joins this exactly like the prefix dim and evaluates
+    ``denied_by_rules`` row-local: zero extra shuffles or jobs vs
+    the prefix path. Rule order inside the array is irrelevant —
+    the verdict is a max over matches."""
+    rules = _select_group(parsed, "rule", agent)
+    return (rules.groupBy("host")
+            .agg(F.collect_list(F.struct(
+                F.col("regex"), F.col("pattern_len"),
+                F.col("allow"))).alias("robots_rules")))
+
+
+def denied_by_rules(path, rules):
+    """Column-side RFC 9309 verdict over a ``rules_dim`` array:
+    longest matching pattern wins, equal length -> Allow wins
+    (§2.2.2 least-restrictive), no applicable group or no matching
+    rule -> allowed. Pure column expressions (higher-order functions
+    + per-row regexp_like against the parse-time anchored regex), so
+    the wave loop's full-RFC decision is JVM-side like the prefix
+    fast path — identical semantics to ``robots_allowed``'s
+    aggregation, evaluated row-local against the broadcast array."""
+    matched = F.filter(rules, lambda r: F.regexp_like(path, r["regex"]))
+    best = F.array_max(F.transform(matched, lambda r: F.struct(
+        r["pattern_len"].alias("pattern_len"),
+        r["allow"].cast("int").alias("_allow_rank"),
+        r["allow"].alias("allow"))))
+    return (F.when(matched.isNull() | (F.size(matched) == 0),
+                   F.lit(False))
+            .otherwise(~best["allow"]))
+
+
+def agent_group(parsed: dict, agent: str) -> dict | None:
+    """Pure-Python twin of ``_select_group`` over ONE
+    ``parse_robots_text`` result: the merged rules + delay of the
+    group that applies to ``agent`` (all groups naming the specific
+    product token if any exist, else all ``*`` groups; None when
+    neither). Unit-testable single-host counterpart of the
+    relational path; the crawl oracle builds its deny function from
+    this."""
+    agent = agent.lower()
+    spec = [g for g in parsed["groups"] if agent in g["agents"]]
+    star = [g for g in parsed["groups"] if "*" in g["agents"]]
+    chosen = spec or star
+    if not chosen:
+        return None
+    delays = [g["delay"] for g in chosen if g["delay"] is not None]
+    return {"rules": [r for g in chosen for r in g["rules"]],
+            "delay": min(delays) if delays else None}
+
+
+def path_allowed(group: dict | None, path: str) -> bool:
+    """Pure-Python RFC 9309 §2.2.2 verdict for one path against an
+    ``agent_group`` result: longest match wins, tie -> Allow, no
+    match / no group -> allowed."""
+    if group is None:
+        return True
+    best = None
+    for allow, pattern in group["rules"]:
+        if re.match(pattern_to_regex(pattern), path):
+            key = (len(pattern), 1 if allow else 0)
+            if best is None or key > best[0]:
+                best = (key, allow)
+    return True if best is None else best[1]
 
 
 def budgets_from_delays(parsed: DataFrame, agent: str,

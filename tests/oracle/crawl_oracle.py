@@ -261,7 +261,8 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
         bloom_min_seen: int = 50_000,
         bloom_fp_rebuild: float = 0.2,
         redirect_mod: int = 0,
-        host_budgets: dict[str, int] | None = None) -> OracleState:
+        host_budgets: dict[str, int] | None = None,
+        robots_deny_fn=None) -> OracleState:
     split_rows = band_split_rows or max(wave_cap, 1)
     st = OracleState()
     # bloom twin (only when the caller models it — the default test
@@ -319,8 +320,9 @@ def run(universe: int, n_seeds: int, budget_per_host: int, wave_cap: int,
                          for s in segs for u in s["urls"]]
             eligible_urls = [u for u in read_urls
                              if st.frontier[u][1] >= s_cut]
+            deny = robots_deny_fn or robots_deny
             denied = [u for u in eligible_urls
-                      if robots_deny(u, robots_version)]
+                      if deny(u, robots_version)]
             denied_set = set(denied)
             eligible = sorted(
                 ((u, st.frontier[u]) for u in eligible_urls
