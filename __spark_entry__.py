@@ -149,11 +149,11 @@ def q_media_features(spark, sf_dir):
         "media_id", "kind", "format",
         # jpeg rows (every fifth image: 4:2:0 + restart intervals,
         # every other one progressive SOF2, every fourth planar
-        # multi-scan) and png rows (ids % 15 == 12: from-scratch
-        # zlib codec, filters cycled, alternating RGBA) have no
-        # closed-form byte size (entropy/deflate-coded), so both
-        # sides emit NULL; their width/height below still come from
-        # the actual decode
+        # multi-scan) and png rows (from-scratch zlib codec, filters
+        # cycled, alternating RGBA, id%3==0 PALETTE +tRNS, id%3==1
+        # ADAM7, palette+Adam7 combined) have no closed-form byte
+        # size (entropy/deflate-coded), so both sides emit NULL;
+        # their width/height below still come from the actual decode
         F.when(~F.col("format").isin("jpeg", "png", "gif"),
                F.col("n_bytes"))
         .alias("n_bytes"),

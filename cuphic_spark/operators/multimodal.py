@@ -325,14 +325,30 @@ def synth_gif(media_id: int) -> bytes:
 
 def synth_png(media_id: int) -> bytes:
     """Deterministic gradient as a PNG (lossless — the decode must
-    recover these bytes exactly). Every other PNG carries an alpha
-    channel (dropped on decode); scanline filters cycle 0..4 inside
-    the encoder, so every unfilter path runs per gate image."""
+    recover these bytes exactly). Variants by id (round-6 verdict
+    #2: the gate carries every supported shape): id%3==0 -> PALETTE
+    (color type 3, 13-entry PLTE -> auto depth 4, tRNS on id%4==0);
+    id%3==1 -> Adam7 INTERLACED truecolor; else plain truecolor.
+    Every other non-palette PNG carries an alpha channel (dropped on
+    decode); palette rows alternate interlace too, so palette+Adam7
+    combine; scanline filters cycle 0..4 inside the encoder, so
+    every unfilter path runs per gate image."""
     from .png import encode_png
 
     w = 18 + (media_id % 6) * 7
     h = 14 + (media_id % 4) * 5
     yy, xx = np.mgrid[0:h, 0:w]
+    if media_id % 3 == 0:
+        pal = np.stack([(np.arange(13) * 19) % 256,
+                        (np.arange(13) * 41) % 256,
+                        np.full(13, media_id % 256)],
+                       axis=-1).astype(np.uint8)
+        img = pal[(xx + yy + media_id) % 13]
+        alpha = (np.array([0, 128, 255], np.uint8)
+                 if media_id % 4 == 0 else None)
+        return encode_png(img, palette=True,
+                          interlace=(media_id % 2 == 0),
+                          palette_alpha=alpha)
     planes = [
         (xx * 255 // max(1, w - 1)),
         (yy * 255 // max(1, h - 1)),
@@ -340,7 +356,8 @@ def synth_png(media_id: int) -> bytes:
     ]
     if media_id % 2 == 0:
         planes.append(np.full((h, w), 200))
-    return encode_png(np.stack(planes, axis=-1).astype(np.uint8))
+    return encode_png(np.stack(planes, axis=-1).astype(np.uint8),
+                      interlace=(media_id % 3 == 1))
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

@@ -1415,19 +1415,123 @@ def test_png_codec_roundtrip_and_refusals():
     with _pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(bad))
 
-    # unsupported shapes refuse by name (IHDR hand-patched)
+    # invalid combos stay loud (IHDR hand-patched)
     def with_ihdr(depth, color, interlace):
         ih = struct.pack(">IIBBBBB", 10, 10, depth, color, 0, 0,
                          interlace)
         return (PNG_MAGIC + chunk(b"IHDR", ih)
                 + stream[stream.index(b"IDAT") - 4:])
 
-    with _pytest.raises(NotImplementedError, match="palette"):
-        decode_png(with_ihdr(8, 3, 0))
-    with _pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(with_ihdr(16, 2, 0))
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(with_ihdr(8, 2, 1))
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(with_ihdr(4, 2, 0))   # sub-byte truecolor invalid
+    with _pytest.raises(ValueError, match="color type"):
+        decode_png(with_ihdr(8, 5, 0))
+    with _pytest.raises(ValueError, match="without PLTE"):
+        decode_png(with_ihdr(8, 3, 0))   # palette needs a PLTE chunk
+
+
+def test_png_palette_adam7_and_16bit():
+    """Round-6 verdict #2: palette (color type 3, depths 1/2/4/8
+    auto-chosen, +tRNS parsed and dropped), Adam7 interlace (incl.
+    sizes with EMPTY passes), 16-bit (v<<8|v encode / high-byte
+    decode), and their combinations — all lossless roundtrips; a
+    hand-built 4-bit GREYSCALE image pins the sub-byte unpack for
+    color type 0 (decode-only path, values scale to full range)."""
+    import struct
+    import zlib
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.png import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    rng = _np.random.default_rng(11)
+    # palette at every depth the auto-chooser can select
+    for ncol in (2, 3, 5, 16, 17, 250):
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=_np.uint8)
+        img = pal[rng.integers(0, ncol, size=(13, 21))]
+        assert _np.array_equal(decode_png(encode_png(
+            img, palette=True)), img), ncol
+        # tRNS alpha parsed then dropped — pixels unchanged
+        assert _np.array_equal(decode_png(encode_png(
+            img, palette=True,
+            palette_alpha=_np.array([0, 128], _np.uint8))), img)
+
+    # Adam7: odd sizes, sizes below one pass tile (empty passes),
+    # grey and RGB
+    for shape in ((1, 1, 3), (2, 3, 3), (7, 7, 3), (8, 8, 3),
+                  (9, 10, 3), (3, 16), (31, 33, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=_np.uint8)
+        dec = decode_png(encode_png(img, interlace=True))
+        exp = (_np.repeat(img[:, :, None], 3, 2) if img.ndim == 2
+               else img)
+        assert _np.array_equal(dec, exp), shape
+
+    # palette + Adam7 combined
+    pal = rng.integers(0, 256, size=(11, 3), dtype=_np.uint8)
+    img = pal[rng.integers(0, 11, size=(14, 9))]
+    assert _np.array_equal(decode_png(encode_png(
+        img, palette=True, interlace=True)), img)
+
+    # 16-bit truecolor / grey, plain and interlaced
+    img = rng.integers(0, 256, size=(6, 7, 3), dtype=_np.uint8)
+    assert _np.array_equal(decode_png(encode_png(
+        img, bit_depth=16)), img)
+    assert _np.array_equal(decode_png(encode_png(
+        img, bit_depth=16, interlace=True)), img)
+    g = rng.integers(0, 256, size=(5, 5), dtype=_np.uint8)
+    assert _np.array_equal(decode_png(encode_png(g, bit_depth=16)),
+                           _np.repeat(g[:, :, None], 3, 2))
+    # 16-bit high-byte policy: a hand-patched low byte is ignored
+    enc = bytearray(encode_png(_np.full((1, 1, 3), 7, _np.uint8),
+                               bit_depth=16))
+    dec = decode_png(bytes(enc))
+    assert tuple(dec[0, 0]) == (7, 7, 7)
+
+    # hand-built 4-bit greyscale (2x3): samples MSB-first, one
+    # filter-0 scanline of ceil(3*4/8)=2 bytes each; values scale
+    # by 255//15 = 17
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(
+                    ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytes([0, 0x1F, 0xA0,      # row 0: 1, 15, 10 (pad)
+                 0, 0x05, 0x30])     # row 1: 0, 5, 3 (pad)
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 0,
+                                        0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert dec.shape == (2, 3, 3)
+    assert [dec[0, i, 0] for i in range(3)] == [17, 255, 170]
+    assert [dec[1, i, 0] for i in range(3)] == [0, 85, 51]
+
+    # palette index beyond PLTE is loud: 1-bit palette with a
+    # single entry but an index of 1 in the data
+    png_bad = (PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 1, 3,
+                                            0, 0, 0))
+               + chunk(b"PLTE", bytes([9, 9, 9]))
+               + chunk(b"IDAT", zlib.compress(bytes([0, 0x40])))
+               + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(png_bad)
+    # tRNS longer than PLTE is loud
+    png_bad2 = (PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 1, 3,
+                                             0, 0, 0))
+                + chunk(b"PLTE", bytes([9, 9, 9]))
+                + chunk(b"tRNS", bytes([1, 2]))
+                + chunk(b"IDAT", zlib.compress(bytes([0, 0x00])))
+                + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="tRNS"):
+        decode_png(png_bad2)
 
 
 def test_jpeg_huffman_tables_are_valid_prefix_codes():
