@@ -951,6 +951,175 @@ def q_ann_topk(spark, sf_dir):
     return inner_product_topk_quantized(emb, queries, k=5)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Round-6 verdict #7 gate: the FULL Gopher rule set
+    (textstats.gopher_quality) over documents rebuilt into
+    multi-line shapes that exercise every rule — bullet-prefixed
+    first lines (doc_id%4), a bullet second line (doc_id%3), an
+    ellipsis-terminated line (doc_id%5), and a final line that is
+    either stop-word-rich or symbol-heavy (doc_id%2). The oracle
+    performs the identical construction and computes the same seven
+    rules in SQL (list_filter / starts_with / ends_with /
+    regexp_matches), thresholds compared by cross-multiplication on
+    both sides."""
+    from cuphic_spark.operators.textstats import gopher_quality
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.when(did % 4 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.col("text"), F.lit("\n"),
+        F.when(did % 3 == 0, F.lit("* second bullet line"))
+        .otherwise(F.lit("plain second line")),
+        F.lit("\n"),
+        F.when(did % 5 == 0, F.lit("this line trails off..."))
+        .otherwise(F.lit("this line ends plain")),
+        F.lit("\n"),
+        F.when(did % 2 == 0, F.lit("the be to of and extra"))
+        .otherwise(F.lit("# ## 1234 5678 ...")))
+    return gopher_quality(
+        docs.select("doc_id", injected.alias("text")), min_words=30)
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of q_gopher_quality — bullets and stop words
+    single-sourced from textstats.GOPHER_* so a rule-set change
+    cannot silently diverge the two sides."""
+    from cuphic_spark.operators.textstats import (
+        GOPHER_BULLETS,
+        GOPHER_STOPWORDS,
+    )
+
+    bullet_pred = " OR ".join(
+        f"starts_with(l, '{b}')" for b in GOPHER_BULLETS)
+    stop_sum = " + ".join(
+        f"CASE WHEN contains(padded, ' {s} ') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 4 = 0 THEN '- ' ELSE '' END)
+                 || text || chr(10)
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '* second bullet line'
+                          ELSE 'plain second line' END) || chr(10)
+                 || (CASE WHEN doc_id % 5 = 0
+                          THEN 'this line trails off...'
+                          ELSE 'this line ends plain' END) || chr(10)
+                 || (CASE WHEN doc_id % 2 = 0
+                          THEN 'the be to of and extra'
+                          ELSE '# ## 1234 5678 ...' END) AS text
+          FROM documents WHERE doc_id < 400),
+        p AS (
+          SELECT doc_id, text,
+                 ' ' || replace(text, chr(10), ' ') || ' ' AS padded
+          FROM t),
+        m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(floor((length(text)
+                             - (len(string_split(text, ' ')) - 1))
+                            * 10.0 / len(string_split(text, ' ')))
+                      AS INT) AS avg_word_len_tenths,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + (length(text)
+                         - length(replace(text, '...', ''))) / 3
+                      AS INT) AS n_symbols,
+                 len(string_split(text, chr(10))) AS n_lines,
+                 len(list_filter(string_split(text, chr(10)),
+                                 l -> {bullet_pred}))
+                   AS n_bullet_lines,
+                 len(list_filter(string_split(text, chr(10)),
+                                 l -> ends_with(l, '...')))
+                   AS n_ellipsis_lines,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                   AS n_alpha_words,
+                 {stop_sum} AS n_stopwords
+          FROM p)
+        SELECT doc_id,
+               n_words::INTEGER AS n_words,
+               avg_word_len_tenths,
+               n_symbols,
+               n_lines::INTEGER AS n_lines,
+               n_bullet_lines::INTEGER AS n_bullet_lines,
+               n_ellipsis_lines::INTEGER AS n_ellipsis_lines,
+               n_alpha_words::INTEGER AS n_alpha_words,
+               n_stopwords::INTEGER AS n_stopwords,
+               CASE WHEN n_words >= 30 AND n_words <= 100000
+                    AND avg_word_len_tenths BETWEEN 30 AND 100
+                    AND n_symbols * 10 <= n_words
+                    AND n_bullet_lines * 10 < n_lines * 9
+                    AND n_ellipsis_lines * 10 < n_lines * 3
+                    AND n_alpha_words * 10 >= n_words * 8
+                    AND n_stopwords >= 2
+                    THEN 1 ELSE 0 END::INTEGER AS gopher_pass
+        FROM m
+    """
+
+
+def _ivf_gate_corpus():
+    """Closed-form corpus for the persisted-IVF gate: 240 dim-8
+    vectors in 4 well-separated clusters, every value an exact
+    multiple of 1/8 (dyadic -> float arithmetic is EXACT on both
+    sides, so k-means means, dot products, and cos_micro truncation
+    are bit-identical between Spark and the numpy twin), plus 6
+    probe queries near the cluster centers. Synthetic rather than
+    the embeddings table because oracle_sql() carries no sf
+    parameter and trained centroids are data-dependent — the
+    sign-cell IVF gate (ann_ivf) already runs over the real
+    embeddings."""
+    import numpy as _np
+
+    centers = _np.full((4, 8), -0.5)
+    for c in range(4):
+        centers[c, c] = 2.0
+        centers[c, c + 4] = 2.0
+    ids = _np.arange(240)
+    d = _np.arange(8)
+    corpus = (centers[ids % 4]
+              + ((ids[:, None] * 7 + d[None, :] * 3) % 5 - 2) / 8.0)
+    qids = _np.arange(6)
+    queries = (centers[qids % 4]
+               + ((qids[:, None] * 11 + d[None, :]) % 3 - 1) / 8.0)
+    return ids, corpus, 1000 + qids, queries
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Round-6 verdict #5 gate: the PERSISTED IVF path end-to-end —
+    train_ivf_centroids (deterministic Lloyd's) -> build_ivf_index
+    (cell-partitioned parquet + centroid sidecar) -> ivf_topk_indexed
+    (sidecar-detected trained quantizer, literal partition filter,
+    exact re-rank on probed cells). The oracle INDEPENDENTLY
+    re-derives everything in numpy/python — same documented training
+    spec (lowest-id init, argmin tie -> lowest cell, mean update,
+    empty cells keep, allclose break), 2-nearest-centroid probes,
+    exact cosine top-k over probed cells with the same tie-break —
+    and inlines the expected rows as VALUES (dyadic values make both
+    sides exact; see _ivf_gate_corpus)."""
+    import tempfile
+
+    from cuphic_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    ids, corpus, qids, qvecs = _ivf_gate_corpus()
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in row])
+         for i, row in zip(ids, corpus)],
+        "vec_id long, embedding array<double>")
+    queries_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row])
+         for i, row in zip(qids, qvecs)],
+        "query_id long, q_embedding array<double>")
+    cents = train_ivf_centroids(emb, n_cells=4, max_iter=8)
+    path = tempfile.mkdtemp(prefix="cuphic_gate_ivf_")
+    build_ivf_index(emb, path, centroids=cents)
+    return ivf_topk_indexed(spark, path, queries_df, k=5, n_probe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -979,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_wide": q_minhash_wide,
@@ -999,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "quality_by_lang": q_quality_by_lang,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "embedding_neardup": q_embedding_neardup,
         "simhash": q_simhash,
         # rows-only (non-SQL by nature: iterative crawl state /
@@ -1187,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
                          length(text) AS n_chars
                   FROM documents)
         """,
+        "gopher_quality": _gopher_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "first_link_per_url": f"""
             WITH pages AS ({_PAGES_CTE})
@@ -1471,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _neardup_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
+        "ann_ivf_indexed": _ann_ivf_indexed_oracle_sql(),
         "lenient_extract": """
             SELECT 'soup://' || CAST(doc_id AS VARCHAR) AS url,
                    text || ' & tail' AS extracted
@@ -1754,6 +1927,59 @@ def _crawl_robots_full_oracle_sql() -> str:
         return not path_allowed(groups[h], co.path_of_url(url))
 
     return _fetch_log_values_sql(_ROBOTS_FULL_KW, robots_deny_fn=deny)
+
+
+def _ann_ivf_indexed_oracle_sql(k: int = 5, n_probe: int = 2) -> str:
+    """Independent numpy twin of the persisted-IVF path: Lloyd's
+    k-means per the documented spec, 2-nearest-centroid probe
+    (distance then cell-id order), candidate set = union of probed
+    cells, exact cosine with the implementation's operation order
+    (dot / (||a||*||b||), *1e6, truncate toward zero), tie-break
+    (cos_micro desc, neighbor_id asc). Emits VALUES — exactness
+    across both sides comes from the dyadic corpus."""
+    import numpy as _np
+
+    ids, corpus, qids, qvecs = _ivf_gate_corpus()
+    # --- train: lowest-id init, argmin tie -> lowest, mean update,
+    # empty cells keep their centroid, allclose break, 8 iters max
+    cents = corpus[:4].copy()
+    for _ in range(8):
+        dist = -2.0 * (corpus @ cents.T) + (cents * cents).sum(1)[None]
+        cell = dist.argmin(axis=1)
+        new = cents.copy()
+        for c in range(4):
+            members = corpus[cell == c]
+            if len(members):
+                new[c] = members.sum(axis=0) / len(members)
+        if _np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    dist = -2.0 * (corpus @ cents.T) + (cents * cents).sum(1)[None]
+    cell = dist.argmin(axis=1)
+
+    rows = []
+    for qi, qv in zip(qids, qvecs):
+        qd = -2.0 * (cents @ qv) + (cents * cents).sum(1)
+        order = _np.lexsort((_np.arange(len(cents)), qd))
+        probed = set(order[:n_probe].tolist())
+        cand = [(int(i), v) for i, v, c in zip(ids, corpus, cell)
+                if int(c) in probed and int(i) != int(qi)]
+        qn = _np.sqrt((qv * qv).sum())
+        scored = []
+        for i, v in cand:
+            cos = (v * qv).sum() / (_np.sqrt((v * v).sum()) * qn)
+            scored.append((int(cos * 1_000_000), i))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (micro, i) in enumerate(scored[:k], start=1):
+            rows.append((int(qi), i, rank, micro))
+    vals = ",\n            ".join(
+        f"({q}, {n}, {r}, {m})" for q, n, r, m in rows)
+    return f"""
+        SELECT query_id, neighbor_id, rank, cos_micro
+        FROM (VALUES
+            {vals}
+        ) AS t(query_id, neighbor_id, rank, cos_micro)
+    """
 
 
 def _tei_scrape_oracle_sql() -> str:

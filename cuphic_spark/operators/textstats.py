@@ -62,6 +62,86 @@ def quality_score(docs: DataFrame,
     )
 
 
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) —
+# shared verbatim with the DuckDB twin.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+GOPHER_BULLETS = ["- ", "* ", "•"]
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   min_words: int = 50,
+                   max_words: int = 100_000) -> DataFrame:
+    """The FULL Gopher quality rule set (Rae et al. 2021 Table A1;
+    round-6 verdict #7 — quality_score carries the length subset) as
+    pure column expressions over INTEGER metrics (ratios compared by
+    cross-multiplication, so no float ever reaches the output):
+
+    * word count in [min_words, max_words]
+    * mean word length in [3, 10] chars (tenths, floored)
+    * symbol-to-word ratio (``#`` + non-overlapping ``...``) <= 0.1
+    * < 90% of lines starting with a bullet (``- ``/``* ``/U+2022)
+    * < 30% of lines ending with ``...``
+    * >= 80% of words containing an alphabetic character
+    * >= 2 distinct Gopher stop words present
+
+    The duplication rules of the same table live in
+    ``repetition_stats``. One projection, zero UDFs, zero shuffles —
+    at 100 TB this runs scan-speed alongside the other corpus
+    filters."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    avg_tenths = F.floor(
+        (n_chars - (n_words - 1)) * 10 / n_words).cast("int")
+    n_hash = (F.length(text)
+              - F.length(F.replace(text, F.lit("#"), F.lit("")))
+              ).cast("int")
+    n_ellipsis = ((F.length(text)
+                   - F.length(F.replace(text, F.lit("..."),
+                                        F.lit("")))) / 3).cast("int")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    def _is_bullet(li):
+        cond = li.startswith(GOPHER_BULLETS[0])
+        for b in GOPHER_BULLETS[1:]:
+            cond = cond | li.startswith(b)
+        return cond
+
+    n_bullet = F.size(F.filter(lines, _is_bullet))
+    n_ell_lines = F.size(F.filter(lines,
+                                  lambda li: li.endswith("...")))
+    n_alpha = F.size(F.filter(words,
+                              lambda w: w.rlike("[A-Za-z]")))
+    padded = F.concat(F.lit(" "),
+                      F.replace(text, F.lit("\n"), F.lit(" ")),
+                      F.lit(" "))
+    n_stop = F.lit(0)
+    for s in GOPHER_STOPWORDS:
+        n_stop = n_stop + padded.contains(f" {s} ").cast("int")
+    n_sym = n_hash + n_ellipsis
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (avg_tenths >= 30) & (avg_tenths <= 100)
+              & (n_sym * 10 <= n_words)
+              & (n_bullet * 10 < n_lines * 9)
+              & (n_ell_lines * 10 < n_lines * 3)
+              & (n_alpha * 10 >= n_words * 8)
+              & (n_stop >= 2))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_tenths.alias("avg_word_len_tenths"),
+        n_sym.cast("int").alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_lines.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        passes.cast("int").alias("gopher_pass"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word-count language heuristic. hits_xx = number of
     marker-word occurrences (space-padded substring count)."""

@@ -476,6 +476,42 @@ def test_warc_reader_writer(spark):
         dechunk(b"3\r\nabcXX0\r\n\r\n")
 
 
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule flips the pass flag in isolation: a
+    compliant base doc passes; bullet-dominated lines, ellipsis-
+    heavy line endings, symbol floods, alpha-poor words, and missing
+    stop words each fail their own rule."""
+    from cuphic_spark.operators.textstats import gopher_quality
+
+    base = ("the quick brown fox jumps over the lazy dog and that "
+            "fox would have run with more speed if it could be fast")
+    docs = spark.createDataFrame(
+        [(1, base),                                   # passes
+         (2, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+         (3, base + "\nx...\ny...\nz..."),            # >30% ellipsis
+         (4, base + " " + "# " * 10),                 # symbol ratio
+         (5, "12 34 " * 20 + "the be"),               # alpha-poor
+         (6, "word " * 30 + "tail"),                  # no stop words
+         (7, "a b")],                                 # too short
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality(
+        docs, min_words=5).collect()}
+    assert got[1]["gopher_pass"] == 1
+    assert got[2]["n_bullet_lines"] == 10
+    assert got[2]["gopher_pass"] == 0
+    assert got[3]["n_ellipsis_lines"] == 3
+    assert got[3]["gopher_pass"] == 0
+    assert got[4]["n_symbols"] == 10
+    assert got[4]["gopher_pass"] == 0
+    assert got[5]["gopher_pass"] == 0                 # <80% alpha
+    assert got[6]["n_stopwords"] == 0
+    assert got[6]["gopher_pass"] == 0
+    assert got[7]["n_words"] == 2
+    assert got[7]["gopher_pass"] == 0
+    # stop-word count is DISTINCT presence, not occurrences
+    assert got[1]["n_stopwords"] >= 5
+
+
 def test_pii_scrub_and_chunking(spark):
     """PII redaction edge cases (adjacent PII, no PII, email with
     digits the IP pass must not re-mangle) and chunking invariants
