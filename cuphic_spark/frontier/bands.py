@@ -425,24 +425,35 @@ def write_wave_frontier(spark: SparkSession, delta: DataFrame,
     # rollback discards it with the manifest). The band is re-split
     # into fresh runs — deterministic: the run split is a pure
     # function of the band's per-score counts.
-    for b in sorted(bands):
-        segs = bands[b]
-        ideal = -(-sum(s["count"] for s in segs) // split_rows)
-        if sum(len(s["paths"]) for s in segs) <= (ideal
-                                                  + cfg.band_max_paths):
-            continue
-        cdir = os.path.join(frontier_dir + "_band_compact", f"b{b}")
-        merged = _read_paths(spark,
-                             [p for s in segs for p in s["paths"]])
+    # ALL over-fragmented bands are compacted in ONE
+    # _write_run_partitioned call (one run-map aggregation + one
+    # parquet write instead of one pair PER band — the per-wave job
+    # count is the crawl's fixed cost, round-6 verdict #6): the run
+    # split is per-band either way (_with_runs windows by band), the
+    # write partitions by (band, run), and records come back in
+    # (band, run) order, so the seq sequence is IDENTICAL to the
+    # former per-band loop over sorted(bands) — the oracle's
+    # _consolidate twin is unchanged.
+    compact = [
+        b for b in sorted(bands)
+        if sum(len(s["paths"]) for s in bands[b])
+        > -(-sum(s["count"] for s in bands[b]) // split_rows)
+        + cfg.band_max_paths]
+    if compact:
+        cdir = frontier_dir + "_band_compact"
+        merged = _read_paths(spark, [p for b in compact
+                                     for s in bands[b]
+                                     for p in s["paths"]])
         recs = _write_run_partitioned(_prep_delta(merged, cfg), cdir,
                                       cfg, split_rows)
-        fresh = []
+        fresh_by_band: dict[int, list[dict]] = {b: [] for b in compact}
         for rec in recs:
-            fresh.append({"paths": [rec["path"]], "count": rec["count"],
-                          "lo": rec["lo"], "hi": rec["hi"],
-                          "seq": next_seq})
+            fresh_by_band[rec["band"]].append(
+                {"paths": [rec["path"]], "count": rec["count"],
+                 "lo": rec["lo"], "hi": rec["hi"], "seq": next_seq})
             next_seq += 1
-        bands[b] = fresh
+        for b in compact:
+            bands[b] = fresh_by_band[b]
 
     out_bands = {}
     for b in sorted(bands):
