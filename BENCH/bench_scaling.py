@@ -462,7 +462,7 @@ def main() -> None:
              "steady_waves": 2, "jobs_api": True},
             {**PROD_CASE, "wave_cap": 4_000_000,
              "n_seeds": 6_000_000, "budget": 2_000_000,
-             "timed_resume": 1, "pin": True, "reps": 1,
+             "timed_resume": 1, "pin": True, "reps": 2,
              "partitions": 32, "steady_waves": 2, "jobs_api": True},
         )
         rows = crawl_scaling(cases=cases, controls=controls)

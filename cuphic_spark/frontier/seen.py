@@ -721,6 +721,19 @@ def update_cuckoo_shards(shards: DataFrame | None, new_urls: DataFrame,
             .applyInPandas(merge, out_schema))
 
 
+def _any_overflow(path: str) -> bool:
+    """True iff any row of the committed shard parquet has
+    overflow=True — read driver-side (pyarrow, tiny file), zero
+    Spark jobs."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["overflow"])
+    col = tbl.column("overflow")
+    import pyarrow.compute as pc
+
+    return bool(pc.any(col).as_py() or False)
+
+
 def maintain_cuckoo_shards(shards: DataFrame | None, delta_urls: DataFrame,
                            full_seen: DataFrame,
                            n_partitions: int,
@@ -751,13 +764,17 @@ def maintain_cuckoo_shards(shards: DataFrame | None, delta_urls: DataFrame,
         return updated.drop("overflow")
     spark = delta_urls.sparkSession
     updated.write.mode("overwrite").parquet(path)
-    committed = spark.read.parquet(path)
-    if committed.where(F.col("overflow")).limit(1).count() > 0:
+    # overflow probe reads the just-committed tiny parquet (P rows)
+    # driver-side via pyarrow — the probe was a whole Spark job per
+    # wave (limit(1).count()), pure fixed cost on the crawl's
+    # steady-state path; the checkpoint dir is local/shared FS by
+    # the same contract every manifest footer read already relies on
+    if _any_overflow(path):
         rebuilt = build_cuckoo_shards(full_seen, n_partitions,
                                       load_factor=0.25)
         rebuilt.write.mode("overwrite").parquet(path)
-        committed = spark.read.parquet(path)
-    return committed.select("partition", "n_buckets", "blob")
+    return spark.read.parquet(path).select("partition", "n_buckets",
+                                           "blob")
 
 
 def cuckoo_prune(candidates: DataFrame, shards: DataFrame,
