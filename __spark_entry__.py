@@ -361,6 +361,110 @@ def q_chunk_text(spark, sf_dir):
     return chunk_text(docs, max_words=10, stride=7)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4/RefinedWeb rule): documents
+    rebuilt into 4-line shapes where line 2 is a shared navbar
+    string (7 distinct values across the corpus — boilerplate by
+    construction) and line 4 is a short always-kept stub below
+    min_chars; the winner election keeps each navbar line only in
+    its first (doc_id, pos) occurrence. Oracle re-derives the whole
+    pipeline (explode → md5 winner → reassembly) in SQL."""
+    from cuphic_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    words = F.split("text", " ")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat_ws(" ", F.slice(words, 1, 8)),
+            F.concat(F.lit("shared navbar line "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.concat_ws(" ", F.slice(words, 9, 8)),
+            F.lit("ok")).alias("text"))
+    return line_dedup(corpus, min_chars=4)
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """cp1252 mojibake repair: even docs get 'caf<Ã©>' + curly-quote
+    mojibake planted (the sequences GENERATED from the codec pair at
+    import, not hand-typed); the repair is a chained literal replace
+    whose DuckDB twin is generated from the same MOJIBAKE_PAIRS
+    table (single-sourced — webclean.mojibake_oracle_sql)."""
+    from cuphic_spark.operators.webclean import fix_mojibake
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    moji_cafe = "é".encode("utf-8").decode("windows-1252")
+    moji_apos = "’".encode("utf-8").decode("windows-1252")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("caf" + moji_cafe + " it" + moji_apos
+                              + "s "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    return fix_mojibake(planted)
+
+
+def _mojibake_oracle() -> str:
+    from cuphic_spark.operators.webclean import mojibake_oracle_sql
+
+    def lit(s: str) -> str:
+        return "||".join(f"chr({ord(c)})" for c in s)
+
+    moji_cafe = "é".encode("utf-8").decode("windows-1252")
+    moji_apos = "’".encode("utf-8").decode("windows-1252")
+    inner = f"""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'caf'||{lit(moji_cafe)}||' it'||{lit(moji_apos)}||'s '||text
+             ELSE text END AS text
+        FROM documents WHERE doc_id < 400"""
+    return mojibake_oracle_sql(inner)
+
+
+def q_doc_filter(spark, sf_dir):
+    """C4-style document gate: badword-ratio + source blocklist as
+    pure column exprs (one array filter over the split, predicate
+    stays scan-side). Every 5th doc gets badwords appended, every
+    11th a blocked source."""
+    from cuphic_spark.operators.webclean import doc_filter_flags
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" casino viagra")))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("srcX"))
+        .otherwise(F.col("source")).alias("source"))
+    return doc_filter_flags(planted)
+
+
+def _doc_filter_oracle() -> str:
+    from cuphic_spark.operators.webclean import BADWORDS
+
+    bad = "[" + ",".join(f"'{b}'" for b in BADWORDS) + "]"
+    cnt = (f"len(list_filter(string_split(text,' '), "
+           f"x -> list_contains({bad}, x)))")
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' casino viagra'
+                      ELSE text END AS text,
+                 CASE WHEN doc_id % 11 = 0 THEN 'srcX' ELSE source
+                      END AS source
+          FROM documents WHERE doc_id < 400)
+        SELECT doc_id, source = 'srcX' AS blocked_source,
+               CAST({cnt} AS INTEGER) AS badword_count,
+               CAST(floor({cnt} * 1000.0 / len(string_split(text,' ')))
+                    AS INTEGER) AS badword_permille,
+               (NOT source = 'srcX')
+               AND CAST(floor({cnt} * 1000.0
+                              / len(string_split(text,' ')))
+                        AS INTEGER) <= 20 AS keep
+        FROM src
+    """
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """Main-content extraction gate: pages wrapped in realistic
     chrome (header with a nested <nav> menu, mid-body aside with
@@ -1149,6 +1253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
+        "line_dedup": q_line_dedup,
+        "fix_mojibake": q_fix_mojibake,
+        "doc_filter": q_doc_filter,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_wide": q_minhash_wide,
@@ -1359,6 +1466,49 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "gopher_quality": _gopher_oracle_sql(),
+        "line_dedup": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(
+                       string_split(text,' '), 1, 8), ' ')
+                     || chr(10) || 'shared navbar line '
+                     || CAST(doc_id % 7 AS VARCHAR)
+                     || chr(10) || array_to_string(list_slice(
+                       string_split(text,' '), 9, 16), ' ')
+                     || chr(10) || 'ok' AS text
+              FROM documents WHERE doc_id < 400),
+            lines AS (
+              SELECT doc_id, CAST(t.i AS INTEGER) - 1 AS pos,
+                     string_split(text, chr(10))[t.i] AS line,
+                     CAST(doc_id AS BIGINT) * 4294967296 + (t.i - 1)
+                       AS k,
+                     len(string_split(text, chr(10))[t.i]) >= 4
+                       AS participates
+              FROM corpus,
+                   UNNEST(range(1, len(string_split(text, chr(10)))
+                                + 1)) AS t(i)),
+            winners AS (
+              SELECT md5(line) AS digest, min(k) AS win_k
+              FROM lines WHERE participates GROUP BY 1),
+            kept AS (
+              SELECT l.* FROM lines l
+              LEFT JOIN winners w
+                ON md5(l.line) = w.digest AND l.participates
+              WHERE NOT l.participates OR l.k = w.win_k),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text,
+                     CAST(count(*) AS INTEGER) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT c.doc_id, coalesce(r.text, '') AS text,
+                   coalesce(r.n_kept, 0) AS n_kept,
+                   CAST(len(string_split(c.text, chr(10)))
+                        - coalesce(r.n_kept, 0) AS INTEGER)
+                     AS n_dropped
+            FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+        """,
+        "fix_mojibake": _mojibake_oracle(),
+        "doc_filter": _doc_filter_oracle(),
         "lang_id": lang_id_oracle_sql(),
         "first_link_per_url": f"""
             WITH pages AS ({_PAGES_CTE})

@@ -655,3 +655,67 @@ def embedding_neardup_pairs(emb: DataFrame, threshold_milli: int = 990,
     return (cand.withColumn("cos", cos)
             .where(F.col("cos") * 1000 >= threshold_milli)
             .select("vec_a", "vec_b"))
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               min_chars: int = 1) -> DataFrame:
+    """Corpus-wide exact LINE deduplication (the C4/RefinedWeb rule:
+    a line occurring more than once across the corpus is kept only at
+    its first occurrence and deleted everywhere else).
+
+    Semantics: split each document on ``\\n``; every line of at least
+    ``min_chars`` characters participates; for each distinct
+    participating line the single winner is the occurrence with the
+    smallest (doc_id, position); all other occurrences are dropped
+    and the documents are reassembled in original line order. Lines
+    shorter than ``min_chars`` (e.g. blanks, markup stubs) never
+    participate and are always kept.
+
+    Scale (100 TB story): the winner election is a map-side-combining
+    aggregation keyed on md5(line) — uniform shuffle keys by
+    construction, same design as exact_dedup_groups — followed by an
+    equi-join of the tiny (digest, winner) relation back onto the
+    exploded lines and ONE reassembly shuffle on doc_id. No window
+    over the whole corpus, no driver-side state; skew is bounded
+    because a hot line (boilerplate navbars — the very thing this
+    removes) still aggregates via partial min before the shuffle.
+
+    Winner key encoding: doc_id * 2^32 + pos packs the (doc, pos)
+    order into one BIGINT so the election is a plain MIN — replicated
+    exactly by the DuckDB oracle (no struct-ordering semantics).
+
+    Returns (doc_id, text, n_kept, n_dropped) — text rebuilt with
+    ``\\n``, empty when every line was dropped.
+    """
+    pos_key = (F.col("doc_id").cast("long") * F.lit(4294967296).cast("long")
+               + F.col("pos").cast("long"))
+    lines = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("pos", "line"))
+             .withColumn("k", pos_key)
+             .withColumn("participates",
+                         F.length("line") >= F.lit(int(min_chars)))
+             .withColumn("digest",
+                         F.when(F.col("participates"), F.md5("line"))))
+    winners = (lines.where("participates")
+               .groupBy("digest").agg(F.min("k").alias("win_k")))
+    kept = (lines.join(winners, "digest", "left")
+            .where((~F.col("participates")) | (F.col("k") == F.col("win_k"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"])).alias("text"),
+                    F.count("*").alias("n_kept")))
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    base = docs.select("doc_id", n_lines.alias("n_lines"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("int")
+                    .alias("n_kept"),
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_dropped")))

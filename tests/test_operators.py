@@ -1604,3 +1604,81 @@ def test_jpeg_huffman_tables_are_valid_prefix_codes():
             assert code < (1 << length)
             assert dec[(length, code)] == sym
         assert len(dec) == len(enc)  # no (length, code) collisions
+
+
+def test_line_dedup_winner_semantics(spark):
+    """Hand-built corpus: the duplicated long line survives only at
+    its first (doc_id, pos); short lines never participate; a doc
+    whose every line is dropped rebuilds to ''."""
+    from cuphic_spark.operators.dedup import line_dedup
+
+    rows = [
+        (0, "unique alpha line\nshared boilerplate line\nok"),
+        (1, "shared boilerplate line\nunique beta line\nok"),
+        (2, "shared boilerplate line"),
+        (3, "ok\nok\nok"),  # short lines: all kept, none participate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_chars=4).collect()}
+    assert out[0].text == ("unique alpha line\n"
+                           "shared boilerplate line\nok")
+    assert out[0].n_dropped == 0
+    # doc 1 loses the shared line (doc 0 pos 1 < doc 1 pos 0)
+    assert out[1].text == "unique beta line\nok"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 1
+    # doc 2 was ONLY the shared line -> rebuilt empty
+    assert out[2].text == "" and out[2].n_kept == 0
+    assert out[2].n_dropped == 1
+    # 'ok' is below min_chars: kept everywhere, even repeated
+    assert out[3].text == "ok\nok\nok" and out[3].n_dropped == 0
+
+
+def test_mojibake_pairs_and_repair(spark):
+    """The pair table is generated from the codec pair (never
+    hand-typed) and the repair inverts a planted mis-decode exactly;
+    clean text passes through byte-identical. Strings are built
+    through the codecs here too — no mojibake literals in source."""
+    from cuphic_spark.operators.webclean import (
+        MOJIBAKE_PAIRS,
+        fix_mojibake,
+    )
+
+    for moji, ch in MOJIBAKE_PAIRS:
+        assert ch.encode("utf-8").decode("windows-1252") == moji
+    # longest-first ordering: a shorter entry can never fire inside
+    # a longer sequence that was still unapplied
+    lens = [len(m) for m, _ in MOJIBAKE_PAIRS]
+    assert lens == sorted(lens, reverse=True)
+    # the five cp1252 holes are skipped, not mis-mapped: every RIGHT
+    # double quote (U+201D, second UTF-8 byte 0x9D) is absent
+    assert "”" not in {ch for _, ch in MOJIBAKE_PAIRS}
+    assert "“" in {ch for _, ch in MOJIBAKE_PAIRS}
+
+    clean = "café “quote“ — déjà"
+    damaged = clean.encode("utf-8").decode("windows-1252")
+    assert damaged != clean
+    df = spark.createDataFrame(
+        [(0, damaged), (1, "plain ascii"), (2, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    assert out[0].repaired == clean and out[0].mojibake_found
+    assert out[1].repaired == "plain ascii"
+    assert not out[1].mojibake_found
+    assert out[2].repaired is None and out[2].mojibake_found is False
+
+
+def test_doc_filter_flags(spark):
+    from cuphic_spark.operators.webclean import doc_filter_flags
+
+    rows = [
+        (0, "good words only here and many more of them", "src0"),
+        (1, "casino viagra casino spam", "src0"),   # 750 permille
+        (2, "clean text", "srcX"),                  # blocked source
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in doc_filter_flags(df).collect()}
+    assert out[0].keep and out[0].badword_count == 0
+    assert out[1].badword_count == 3
+    assert out[1].badword_permille == 750 and not out[1].keep
+    assert out[2].blocked_source and not out[2].keep
