@@ -293,8 +293,12 @@ shutil.rmtree(d, ignore_errors=True)
     if jobs_api:
         env["CUPHIC_UI"] = "1"
     out = subprocess.run(argv, cwd=str(REPO), env=env,
-                         capture_output=True, text=True, timeout=2700,
-                         check=True)
+                         capture_output=True, text=True, timeout=2700)
+    if out.returncode:
+        raise RuntimeError(
+            f"crawl leg cpus={cpus} wave_cap={wave_cap} failed "
+            f"(exit {out.returncode}); stderr tail:\n"
+            + out.stderr[-4000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

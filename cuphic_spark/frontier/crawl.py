@@ -184,6 +184,14 @@ class CrawlConfig:
     # Results are byte-identical either way (the determinism
     # contract holds at any parallelism/plan): this knob is purely a
     # scheduling-overhead profile.
+    broadcast_timeout: int = 3600  # spark.sql.broadcastTimeout for
+    # the crawl session (restored on exit; <= 0 leaves it untouched).
+    # The seen-check broadcast side's lineage embeds the wave's whole
+    # fetch+parse chain — its BUILD time grows with wave_cap, so the
+    # 300 s Spark default is a latent production failure (measured:
+    # a 4M-url bootstrap wave on 8 cores exceeded it). The router
+    # additionally never broadcasts without an affirmative volume
+    # hint; this timeout covers the legitimately-broadcast waves.
     extra: dict = field(default_factory=dict)
 
 
@@ -687,9 +695,21 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     if cfg.seen_check == "auto":
         big_seen = (n_seen_hint is not None
                     and n_seen_hint >= cfg.broadcast_seen_min)
-        if big_seen and not over_candidate_cap:
+        # auto broadcasts only on an AFFIRMATIVE volume prediction: a
+        # MISSING hint (wave 0, or a resume without lineage metrics)
+        # must route conservatively — a first wave at production
+        # scale has unbounded candidates, and broadcasting them both
+        # risks driver memory (the cap exists for exactly this) and
+        # races spark.sql.broadcastTimeout, because the broadcast
+        # side's lineage embeds the whole fetch+parse chain (measured:
+        # the 4M-wave bootstrap blew the 300 s default on 8 cores —
+        # BENCH/crawl_steady_r7.json note)
+        can_broadcast = (prev_links_hint is not None
+                         and prev_links_hint
+                         <= cfg.broadcast_max_candidates)
+        if big_seen and can_broadcast:
             seen_strategy = "broadcast"
-        elif big_seen and over_candidate_cap and seen_paths is not None:
+        elif big_seen and seen_paths is not None:
             # candidates too big to broadcast against a huge seen
             # table: if they cluster in few host partitions, a
             # footer-pruned read of just those partitions beats
@@ -1052,6 +1072,11 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     if cfg.aqe == "off":
         prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    prior_bt = None
+    if cfg.broadcast_timeout > 0:
+        prior_bt = spark.conf.get("spark.sql.broadcastTimeout", "300")
+        spark.conf.set("spark.sql.broadcastTimeout",
+                       str(cfg.broadcast_timeout))
     # the pool that runs the pipelined checkpoint writes is owned HERE
     # so any exception inside the loop still joins in-flight writes
     # (a write racing session teardown is worse than a leaked cache)
@@ -1064,6 +1089,8 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         pool.shutdown(wait=True)
         if prior is not None:
             spark.conf.set("spark.sql.adaptive.enabled", prior)
+        if prior_bt is not None:
+            spark.conf.set("spark.sql.broadcastTimeout", prior_bt)
 
 
 def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:

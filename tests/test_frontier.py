@@ -888,6 +888,51 @@ def test_band_path_consolidation_bounds_fanin(spark, tmp_path):
     assert bands.read_full_frontier(spark, manifest).count() == 60
 
 
+def test_multi_band_consolidation_one_write(spark, tmp_path):
+    """Round-7 fixed-cost fold: when SEVERAL bands over-fragment in
+    the same wave they compact in ONE run-partitioned write — and the
+    result (content, per-band run layout, fresh-seq sequence) must be
+    IDENTICAL to the former per-band loop, i.e. to the python
+    oracle's _consolidate twin: fresh seqs assigned in (band asc,
+    run asc) order."""
+    from cuphic_spark.frontier import bands
+
+    cfg = CrawlConfig(partitions=2, band_width=1000, band_max_paths=3)
+    manifest = bands.empty_manifest(cfg)
+    for w in range(5):  # 5 deltas into TWO bands each, never read;
+        # the 5th write pushes BOTH bands past ideal+band_max_paths
+        # so both consolidate inside the same write_wave_frontier call
+        delta = spark.range(10).selectExpr(
+            f"concat('https://h.example/w{w}/', id) as url",
+            "'h.example' as host", "cast(1 as int) as depth",
+            # half the rows band 5, half band 6
+            "cast(5000 + (id % 2) * 1000 + id % 7 as long) as score",
+            f"cast({w} as int) as discovered_wave")
+        manifest, _ = bands.write_wave_frontier(
+            spark, delta, str(tmp_path / f"w{w}"), cfg, manifest, [])
+        frag5 = len(manifest["bands"]["5"]["paths"])
+        if w == 3:
+            assert frag5 == 4  # not yet consolidated
+    b5 = manifest["bands"]["5"]
+    b6 = manifest["bands"]["6"]
+    # both bands consolidated (fan-in bounded) in the SAME wave
+    assert len(b5["paths"]) == 1 and len(b6["paths"]) == 1
+    assert b5["count"] == 25 and b6["count"] == 25
+    # fresh seqs: assigned in (band asc, run asc) order — band 5's
+    # segments strictly before band 6's, contiguous (the python
+    # oracle _consolidate's per-band-loop sequence, which the
+    # one-write fold must reproduce exactly)
+    seqs5 = [s["seq"] for s in b5["segments"]]
+    seqs6 = [s["seq"] for s in b6["segments"]]
+    assert max(seqs5) < min(seqs6)
+    assert sorted(seqs5 + seqs6) == list(
+        range(min(seqs5), min(seqs5) + len(seqs5) + len(seqs6)))
+    # content exact
+    full = bands.read_full_frontier(spark, manifest)
+    assert full.count() == 50
+    assert full.select("url").distinct().count() == 50
+
+
 def test_lazy_band_reads_in_wave_metrics(spark, tmp_path):
     """End-to-end pin: with a deep-enough frontier the wave metrics
     show frontier_rows_read < frontier_size (the crawl is NOT reading
@@ -1242,26 +1287,33 @@ def test_auto_seen_routing_covers_all_strategies(spark, tmp_path,
                 out.append(_json.load(fh)["seen_strategy"])
         return out
 
-    # 1. big seen + candidates under the ceiling -> broadcast
+    # 1. big seen + candidates under the ceiling -> broadcast from
+    # wave 1 on. Wave 0 has NO links hint, and auto must never
+    # broadcast without an affirmative volume prediction (a first
+    # production wave's candidates are unbounded — the round-7 4M
+    # bootstrap blew the 300 s broadcast-build timeout exactly here)
     d1 = str(tmp_path / "route_bcast")
     cfg = CrawlConfig(checkpoint_dir=d1, seen_check="auto",
                       broadcast_seen_min=0, **CFG)
     assert crawl(spark, cfg)["metrics"] == oracle_state.metrics
-    assert set(strategies(d1)) == {"broadcast"}
+    s1 = strategies(d1)
+    assert s1[0] != "broadcast"
+    assert set(s1[1:]) == {"broadcast"}
 
     # 2. over the candidate ceiling with the byte threshold at 1.0:
-    # the pruned read is always admissible -> pruned (wave 0 has no
-    # links hint yet, so it broadcasts). The permissive threshold is
-    # needed because this toy universe's candidates span EVERY seen
-    # host, so pruning saves ~0 bytes — which the byte model detects
-    # (case 3); the old partition-count rule wrongly chose pruned.
+    # the pruned read is always admissible -> pruned (including
+    # wave 0: the hint-less wave routes through the same byte
+    # probe). The permissive threshold is needed because this toy
+    # universe's candidates span EVERY seen host, so pruning saves
+    # ~0 bytes — which the byte model detects (case 3); the old
+    # partition-count rule wrongly chose pruned.
     d2 = str(tmp_path / "route_pruned")
     cfg = CrawlConfig(checkpoint_dir=d2, seen_check="auto",
                       broadcast_seen_min=0, broadcast_max_candidates=1,
                       partitions=64, pruned_seen_byte_frac=1.0, **CFG)
     assert crawl(spark, cfg)["metrics"] == oracle_state.metrics
     s2 = strategies(d2)
-    assert s2[0] == "broadcast" and "pruned" in s2[1:]
+    assert "broadcast" not in s2 and "pruned" in s2
 
     # 3. same ceiling at the DEFAULT threshold: candidates hit every
     # seen host's partition, kept bytes ~= total bytes, the pruned
@@ -1272,7 +1324,7 @@ def test_auto_seen_routing_covers_all_strategies(spark, tmp_path,
                       partitions=64, **CFG)
     assert crawl(spark, cfg)["metrics"] == oracle_state.metrics
     s3 = strategies(d3)
-    assert s3[0] == "broadcast" and "shuffle" in s3[1:]
+    assert "broadcast" not in s3 and "shuffle" in s3
     assert "pruned" not in s3
 
     for d in (d1, d2, d3):
