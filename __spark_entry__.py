@@ -465,6 +465,84 @@ def _doc_filter_oracle() -> str:
     """
 
 
+def q_script_detect(spark, sf_dir):
+    """Unicode script detection gate: per-mod-4 corpora plant CJK /
+    Cyrillic+Greek-tie / Arabic shapes (characters by codepoint on
+    both sides); counts are integers and the dominance tie-break is
+    the SCRIPT_RANGES order, single-sourced into the DuckDB twin."""
+    from cuphic_spark.operators.webclean import script_detect
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    cjk = F.repeat(F.lit(chr(0x4E2D)), (did % 7 + 5).cast("int"))
+    cyr = F.repeat(F.lit(chr(0x0414)), 3)
+    greek = F.repeat(F.lit(chr(0x03B1)), 3)
+    arabic = F.repeat(F.lit(chr(0x0634)), 4)
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 4 == 1, F.concat(cjk, F.lit(" ok")))
+        .when(did % 4 == 2, F.concat(cyr, F.lit(" "), greek))
+        .when(did % 4 == 3, F.concat(arabic, F.lit(" 123 456")))
+        .otherwise(F.col("text")).alias("text"))
+    return script_detect(planted)
+
+
+def _script_detect_oracle() -> str:
+    from cuphic_spark.operators.webclean import script_detect_oracle_sql
+
+    inner = """SELECT doc_id,
+        CASE WHEN doc_id % 4 = 1
+             THEN repeat(chr(20013), CAST(doc_id % 7 + 5 AS INTEGER))
+                  || ' ok'
+             WHEN doc_id % 4 = 2
+             THEN repeat(chr(1044), 3) || ' ' || repeat(chr(945), 3)
+             WHEN doc_id % 4 = 3
+             THEN repeat(chr(1588), 4) || ' 123 456'
+             ELSE text END AS text
+        FROM documents WHERE doc_id < 400"""
+    return script_detect_oracle_sql(inner)
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Bigram-diversity quality signal: every third doc gets a
+    repetitive tail planted so the permille discriminates; pure
+    array exprs (zip_with of shifted slices), no explode."""
+    from cuphic_spark.operators.webclean import ngram_diversity
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" spam spam spam spam spam")))
+        .otherwise(F.col("text")).alias("text"))
+    return ngram_diversity(planted)
+
+
+_NGRAM_DIVERSITY_ORACLE = """
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' spam spam spam spam spam'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 400),
+    b AS (SELECT doc_id, string_split(text, ' ') AS w FROM src),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i + 1]) AS bg
+          FROM b)
+    SELECT doc_id,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS INTEGER)
+             AS n_distinct_bigrams,
+           CASE WHEN len(bg) > 0
+                THEN CAST(floor(len(list_distinct(bg)) * 1000.0
+                                / len(bg)) AS INTEGER)
+                ELSE 0 END AS diversity_permille
+    FROM g
+"""
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """Main-content extraction gate: pages wrapped in realistic
     chrome (header with a nested <nav> menu, mid-body aside with
@@ -1256,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "fix_mojibake": q_fix_mojibake,
         "doc_filter": q_doc_filter,
+        "script_detect": q_script_detect,
+        "ngram_diversity": q_ngram_diversity,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_wide": q_minhash_wide,
@@ -1509,6 +1589,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fix_mojibake": _mojibake_oracle(),
         "doc_filter": _doc_filter_oracle(),
+        "script_detect": _script_detect_oracle(),
+        "ngram_diversity": _NGRAM_DIVERSITY_ORACLE,
         "lang_id": lang_id_oracle_sql(),
         "first_link_per_url": f"""
             WITH pages AS ({_PAGES_CTE})

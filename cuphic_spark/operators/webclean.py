@@ -85,6 +85,89 @@ def mojibake_oracle_sql(inner: str, text_expr: str = "text") -> str:
     """
 
 
+# Unicode script ranges for script detection — expressed as \uXXXX
+# escapes (Java regex) with \x{XXXX} twins (RE2/DuckDB) so BOTH
+# pattern strings stay pure ASCII. Order = deterministic dominance
+# tie-break (earlier wins on equal counts).
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z", "A-Za-z"),
+    ("cjk", "\\u4E00-\\u9FFF", "\\x{4E00}-\\x{9FFF}"),
+    ("cyrillic", "\\u0400-\\u04FF", "\\x{0400}-\\x{04FF}"),
+    ("arabic", "\\u0600-\\u06FF", "\\x{0600}-\\x{06FF}"),
+    ("greek", "\\u0370-\\u03FF", "\\x{0370}-\\x{03FF}"),
+)
+
+
+def script_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document script detection: character counts per Unicode
+    script range (integer — hash-stable) and the dominant script
+    (max count, ties to the SCRIPT_RANGES order, 'unknown' when
+    every count is zero). Pure regexp_count column exprs."""
+    counts = {name: F.regexp_count(F.col(text_col),
+                                   F.lit(f"[{java}]"))
+              for name, java, _ in SCRIPT_RANGES}
+    # dominance: later scripts are tested FIRST (outermost when) but
+    # must be STRICTLY greater than every earlier script's count to
+    # take over — so equal counts resolve to the earliest entry in
+    # SCRIPT_RANGES, deterministically
+    dominant = F.lit("unknown")
+    for i, (name, _, _) in enumerate(SCRIPT_RANGES):
+        cond = F.col(f"n_{name}") > 0
+        for j in range(i):
+            cond = cond & (F.col(f"n_{name}")
+                           > F.col(f"n_{SCRIPT_RANGES[j][0]}"))
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+    with_counts = docs.select(
+        "doc_id", *[c.alias(f"n_{n}") for n, c in counts.items()])
+    return with_counts.select("doc_id",
+                              *[f"n_{n}" for n in counts],
+                              dominant.alias("script"))
+
+
+def script_detect_oracle_sql(inner: str) -> str:
+    """DuckDB twin generated from the same SCRIPT_RANGES table."""
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '[{re2}]')) AS INTEGER)"
+        f" AS n_{name}" for name, _, re2 in SCRIPT_RANGES)
+    dominant = "'unknown'"
+    for i, (name, _, _) in enumerate(SCRIPT_RANGES):
+        cond = f"n_{name} > 0"
+        for j in range(i):
+            cond += f" AND n_{name} > n_{SCRIPT_RANGES[j][0]}"
+        dominant = f"CASE WHEN {cond} THEN '{name}' ELSE {dominant} END"
+    return f"""
+        WITH src AS ({inner}),
+        counted AS (SELECT doc_id, {cols} FROM src)
+        SELECT doc_id, {', '.join('n_' + n for n, _, _ in SCRIPT_RANGES)},
+               {dominant} AS script
+        FROM counted
+    """
+
+
+def ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """RefinedWeb-style n-gram diversity signal: total and distinct
+    word bigrams per document plus the distinct/total ratio in
+    integer permille (floor — hash-stable). Repetitive boilerplate
+    scores low; natural text scores near 1000. Pure array exprs over
+    the existing split (zip_with of the two shifted slices), no
+    explode, no shuffle."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    total = F.size(bigrams)
+    distinct = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        total.alias("n_bigrams"),
+        distinct.alias("n_distinct_bigrams"),
+        F.when(total > 0,
+               F.floor(distinct * 1000 / total).cast("int"))
+        .otherwise(F.lit(0).cast("int")).alias("diversity_permille"))
+
+
 # The C4-style document gate: a tiny deterministic badword list (the
 # real pipelines use the public LDNOOBW lists; the mechanism — word-
 # membership ratio over the split — is what matters here) plus a

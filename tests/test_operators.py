@@ -1667,6 +1667,45 @@ def test_mojibake_pairs_and_repair(spark):
     assert out[2].repaired is None and out[2].mojibake_found is False
 
 
+def test_script_detect_dominance_and_ties(spark):
+    """Counts per range; dominance = strictly-greatest with ties to
+    the earliest SCRIPT_RANGES entry; all-zero -> 'unknown'."""
+    from cuphic_spark.operators.webclean import script_detect
+
+    cjk, cyr, greek = chr(0x4E2D), chr(0x0414), chr(0x03B1)
+    rows = [
+        (0, "plain latin text"),
+        (1, cjk * 5 + " ok"),          # cjk 5 > latin 2
+        (2, cyr * 3 + " " + greek * 3),  # tie -> cyrillic (earlier)
+        (3, "123 456"),                # no script chars -> unknown
+        (4, "ab " + cjk * 2),          # tie latin 2 == cjk 2 -> latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_detect(df).collect()}
+    assert out[0].script == "latin"
+    assert out[1].script == "cjk" and out[1].n_cjk == 5
+    assert out[2].script == "cyrillic"
+    assert out[2].n_cyrillic == 3 and out[2].n_greek == 3
+    assert out[3].script == "unknown"
+    assert out[4].script == "latin"
+
+
+def test_ngram_diversity_permille(spark):
+    from cuphic_spark.operators.webclean import ngram_diversity
+
+    rows = [
+        (0, "a b c d"),        # 3 bigrams, all distinct -> 1000
+        (1, "x y x y x y"),    # 5 bigrams, 2 distinct -> 400
+        (2, "solo"),           # no bigrams -> 0 permille
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_diversity(df).collect()}
+    assert out[0].n_bigrams == 3 and out[0].diversity_permille == 1000
+    assert out[1].n_bigrams == 5 and out[1].n_distinct_bigrams == 2
+    assert out[1].diversity_permille == 400
+    assert out[2].n_bigrams == 0 and out[2].diversity_permille == 0
+
+
 def test_doc_filter_flags(spark):
     from cuphic_spark.operators.webclean import doc_filter_flags
 
