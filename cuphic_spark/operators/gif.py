@@ -8,10 +8,10 @@ disposal, transparency — needs no external library. That upgrades
 
 Supported: global/local color tables, interlaced images (the 4-pass
 row shuffle), multiple frames with graphic-control extensions
-(delay, transparency index, disposal methods 0-2), multi-sub-block
-LZW streams, 2-12-bit variable code widths with CLEAR handling.
-Refused by name: disposal 3 (restore-to-previous, rare and
-memory-unbounded for a streaming decoder).
+(delay, transparency index, ALL disposal methods 0-3 — 3 snapshots
+the frame rect before rendering and restores it after, exactly one
+rect of lookback per GIF89a), multi-sub-block LZW streams, 2-12-bit
+variable code widths with CLEAR handling.
 
 The encoder exists to PIN the decoder (like jpeg/png): any frame
 sequence with <= 256 distinct colors across frames roundtrips
@@ -169,10 +169,6 @@ def decode_gif(payload: bytes):
                 delay = d * 10
                 transparent = tidx if gflags & 0x01 else None
                 disposal = (gflags >> 2) & 0x07
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "disposal method 3 (restore to previous) "
-                        "unsupported")
             else:  # comment/application/plain-text: skip sub-blocks
                 while payload[pos]:
                     pos += 1 + payload[pos]
@@ -213,6 +209,12 @@ def decode_gif(payload: bytes):
         if int(grid.max()) >= len(table):
             raise ValueError("pixel index beyond color table")
         region = canvas[top:top + fh, left:left + fw]
+        # disposal 3 (restore-to-previous): snapshot the rect this
+        # frame will overwrite BEFORE rendering; restored after the
+        # frame displays (GIF89a §23 — the decoder restores "what was
+        # there prior to rendering the graphic"). One rect of
+        # lookback, bounded by the frame size.
+        prev_rect = region.copy() if disposal == 3 else None
         rgb = table[grid]
         if transparent is not None:
             mask = (grid != transparent)[:, :, None]
@@ -228,6 +230,8 @@ def decode_gif(payload: bytes):
             bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
                       else np.zeros(3, dtype=np.uint8))
             canvas[top:top + fh, left:left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas[top:top + fh, left:left + fw] = prev_rect
         # a graphic-control extension applies ONLY to the first
         # following rendering block (GIF89a §23) — reset so a frame
         # without its own GCE doesn't inherit the previous frame's

@@ -1343,9 +1343,33 @@ def test_gif_codec_roundtrip_animation_and_compositing():
     # disposal 2 after frame 1: canvas under frame 2 restored to bg
     frames, _d = decode_gif(hand_gif(gflags2=0x01, disposal1=2))
     assert tuple(frames[1][1, 1]) == (255, 255, 255)
-    # disposal 3 refuses by name
-    with _pytest.raises(NotImplementedError, match="disposal"):
-        decode_gif(hand_gif(gflags2=0x01, disposal1=3))
+    # disposal 3 (restore-to-previous): a 3-frame stream where frame
+    # 2 paints the whole screen white under disposal 3 — frame 3's
+    # transparent probe pixel must see frame 1's canvas RESTORED
+    # (discriminates from disposal 0, which would leave white, AND
+    # from disposal 2, which would fill background white too)
+    def hand_gif_d3():
+        head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 3, 0)
+        table = bytes([10, 0, 0, 0, 200, 0, 0, 0, 250, 255, 255, 255])
+        from cuphic_spark.operators.gif import _lzw_encode
+
+        lzw1 = _lzw_encode(2, bytes([0, 1, 2, 0]))  # canvas A
+        f1 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+              + bytes([2, len(lzw1)]) + lzw1 + b"\x00")
+        gce2 = b"\x21\xf9\x04" + bytes([3 << 2, 0, 0, 0]) + b"\x00"
+        lzw2 = _lzw_encode(2, bytes([3, 3, 3, 3]))  # all white
+        f2 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+              + bytes([2, len(lzw2)]) + lzw2 + b"\x00")
+        gce3 = b"\x21\xf9\x04" + bytes([0x01, 0, 0, 1]) + b"\x00"
+        lzw3 = _lzw_encode(2, bytes([1]))  # transparent probe (0,0)
+        f3 = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+              + bytes([2, len(lzw3)]) + lzw3 + b"\x00")
+        return head + table + f1 + gce2 + f2 + gce3 + f3 + b"\x3b"
+
+    frames, _d = decode_gif(hand_gif_d3())
+    assert tuple(frames[1][0, 0]) == (255, 255, 255)  # f2 painted
+    assert tuple(frames[2][0, 0]) == (10, 0, 0)  # canvas A restored
+    assert tuple(frames[2][1, 1]) == (10, 0, 0)  # rest of A back too
 
     # GCE scope (GIF89a §23): a graphic control applies ONLY to the
     # first following rendering block — frame 2 WITHOUT its own GCE
