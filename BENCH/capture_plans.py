@@ -164,6 +164,53 @@ def main() -> None:
         "BroadcastExchange on the rules AND delay dims, no Python "
         "in the per-URL path.")
 
+    from cuphic_spark.operators.dedup import line_dedup
+    from cuphic_spark.operators.webclean import (
+        fix_mojibake,
+        ngram_diversity,
+        script_detect,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    multiline = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)),
+            F.concat(F.lit("shared navbar line "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.lit("ok")).alias("text"))
+    add("Corpus line-level dedup (C4 rule)",
+        line_dedup(multiline, min_chars=4),
+        "Round 7: winner election is a HashAggregate on md5(line) "
+        "with a partial_min BELOW the Exchange (map-side combine — "
+        "hot boilerplate lines collapse before the shuffle); the "
+        "small winner relation comes back as a BroadcastHashJoin "
+        "(at 100 TB it degrades gracefully to a shuffle join on the "
+        "uniform digest — either is correct, Catalyst picks by "
+        "size), and the reassembly is ONE ObjectHashAggregate on "
+        "doc_id (array_sort + concat_ws inside the agg — no window "
+        "over the corpus). Check: exactly two Exchanges on the line "
+        "path (digest agg partial_min, doc reassembly partial), "
+        "zero Python stages.")
+
+    add("Mojibake repair (codec-generated replace chain)",
+        fix_mojibake(docs),
+        "Round 7: the whole repair is ONE Project inside "
+        "WholeStageCodegen — 23 chained literal replace() calls, "
+        "no regex, no UDF, no shuffle; the found-flag reuses the "
+        "materialized repaired column (single evaluation). Check: "
+        "no Exchange, no MapInPandas, one codegen span over the "
+        "scan.")
+
+    add("Script detection + n-gram diversity (pure column exprs)",
+        script_detect(docs).join(ngram_diversity(docs), "doc_id"),
+        "Round 7: per-script regexp_count and the zip_with bigram "
+        "diversity are scan-side Projects; the join here exists "
+        "only to show both plans — each operator alone is "
+        "shuffle-free. Check: ReadSchema prunes to (doc_id, text), "
+        "no Python stages.")
+
     (REPO / "BENCH" / "PLANS.md").write_text(
         "# Physical plans of the key operators (captured, sf0.001)\n\n"
         + "\n".join(sections))

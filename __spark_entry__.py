@@ -1560,21 +1560,21 @@ def oracle_sql() -> dict[str, str]:
             lines AS (
               SELECT doc_id, CAST(t.i AS INTEGER) - 1 AS pos,
                      string_split(text, chr(10))[t.i] AS line,
-                     CAST(doc_id AS BIGINT) * 4294967296 + (t.i - 1)
-                       AS k,
                      len(string_split(text, chr(10))[t.i]) >= 4
                        AS participates
               FROM corpus,
                    UNNEST(range(1, len(string_split(text, chr(10)))
                                 + 1)) AS t(i)),
             winners AS (
-              SELECT md5(line) AS digest, min(k) AS win_k
+              SELECT md5(line) AS digest,
+                     min({'d': doc_id, 'p': pos}) AS w
               FROM lines WHERE participates GROUP BY 1),
             kept AS (
               SELECT l.* FROM lines l
               LEFT JOIN winners w
                 ON md5(l.line) = w.digest AND l.participates
-              WHERE NOT l.participates OR l.k = w.win_k),
+              WHERE NOT l.participates
+                 OR (l.doc_id = w.w.d AND l.pos = w.w.p)),
             rebuilt AS (
               SELECT doc_id,
                      string_agg(line, chr(10) ORDER BY pos) AS text,

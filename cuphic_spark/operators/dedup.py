@@ -680,28 +680,31 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
     because a hot line (boilerplate navbars — the very thing this
     removes) still aggregates via partial min before the shuffle.
 
-    Winner key encoding: doc_id * 2^32 + pos packs the (doc, pos)
-    order into one BIGINT so the election is a plain MIN — replicated
-    exactly by the DuckDB oracle (no struct-ordering semantics).
+    Winner election: MIN over struct(doc_id, pos) — lexicographic
+    struct ordering on both engines (DuckDB's min over a struct is
+    field-order lexicographic too), valid for the FULL int64 doc_id
+    range. (A first cut packed doc_id*2^32+pos into one BIGINT; the
+    pipeline-composition test caught it overflowing under ANSI for
+    hash-derived doc_ids — exactly what production corpora use.)
 
     Returns (doc_id, text, n_kept, n_dropped) — text rebuilt with
     ``\\n``, empty when every line was dropped.
     """
-    pos_key = (F.col("doc_id").cast("long") * F.lit(4294967296).cast("long")
-               + F.col("pos").cast("long"))
     lines = (docs
              .select("doc_id",
                      F.posexplode(F.split(F.col(text_col), "\n"))
                      .alias("pos", "line"))
-             .withColumn("k", pos_key)
              .withColumn("participates",
                          F.length("line") >= F.lit(int(min_chars)))
              .withColumn("digest",
                          F.when(F.col("participates"), F.md5("line"))))
     winners = (lines.where("participates")
-               .groupBy("digest").agg(F.min("k").alias("win_k")))
+               .groupBy("digest")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
     kept = (lines.join(winners, "digest", "left")
-            .where((~F.col("participates")) | (F.col("k") == F.col("win_k"))))
+            .where((~F.col("participates"))
+                   | ((F.col("doc_id") == F.col("w.doc_id"))
+                      & (F.col("pos") == F.col("w.pos")))))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.concat_ws(
                         "\n",

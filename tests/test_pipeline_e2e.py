@@ -88,4 +88,55 @@ def test_crawl_to_training_data_pipeline(spark, tmp_path):
     got = top.groupBy("query_id").count().collect()
     assert {r["count"] for r in got} == {3}
 
+    # ---- stage 6: the round-7 cleaning chain over the same corpus
+    # (mojibake repair → line dedup → quality/script/diversity
+    # flags → document filter), composed the way a production
+    # cleaning pass runs: each stage consumes the previous stage's
+    # exact output schema.
+    from cuphic_spark.operators.dedup import line_dedup
+    from cuphic_spark.operators.webclean import (
+        doc_filter_flags,
+        fix_mojibake,
+        ngram_diversity,
+        script_detect,
+    )
+
+    moji = "é".encode("utf-8").decode("windows-1252")
+    damaged = docs.select(
+        "doc_id",
+        F.concat(F.lit("caf" + moji + " "), "text").alias("text"))
+    repaired = fix_mojibake(damaged)
+    assert repaired.where(~F.col("mojibake_found")).count() == 0
+    # every repaired text startswith the fixed prefix
+    assert repaired.where(
+        ~F.col("repaired").startswith("café ")).count() == 0
+
+    # line shape: body on line 1, a SHARED footer line on line 2 —
+    # line_dedup must keep the footer exactly once corpus-wide
+    lined = repaired.select(
+        "doc_id",
+        F.concat(F.col("repaired"),
+                 F.lit("\nshared footer line")).alias("text"))
+    deduped = line_dedup(lined, min_chars=4)
+    n_docs = repaired.count()
+    assert deduped.count() == n_docs
+    kept_footers = deduped.where(
+        F.col("text").contains("shared footer line")).count()
+    assert kept_footers == 1                  # first occurrence only
+    assert (deduped.agg(F.sum("n_dropped")).first()[0]
+            == n_docs - 1)
+
+    flags = (deduped
+             .join(script_detect(deduped), "doc_id")
+             .join(ngram_diversity(deduped), "doc_id")
+             .join(doc_filter_flags(
+                 deduped.withColumn("source", F.lit("src0"))),
+                 "doc_id"))
+    assert flags.count() == n_docs
+    # the corpus is latin webgraph text with no badwords: everything
+    # passes the filter and scripts as latin
+    assert flags.where(~F.col("keep")).count() == 0
+    assert flags.where(F.col("script") != "latin").count() == 0
+    assert flags.where(F.col("diversity_permille") <= 0).count() == 0
+
     shutil.rmtree(d, ignore_errors=True)
