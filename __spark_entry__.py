@@ -1302,6 +1302,45 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, path, queries_df, k=5, n_probe=2)
 
 
+def _graph_universe(spark, sf_dir: str) -> int:
+    """Synthetic-web universe for the link-graph gates, scaled from
+    the sf (orders row count: 1500 at sf0.001, 15000 at sf0.01)."""
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def q_pagerank_exact(spark, sf_dir):
+    """Exact integer fixed-point PageRank + in-degree over the
+    synthetic link graph (frontier/graphrank.py) — every arithmetic
+    step integer, so the hash matches the unrolled DuckDB CTE chain
+    at any partitioning."""
+    from cuphic_spark.frontier.graphrank import (
+        in_degree, pagerank, synthetic_edges)
+    u = _graph_universe(spark, sf_dir)
+    edges = synthetic_edges(spark, u)
+    pr = pagerank(edges, u, iters=5)
+    ind = in_degree(edges)
+    return (pr.join(ind, pr.id == ind.dst, "left")
+            .select("id", "rank",
+                    F.coalesce("in_deg", F.lit(0))
+                    .cast("long").alias("in_deg")))
+
+
+def q_anchor_stats(spark, sf_dir):
+    """Per-canonical-target anchor-text rollup through the REAL
+    pipeline — simulated fetch, expat parse to nodes, kernel anchor
+    pattern, urlnorm canonicalization — vs a closed-form RFC-3986
+    reconstruction in SQL."""
+    from cuphic_spark.frontier.graphrank import (
+        anchor_stats, synthetic_pages)
+    u = _graph_universe(spark, sf_dir)
+    pages = synthetic_pages(spark, u)
+    nodes = pages_to_nodes(pages)
+    m = match_nodes(nodes,
+                    [compile_pattern("anchors",
+                                     "[:a {:href href} anchor]")])
+    return anchor_stats(pages, m)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1359,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "embedding_neardup": q_embedding_neardup,
         "simhash": q_simhash,
+        "pagerank_exact": q_pagerank_exact,
+        "anchor_stats": q_anchor_stats,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1377,6 +1418,15 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _graphrank_oracle() -> tuple[str, str]:
+    """(pagerank_exact, anchor_stats) DuckDB twins at the same
+    orders-count universe the Spark queries use."""
+    from cuphic_spark.frontier.graphrank import (
+        anchor_oracle_sql, pagerank_oracle_sql)
+    u = "SELECT count(*) FROM orders"
+    return pagerank_oracle_sql(u, iters=5), anchor_oracle_sql(u)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2024,6 +2074,8 @@ def oracle_sql() -> dict[str, str]:
             FROM raw
         """,
         "minhash_wide": _minhash_oracle_sql(16),
+        "pagerank_exact": _graphrank_oracle()[0],
+        "anchor_stats": _graphrank_oracle()[1],
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

@@ -1,0 +1,133 @@
+"""Link-graph analytics (frontier/graphrank.py): exact integer
+PageRank, in-degree, anchor-text rollups, and the DuckDB oracle
+twins the gate runs at sf0.01.
+
+The PageRank twin here is an INDEPENDENT single-process
+reimplementation of the documented semantics (dict loops, no Spark,
+no shared code) — the same twin strategy as tests/oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cuphic_spark.compiler import compile_pattern, match_nodes
+from cuphic_spark.frontier import webgraph
+from cuphic_spark.frontier.graphrank import (
+    anchor_oracle_sql,
+    anchor_stats,
+    in_degree,
+    pagerank,
+    pagerank_oracle_sql,
+    rank_priority_expr,
+    synthetic_edges,
+    synthetic_pages,
+)
+from cuphic_spark.operators.parse import pages_to_nodes
+
+U = 101  # prime: exercises every (i*31+k*17+7)%U residue class
+SCALE = 10**9
+
+
+def _py_edges(u: int) -> list[tuple[int, int]]:
+    return [(i, (i * 31 + k * 17 + 7) % u)
+            for i in range(u) for k in range((i * 7 + 3) % 6)]
+
+
+def _py_pagerank(u: int, iters: int) -> dict[int, int]:
+    edges = _py_edges(u)
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {i: SCALE for i in range(u)}
+    for _ in range(iters):
+        dang = sum(v for i, v in r.items() if i not in out)
+        ins = {i: 0 for i in range(u)}
+        for s, d in edges:
+            ins[d] += r[s] // out[s]
+        r = {i: (15 * SCALE) // 100 + (85 * (ins[i] + dang // u)) // 100
+             for i in range(u)}
+    return r
+
+
+def test_synthetic_edges_match_webgraph(spark):
+    got = sorted((r.src, r.dst)
+                 for r in synthetic_edges(spark, U).collect())
+    exp = sorted(
+        (i, webgraph.link_target(i, k, U))
+        for i in range(U) for k in range(webgraph.n_links(i)))
+    assert got == exp
+    # dangling pages (i = 3 mod 6) emit NO edges — the descending
+    # sequence(0,-1) pitfall this module guards against
+    srcs = {s for s, _ in got}
+    assert all(i not in srcs for i in range(3, U, 6))
+
+
+def test_pagerank_matches_python_twin(spark):
+    e = synthetic_edges(spark, U)
+    got = {r.id: r.rank for r in pagerank(e, U, iters=5).collect()}
+    assert got == _py_pagerank(U, 5)
+
+
+def test_pagerank_mass_is_conserved_within_floor_loss(spark):
+    """Total mass stays near U*SCALE: each step loses only integer
+    floor remainders (< 1 unit per share + 100 per node)."""
+    e = synthetic_edges(spark, U)
+    total = (pagerank(e, U, iters=3)
+             .agg(F.sum("rank")).first()[0])
+    assert U * SCALE * 0.98 < total <= U * SCALE
+
+
+def test_pagerank_oracle_sql_matches_spark(spark):
+    e = synthetic_edges(spark, U)
+    pr = pagerank(e, U, iters=5)
+    ind = in_degree(e)
+    got = {r.id: (r.rank, r.in_deg) for r in
+           pr.join(ind, pr.id == ind.dst, "left")
+             .select("id", "rank",
+                     F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+             .collect()}
+    ora = {r[0]: (r[1], r[2])
+           for r in duckdb.sql(pagerank_oracle_sql(str(U))).fetchall()}
+    assert got == ora
+
+
+def test_anchor_stats_matches_closed_form_oracle(spark):
+    pages = synthetic_pages(spark, U)
+    m = match_nodes(
+        pages_to_nodes(pages),
+        [compile_pattern("anchors", "[:a {:href href} anchor]")])
+    got = {r.target: (r.n_anchors, r.n_distinct,
+                      r.min_anchor, r.max_anchor)
+           for r in anchor_stats(pages, m).collect()}
+    ora = {r[0]: (r[1], r[2], r[3], r[4])
+           for r in duckdb.sql(anchor_oracle_sql(str(U))).fetchall()}
+    assert got == ora
+    # the RFC-3986 wrinkle is present: some path-only href resolved
+    # to the SOURCE page's host, so at least one target exists that
+    # is NOT any page's canonical url_of
+    urls = {webgraph.url_of(i) for i in range(U)}
+    assert any(t not in urls for t in got)
+
+
+def test_rank_priority_orders_by_depth_then_rank(spark):
+    df = spark.createDataFrame(
+        [(0, 2 * SCALE, 1), (1, SCALE, 0), (2, 3 * SCALE, 0)],
+        "id long, rank long, depth int")
+    got = [r.id for r in
+           df.orderBy(rank_priority_expr(F.col("rank"),
+                                         F.col("depth")))
+           .collect()]
+    # depth 0 first; within depth, higher rank first
+    assert got == [2, 1, 0]
+
+
+def test_pagerank_rejects_nothing_but_frees_checkpoints(spark):
+    """The iteration loop frees each round's localCheckpoint blocks:
+    after the run, at most the final ranks remain persisted."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    pagerank(synthetic_edges(spark, U), U, iters=4).collect()
+    after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 2  # final ranks (+ its init) only
