@@ -1302,6 +1302,14 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_topk_indexed(spark, path, queries_df, k=5, n_probe=2)
 
 
+def q_lm_fluency(spark, sf_dir):
+    """Corpus-trained bigram LM fluency in integer ppm
+    (operators/textstats.py lm_fluency) — CCNet-style quality
+    signal, floor arithmetic so the hash is partitioning-exact."""
+    from cuphic_spark.operators.textstats import lm_fluency
+    return lm_fluency(_docs(spark, sf_dir))
+
+
 def _graph_universe(spark, sf_dir: str) -> int:
     """Synthetic-web universe for the link-graph gates, scaled from
     the sf (orders row count: 1500 at sf0.001, 15000 at sf0.01)."""
@@ -1400,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "pagerank_exact": q_pagerank_exact,
         "anchor_stats": q_anchor_stats,
+        "lm_fluency": q_lm_fluency,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1418,6 +1427,11 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _lm_fluency_oracle() -> str:
+    from cuphic_spark.operators.textstats import lm_fluency_oracle_sql
+    return lm_fluency_oracle_sql()
 
 
 def _graphrank_oracle() -> tuple[str, str]:
@@ -2076,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_wide": _minhash_oracle_sql(16),
         "pagerank_exact": _graphrank_oracle()[0],
         "anchor_stats": _graphrank_oracle()[1],
+        "lm_fluency": _lm_fluency_oracle(),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

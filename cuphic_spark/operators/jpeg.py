@@ -15,13 +15,18 @@ training-data pipeline actually meets most often:
 * ``encode_jpeg_planar``: the same quantized coefficients as one
   non-interleaved baseline scan PER COMPONENT — the differential pin
   for multi-scan baseline decode.
-* ``decode_jpeg``: baseline sequential OR progressive JFIF -> uint8
-  array: any integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2,
-  ...), with or without restart intervals, baseline multi-scan
-  (planar, component-subset scans), multi-scan SOF2 with DC/AC
-  first + refinement scans and EOB-run coding — the common wild-JPEG
-  shapes. Tables (DQT/DHT) are read from the stream;
-  arithmetic-coded, hierarchical, and 12-bit streams raise
+* ``encode_jpeg_extended``: SOF1 extended sequential at 12-bit (or
+  8-bit) sample precision with 16-bit DQT entries — the test vector
+  source for the precision axis.
+* ``decode_jpeg``: baseline/extended sequential OR progressive JFIF
+  -> uint8 array: any integer-ratio sampling factors (4:4:4, 4:2:0,
+  4:2:2, ...), with or without restart intervals, baseline
+  multi-scan (planar, component-subset scans), multi-scan SOF2 with
+  DC/AC first + refinement scans and EOB-run coding, 8- and 12-bit
+  sample precision (12-bit reconstructions are presented as
+  floor(x / 16) on the uniform uint8 schema), 8- and 16-bit DQT —
+  the common wild-JPEG shapes. Tables are read from the stream;
+  arithmetic-coded, hierarchical, and lossless streams raise
   ``NotImplementedError`` with the exact reason — the honest
   boundary of this from-scratch decoder, not a silent wrong answer.
 
@@ -451,6 +456,99 @@ def encode_jpeg_planar(img: np.ndarray, quality: int = 85,
         out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
         out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: DC table for the 12-bit extended encoder: 12-bit DPCM differences
+#: span size categories 0..15, beyond the Annex-K DC tables' 0..11 —
+#: the simplest complete code is all 16 symbols at 5 bits (the
+#: all-ones 5-bit code stays unused per the T.81 convention).
+DC_EXTENDED_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_EXTENDED_VALS = list(range(16))
+
+
+def encode_jpeg_extended(img: np.ndarray, quality: int = 85,
+                         precision: int = 12) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint16 samples in
+    [0, 2**precision) -> EXTENDED SEQUENTIAL JFIF bytes (SOF1,
+    T.81 B.2.2): 12-bit sample precision, 16-bit DQT entries
+    (Pq=1), and Huffman tables covering the wider size categories
+    (DC 0..15 via DC_EXTENDED, AC sizes to 14 via AC_UNIVERSAL).
+    4:4:4 only — the subsampled shapes are pinned by the baseline
+    encoders; this one exists to exercise the precision axis.
+
+    The quant tables are the Annex-K quality curve scaled by
+    2**(precision-8), the usual step-scaling for deeper samples."""
+    if precision not in (8, 12):
+        raise ValueError("extended sequential precision must be 8 "
+                         "or 12 (T.81 B.2.2)")
+    half = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    arr = img.astype(np.float64)
+    if arr.min() < 0 or arr.max() > maxv:
+        raise ValueError(f"samples out of [0, {maxv}]")
+    if ch == 1:
+        planes = [arr[:, :, 0]]
+    elif ch == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = half - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = half + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(f"unsupported channel count {ch}")
+    nc = len(planes)
+    shift = 1 << (precision - 8)
+    qtabs = [np.clip(_scaled_quant(QUANT_LUM, quality) * shift,
+                     1, 65535)]
+    if nc == 3:
+        qtabs.append(np.clip(_scaled_quant(QUANT_CHROM, quality)
+                             * shift, 1, 65535))
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    quantized = []
+    for ci, plane in enumerate(planes):
+        blocks = _grid_blocks(plane, mcus_y, mcus_x) - half
+        coef = np.einsum("ux,rcxy,vy->rcuv", _A, blocks, _A)
+        q = qtabs[min(ci, 1)].astype(np.float64)
+        quantized.append(np.round(coef / q).astype(np.int32))
+
+    dc_code = _canonical_codes(DC_EXTENDED_BITS, DC_EXTENDED_VALS)
+    ac_code = _canonical_codes(AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+    bw = _BitWriter()
+    prev_dc = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                zz = quantized[ci][my, mx].reshape(64)[ZIGZAG]
+                prev_dc[ci] = _encode_block(bw, zz, prev_dc[ci],
+                                            dc_code, ac_code)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x01\x00\x01\x00\x00")
+    for qi, q in enumerate(qtabs):  # 16-bit DQT (Pq=1)
+        body = bytes([0x10 | qi])
+        for x in q.reshape(64)[ZIGZAG]:
+            body += int(x).to_bytes(2, "big")
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([precision]) + h.to_bytes(2, "big") \
+        + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += b"\xff\xc1" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0x00, DC_EXTENDED_BITS, DC_EXTENDED_VALS)
+    out += _dht_segment(0x10, AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1039,6 +1137,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    sample_precision = 8
     progressive = False
     scans: list[dict] = []
     restart_interval = 0
@@ -1066,12 +1165,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT unsupported")
-                tab = np.frombuffer(body[i + 1:i + 65],
-                                    dtype=np.uint8).astype(np.int32)
+                if pq == 0:  # 8-bit entries (baseline)
+                    tab = np.frombuffer(body[i + 1:i + 65],
+                                        dtype=np.uint8).astype(np.int32)
+                    i += 65
+                elif pq == 1:  # 16-bit entries (extended, T.81 B.2.4.1)
+                    tab = np.frombuffer(body[i + 1:i + 129],
+                                        dtype=">u2").astype(np.int32)
+                    i += 129
+                else:
+                    raise ValueError(f"invalid DQT precision Pq={pq}")
                 qtabs[tq] = tab[UNZIGZAG].reshape(8, 8)
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -1081,11 +1185,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — all share the Huffman-DCT decode path;
+            # SOF1/SOF2 additionally allow 12-bit samples
             progressive = marker == 0xC2
             precision = body[0]
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 requires 8-bit "
+                                 "precision (T.81 B.2.2)")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"{precision}-bit precision (T.81 DCT modes "
+                    "define 8 and 12 only)")
+            sample_precision = precision
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             if h * w > 64_000_000:
@@ -1118,11 +1231,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                      f"{hi}x{vi} for component {cid}")
                 comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} "
-                "(extended/arithmetic/hierarchical unsupported)")
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(arithmetic/hierarchical/lossless modes)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1281,7 +1394,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         q = qtabs[tq].reshape(64).astype(np.float64)
         deq = (grids[ci].astype(np.float64)[:, UNZIGZAG] * q) \
             .reshape(rows * cols, 8, 8)
-        spatial = np.einsum("xu,nuv,yv->nxy", _A.T, deq, _A.T) + 128.0
+        # level shift at the stream's sample precision, then bring
+        # 12-bit samples down to the uniform 8-bit pixel schema
+        # (floor(x / 2^(P-8)) of the clamped full-precision sample —
+        # the conventional high-bit-depth presentation)
+        half = float(1 << (sample_precision - 1))
+        spatial = np.einsum("xu,nuv,yv->nxy", _A.T, deq, _A.T) + half
+        if sample_precision > 8:
+            spatial = np.floor(
+                np.clip(spatial.round(), 0, 2 * half - 1)
+                / (1 << (sample_precision - 8)))
         plane = (spatial.reshape(rows, cols, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
         # crop to the component's true dims, then replicate up to

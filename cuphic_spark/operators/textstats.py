@@ -405,3 +405,78 @@ def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "rank", "term", "score_permille"))
+
+
+def lm_fluency(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram LM fluency score — the CCNet-style
+    quality axis (score documents by how typical their word
+    transitions are for THIS corpus), kept integer-exact.
+
+    For every bigram (prev, nxt) the corpus MLE conditional is
+    c2(prev,nxt) / c1(prev) where c1 counts prev as a bigram PREFIX
+    (so the denominator matches the numerator's event space with no
+    end-of-document edge). Each document scores
+
+        fluency_sum = sum over its bigrams of (c2 * 10^6) div c1
+
+    i.e. the summed conditional probability in integer parts-per-
+    million — floor division keeps every term an int64, so the sum
+    is partitioning-invariant and hash-exact against the DuckDB
+    twin (float log-probs would not be). n_bigrams lets callers
+    normalize to a mean; docs with < 2 tokens score (0, 0).
+
+    Scale shape: one explode (no Python), two count aggregates —
+    c2 is vocabulary²-bounded and c1 derives from c2's partial
+    sums — then two joins back; common-word skew on the c1 join is
+    AQE-handled (skew-join), and both count tables are usually
+    broadcastable at web vocabulary sizes."""
+    ws = F.split(F.col("text"), " ")
+    bigr = (docs.withColumn("ws", ws)
+            .where(F.size("ws") >= 2)
+            .select("doc_id",
+                    F.explode(F.expr(
+                        "arrays_zip(slice(ws, 1, size(ws) - 1), "
+                        "slice(ws, 2, size(ws) - 1))")).alias("bg"))
+            .select("doc_id",
+                    F.col("bg")["0"].alias("prev"),
+                    F.col("bg")["1"].alias("nxt")))
+    c2 = bigr.groupBy("prev", "nxt").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    scored = (bigr.join(c2, ["prev", "nxt"]).join(c1, "prev")
+              .groupBy("doc_id")
+              .agg(F.sum(F.expr("(c2 * 1000000) div c1"))
+                   .alias("fluency_sum"),
+                   F.count("*").alias("n_bigrams")))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("fluency_sum", F.lit(0))
+                    .cast("long").alias("fluency_sum"),
+                    F.coalesce("n_bigrams", F.lit(0))
+                    .cast("long").alias("n_bigrams")))
+
+
+def lm_fluency_oracle_sql() -> str:
+    """DuckDB twin of :func:`lm_fluency` (same integer ppm floor)."""
+    return """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        b AS (
+          SELECT doc_id, ws[t.i] AS prev, ws[t.i + 1] AS nxt
+          FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        c2 AS (SELECT prev, nxt, count(*) AS c2
+               FROM b GROUP BY prev, nxt),
+        c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+        s AS (
+          SELECT b.doc_id,
+                 sum((c2.c2 * 1000000) // c1.c1) AS fsum,
+                 count(*) AS nb
+          FROM b
+          JOIN c2 ON b.prev = c2.prev AND b.nxt = c2.nxt
+          JOIN c1 ON b.prev = c1.prev
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.fsum, 0)::BIGINT AS fluency_sum,
+               coalesce(s.nb, 0)::BIGINT AS n_bigrams
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """

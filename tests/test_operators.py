@@ -1745,3 +1745,85 @@ def test_doc_filter_flags(spark):
     assert out[1].badword_count == 3
     assert out[1].badword_permille == 750 and not out[1].keep
     assert out[2].blocked_source and not out[2].keep
+
+
+def test_jpeg_extended_sequential_12bit():
+    """SOF1 / 12-bit / 16-bit-DQT decode (T.81 extended sequential):
+    flat image pins the EXACT downscaled value (DC-only blocks);
+    gradient and noise images bound the reconstruction error against
+    the 8-bit downscale of the 12-bit original; 8-bit SOF1 also
+    decodes; SOF0 claiming 12-bit refuses (spec violation), and the
+    arithmetic-coded SOF marker still refuses by name."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_extended)
+
+    rng = np.random.default_rng(23)
+
+    flat = np.full((16, 16), 2560, dtype=np.uint16)
+    data = encode_jpeg_extended(flat, quality=95)
+    assert b"\xff\xc1" in data          # SOF1
+    # DQT is Pq=1: first table byte after the DQT length is 0x10
+    i = data.index(b"\xff\xdb")
+    assert data[i + 4] == 0x10
+    out = decode_jpeg(data)
+    assert out.shape == (16, 16, 3)
+    assert np.unique(out).tolist() == [2560 // 16]
+
+    x = np.linspace(0, 4095, 48)
+    grad = np.stack(
+        [np.meshgrid(x, x)[0], np.meshgrid(x, x)[1],
+         np.full((48, 48), 1000.0)], axis=-1).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg_extended(grad, quality=95))
+    err = np.abs(dec.astype(float) - (grad >> 4).astype(float))
+    assert err.max() <= 6
+
+    noise = rng.integers(0, 4096, (40, 40), dtype=np.uint16)
+    dn = decode_jpeg(encode_jpeg_extended(noise, quality=100))
+    assert np.abs(dn[:, :, 0].astype(float)
+                  - (noise >> 4).astype(float)).max() <= 2
+
+    eight = decode_jpeg(encode_jpeg_extended(
+        rng.integers(0, 256, (24, 24), dtype=np.uint16),
+        quality=90, precision=8))
+    assert eight.shape == (24, 24, 3)
+
+    # SOF0 + 12-bit is a spec violation -> loud ValueError
+    bad = bytearray(encode_jpeg_extended(flat))
+    j = bad.index(b"\xff\xc1")
+    bad[j + 1] = 0xC0
+    with _pytest.raises(ValueError, match="baseline SOF0"):
+        decode_jpeg(bytes(bad))
+
+    # arithmetic coding remains an honest refusal
+    arith = bytearray(encode_jpeg_extended(flat))
+    arith[arith.index(b"\xff\xc1") + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
+
+
+def test_lm_fluency_bigram_ppm(spark):
+    """Hand-computed corpus: 'a b' appears in two docs (c2=2), 'a c'
+    in one (c2=1), both with prefix 'a' (c1=3) -> per-bigram ppm
+    666666 vs 333333; a one-word doc scores (0, 0); the DuckDB twin
+    matches exactly."""
+    import duckdb as _duck
+
+    from cuphic_spark.operators.textstats import (
+        lm_fluency, lm_fluency_oracle_sql)
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.fluency_sum, r.n_bigrams)
+           for r in lm_fluency(docs).collect()}
+    assert got == {1: (666666, 1), 2: (666666, 1),
+                   3: (333333, 1), 4: (0, 0)}
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ora = {r[0]: (r[1], r[2])
+           for r in con.execute(lm_fluency_oracle_sql()).fetchall()}
+    assert ora == got
