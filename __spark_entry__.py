@@ -1107,6 +1107,56 @@ def q_rescore_frontier(spark, sf_dir):
             .select("url", "score", "depth"))
 
 
+def q_rescore_authority(spark, sf_dir):
+    """Authority-blended frontier re-prioritization: the SAME real
+    checkpoint plumbing as rescore_frontier, but the new score joins
+    a link-authority dim (exact integer PageRank over the synthetic
+    graph) — score' = score + rank div 100000. DuckDB oracles the
+    whole composition by embedding the unrolled PageRank CTE chain
+    under the closed-form frontier reconstruction."""
+    import os as _os
+    import tempfile
+
+    from cuphic_spark.frontier import bands
+    from cuphic_spark.frontier.crawl import CrawlConfig
+    from cuphic_spark.frontier.graphrank import pagerank, synthetic_edges
+    from cuphic_spark.frontier.snapshots import (
+        read_frontier_asof,
+        rescore_frontier,
+    )
+    from cuphic_spark.frontier.urlnorm import host_col
+
+    d = tempfile.mkdtemp(prefix="cuphic_gate_rescore_auth_")
+    cfg = CrawlConfig(checkpoint_dir=d, partitions=4, band_width=1000)
+    seeds = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("depth"),
+        (F.lit(10000) + F.col("doc_id") % 7).cast("long").alias("score"),
+        F.lit(0).alias("discovered_wave"))
+    seeds = seeds.select("url", host_col(F.col("url")).alias("host"),
+                         "depth", "score", "discovered_wave")
+    seed_dir = _os.path.join(d, "frontier_seed")
+    manifest, _ = bands.write_wave_frontier(
+        spark, seeds, seed_dir, cfg, bands.empty_manifest(cfg), [])
+    bands.write_manifest(seed_dir, manifest)
+    u = _docs(spark, sf_dir).count()
+    ranks = pagerank(synthetic_edges(spark, u), u, iters=5)
+    dim = ranks.select(
+        F.concat(F.lit("https://host"),
+                 (F.col("id") % 10).cast("string"),
+                 F.lit(".example/doc/"),
+                 F.col("id").cast("string")).alias("url"),
+        "rank")
+    rescore_frontier(spark, cfg,
+                     F.col("score") + F.expr("rank div 100000L"),
+                     dim=dim)
+    return (read_frontier_asof(spark, cfg, -1)
+            .select("url", "score", "depth"))
+
+
 def q_tei_scrape_kernel(spark, sf_dir):
     """The reference's own golden corpus through the KERNEL (Arrow)
     path — per-pattern match counts (pytest pins exact values; the
@@ -1390,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_decisions": q_robots_decisions,
         "sitemap_extract": q_sitemap_extract,
         "rescore_frontier": q_rescore_frontier,
+        "rescore_authority": q_rescore_authority,
         "ann_topk": q_ann_topk,
         "term_join_nodes": q_term_join_nodes,
         "first_link_per_url": q_first_link_per_url,
@@ -1432,6 +1483,18 @@ _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
 def _lm_fluency_oracle() -> str:
     from cuphic_spark.operators.textstats import lm_fluency_oracle_sql
     return lm_fluency_oracle_sql()
+
+
+def _rescore_authority_oracle() -> str:
+    from cuphic_spark.frontier.graphrank import pagerank_cte_chain
+    chain = pagerank_cte_chain("SELECT count(*) FROM documents")
+    return f"""WITH {chain}
+        SELECT 'https://host' || (d.doc_id % 10) || '.example/doc/'
+                 || d.doc_id AS url,
+               (10000 + d.doc_id % 7 + r.rank // 100000)::BIGINT
+                 AS score,
+               0 AS depth
+        FROM documents d JOIN r5 r ON d.doc_id = r.id"""
 
 
 def _graphrank_oracle() -> tuple[str, str]:
@@ -2158,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
                    0 AS depth
             FROM documents
         """,
+        "rescore_authority": _rescore_authority_oracle(),
         "crawl_fetch_log": _fetch_log_values_sql(_CRAWL_GATE_KW),
         "crawl_robots_full": _crawl_robots_full_oracle_sql(),
         "tei_scrape_kernel": _tei_scrape_oracle_sql(),

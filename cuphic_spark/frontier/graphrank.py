@@ -192,13 +192,12 @@ edges AS (
 )"""
 
 
-def pagerank_oracle_sql(universe_sql: str, iters: int = 5,
-                        scale: int = 10**9) -> str:
-    """DuckDB twin of :func:`pagerank` over :func:`synthetic_edges`
-    at universe = ``universe_sql`` (a scalar SQL expression), with
-    in-degree joined in. The iteration chain is UNROLLED as CTEs —
-    every step the same integer floor arithmetic as the Spark side,
-    so the value hash matches exactly."""
+def pagerank_cte_chain(universe_sql: str, iters: int = 5,
+                       scale: int = 10**9) -> str:
+    """The WITH-body of the DuckDB PageRank twin: CTEs ``edges``,
+    ``outdeg``, ``indeg`` and ``r0``..``r{iters}`` (the final ranks
+    live in ``r{iters}`` as (id, rank)). Composable — callers embed
+    it in their own query (see rescore_authority)."""
     parts = [_EDGES_CTE.format(universe_sql=universe_sql)]
     parts.append("""
 outdeg AS (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY src),
@@ -221,7 +220,17 @@ r{t} AS (SELECT n.id,
            + (SELECT dang FROM d{t}) // (SELECT n FROM u))) // 100
         )::BIGINT AS rank
         FROM nodes n LEFT JOIN c{t} c ON n.id = c.dst)""")
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def pagerank_oracle_sql(universe_sql: str, iters: int = 5,
+                        scale: int = 10**9) -> str:
+    """DuckDB twin of :func:`pagerank` over :func:`synthetic_edges`
+    at universe = ``universe_sql`` (a scalar SQL expression), with
+    in-degree joined in. The iteration chain is UNROLLED as CTEs —
+    every step the same integer floor arithmetic as the Spark side,
+    so the value hash matches exactly."""
+    body = pagerank_cte_chain(universe_sql, iters, scale)
     return f"""WITH {body}
 SELECT r.id, r.rank, coalesce(i.d, 0)::BIGINT AS in_deg
 FROM r{iters} r LEFT JOIN indeg i ON r.id = i.dst"""

@@ -79,7 +79,8 @@ def compact_seen(spark, cfg: CrawlConfig, upto_wave: int | None = None) -> str:
     return out_dir
 
 
-def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
+def rescore_frontier(spark, cfg: CrawlConfig, new_score_col,
+                     dim=None, dim_key: str = "url") -> dict:
     """Offline maintenance: RE-PRIORITIZE every pending url — the
     operation a real crawl runs when scheduling policy changes
     (domain quotas shift, a quality model updates, a depth penalty is
@@ -99,6 +100,15 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
     score-keyed). Subsequent waves schedule by the new scores; the
     scheduled set stays layout-independent by the same prefix
     argument as always (bands.ReadPlan).
+
+    ``dim``: optional side table LEFT-joined on ``dim_key`` before
+    the expression is applied, so policies can blend per-url signals
+    that live outside the frontier schema — the flagship case is
+    link authority (frontier/graphrank.py pagerank keyed by url:
+    score' = score + rank div K). The join is key-partitioned (at
+    10^10-frontier scale the rank dim is frontier-sized, not
+    broadcastable; AQE handles host-skewed keys), and only the
+    frontier's own columns are written back.
 
     Raises if any new score is negative (the banding contract
     requires non-negative scores) — one tiny aggregation, acceptable
@@ -136,8 +146,12 @@ def rescore_frontier(spark, cfg: CrawlConfig, new_score_col) -> dict:
     n = max(existing, default=-1) + 1
     out_dir = f"{out_base}_v{n}"
     manifest = bands.load_manifest(fdir)
-    df = (bands.read_full_frontier(spark, manifest)
-          .withColumn("score", new_score_col.cast("long")))
+    df = bands.read_full_frontier(spark, manifest)
+    frontier_cols = df.columns
+    if dim is not None:
+        df = df.join(dim, dim_key, "left")
+    df = (df.withColumn("score", new_score_col.cast("long"))
+          .select(*frontier_cols))
     # NULL must be caught here too: `score < 0` is NULL for null
     # scores, which would pass a bare `< 0` guard and later crash in
     # bands._with_runs with a cryptic int(None) AFTER partitionBy has

@@ -131,3 +131,23 @@ def test_pagerank_rejects_nothing_but_frees_checkpoints(spark):
     pagerank(synthetic_edges(spark, U), U, iters=4).collect()
     after = len(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before <= 2  # final ranks (+ its init) only
+
+
+def test_rescore_frontier_authority_dim_join(spark):
+    """rescore_frontier's dim join: authority-blended rescoring
+    through the real band/manifest plumbing equals the closed-form
+    composition (seed score + rank div 100000), and only frontier
+    columns are written back (no rank leakage into the schema)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.q_rescore_authority(spark, sf)
+    assert set(out.columns) == {"url", "score", "depth"}
+    got = {r.url: r.score for r in out.collect()}
+
+    n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    ranks = {r.id: r.rank for r in
+             pagerank(synthetic_edges(spark, n), n, iters=5).collect()}
+    exp = {f"https://host{i % 10}.example/doc/{i}":
+           10000 + i % 7 + ranks[i] // 100000 for i in range(n)}
+    assert got == exp
