@@ -1360,6 +1360,39 @@ def q_lm_fluency(spark, sf_dir):
     return lm_fluency(_docs(spark, sf_dir))
 
 
+#: Closed-form varied-URL corpus for the crawler-trap gate — the SQL
+#: dialect subset here (CASE / % / || / repeat / cast) evaluates
+#: identically in Spark SQL and DuckDB, so both sides synthesize the
+#: same urls and only the OPERATOR under test differs.
+_TRAP_URL_CASE = """
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://h.example/a/b'
+                  || repeat('/a', cast(doc_id % 5 AS INTEGER)) || '/p'
+      WHEN 1 THEN 'https://h.example/d?phpsessid='
+                  || cast(doc_id AS {str_t}) || '&x=1'
+      WHEN 2 THEN 'https://h.example/'
+                  || cast(2000 + doc_id % 30 AS {str_t}) || '/'
+                  || cast(doc_id % 12 + 1 AS {str_t}) || '/'
+                  || cast(doc_id % 28 + 1 AS {str_t}) || '/post'
+      WHEN 3 THEN 'https://h.example/doc/'
+                  || cast(doc_id AS {str_t}) || '?a=1&b=2'
+      WHEN 4 THEN 'https://h.example/s/t/u/v/w/x/y/z/s/t/u/v/w'
+      ELSE 'https://h.example/doc/'
+           || cast(doc_id AS {str_t}) || '#frag'
+    END
+"""
+
+
+def q_url_traps(spark, sf_dir):
+    """Crawler-trap signal vector (frontier/urltrap.py) over a
+    closed-form corpus covering the trap taxonomy: path self-loops,
+    session-id params, calendar digit stacks, deep paths, fragments."""
+    from cuphic_spark.frontier.urltrap import url_trap_signals
+    urls = _docs(spark, sf_dir).select(
+        F.expr(_TRAP_URL_CASE.format(str_t="STRING")).alias("url"))
+    return url_trap_signals(urls)
+
+
 def _graph_universe(spark, sf_dir: str) -> int:
     """Synthetic-web universe for the link-graph gates, scaled from
     the sf (orders row count: 1500 at sf0.001, 15000 at sf0.01)."""
@@ -1460,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_exact": q_pagerank_exact,
         "anchor_stats": q_anchor_stats,
         "lm_fluency": q_lm_fluency,
+        "url_traps": q_url_traps,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1478,6 +1512,13 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _url_traps_oracle() -> str:
+    from cuphic_spark.frontier.urltrap import trap_signals_oracle_sql
+    urls_cte = ("SELECT " + _TRAP_URL_CASE.format(str_t="VARCHAR")
+                + " AS url FROM documents")
+    return trap_signals_oracle_sql(urls_cte)
 
 
 def _lm_fluency_oracle() -> str:
@@ -2154,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_exact": _graphrank_oracle()[0],
         "anchor_stats": _graphrank_oracle()[1],
         "lm_fluency": _lm_fluency_oracle(),
+        "url_traps": _url_traps_oracle(),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

@@ -151,3 +151,32 @@ def test_rescore_frontier_authority_dim_join(spark):
     exp = {f"https://host{i % 10}.example/doc/{i}":
            10000 + i % 7 + ranks[i] // 100000 for i in range(n)}
     assert got == exp
+
+
+def test_url_trap_signals_taxonomy(spark):
+    """Hand-pinned trap taxonomy: self-loop path, calendar stack,
+    session id, deep path, param explosion — and clean urls that
+    trip NOTHING (fragment stripped, query excluded from path)."""
+    from cuphic_spark.frontier.urltrap import url_trap_signals
+
+    rows = [
+        (1, "https://h.example/a/b/a/a/p"),           # repeat 3
+        (2, "https://h.example/2024/01/07/post"),     # 3 digit segs
+        (3, "https://h.example/d?PHPSESSID=9&x=1"),   # session (CI)
+        (4, "https://h.example/" + "/".join("abcdefghijkl")),  # deep
+        (5, "https://h.example/d?" + "&".join(
+            f"p{i}={i}" for i in range(8))),          # 8 params
+        (6, "https://h.example/doc/5?a=1&b=2#frag"),  # clean
+        (7, "https://h.example"),                     # no path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: (r.n_segments, r.max_repeat, r.n_digit_segments,
+                      r.n_params, r.has_session, r.is_trap)
+           for r in url_trap_signals(df).collect()}
+    assert got[1] == (5, 3, 0, 0, False, True)
+    assert got[2] == (4, 1, 3, 0, False, True)
+    assert got[3] == (1, 1, 0, 2, True, True)
+    assert got[4] == (12, 1, 0, 0, False, True)
+    assert got[5] == (1, 1, 0, 8, False, True)
+    assert got[6] == (2, 1, 1, 2, False, False)
+    assert got[7] == (0, 0, 0, 0, False, False)
