@@ -1383,6 +1383,14 @@ _TRAP_URL_CASE = """
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicated k-word-window signal (operators/dedup.py
+    span_dedup_flags) — the deduplicate-text-datasets sketch at word
+    granularity, integer ppm rollup per doc."""
+    from cuphic_spark.operators.dedup import span_dedup_flags
+    return span_dedup_flags(_docs(spark, sf_dir), k=8)
+
+
 def q_url_traps(spark, sf_dir):
     """Crawler-trap signal vector (frontier/urltrap.py) over a
     closed-form corpus covering the trap taxonomy: path self-loops,
@@ -1494,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "lm_fluency": q_lm_fluency,
         "url_traps": q_url_traps,
+        "span_dedup": q_span_dedup,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1512,6 +1521,11 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _span_dedup_oracle() -> str:
+    from cuphic_spark.operators.dedup import span_dedup_oracle_sql
+    return span_dedup_oracle_sql(k=8)
 
 
 def _url_traps_oracle() -> str:
@@ -2196,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _graphrank_oracle()[1],
         "lm_fluency": _lm_fluency_oracle(),
         "url_traps": _url_traps_oracle(),
+        "span_dedup": _span_dedup_oracle(),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

@@ -722,3 +722,97 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                     .alias("n_kept"),
                     (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
                     .cast("int").alias("n_dropped")))
+
+
+def span_dedup_flags(docs: DataFrame, k: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Duplicated-span detection — the deduplicate-text-datasets
+    signal (Lee et al. 2022: substrings repeated across a corpus are
+    memorization fuel) at word granularity: flag every k-word
+    sliding window whose exact text occurs more than once in the
+    corpus, and roll the count up per document.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_ppm) where
+    dup_ppm = n_dup_windows * 10^6 div n_windows (0 for docs shorter
+    than k words). Integer floor arithmetic end-to-end — the gate
+    hashes it exactly against the DuckDB twin.
+
+    Scale: windows explode to ~|tokens| rows, but the aggregation is
+    keyed on md5(window) — uniform shuffle keys, map-side partial
+    counts absorb hot boilerplate spans before the shuffle (same
+    design as line_dedup); the count relation joins back by digest
+    and rolls up per doc_id. No suffix array is materialized: at
+    100 TB the window-hash count IS the tractable sketch of one,
+    trading span maximality for two shuffles."""
+    ws = F.split(F.col(text_col), " ")
+    wins = (docs
+            .withColumn("ws", ws)
+            .withColumn("nw",
+                        F.greatest(F.size("ws") - F.lit(k - 1),
+                                   F.lit(0)))
+            .select("doc_id", "nw",
+                    F.explode(
+                        F.when(F.col("nw") > 0,
+                               F.expr(f"sequence(1, size(ws) - "
+                                      f"{k - 1})"))
+                        .otherwise(F.array().cast("array<int>")))
+                    .alias("i"),
+                    F.col("ws"))
+            .select("doc_id",
+                    F.md5(F.concat_ws(
+                        " ", F.expr(f"slice(ws, i, {k})")))
+                    .alias("digest")))
+    counts = wins.groupBy("digest").agg(F.count("*").alias("n_occ"))
+    per_doc = (wins.join(counts, "digest")
+               .groupBy("doc_id")
+               .agg(F.sum(F.when(F.col("n_occ") > 1, 1)
+                          .otherwise(0)).alias("n_dup_windows")))
+    return (docs.select("doc_id",
+                        F.greatest(
+                            F.size(ws) - F.lit(k - 1),
+                            F.lit(0)).alias("n_windows_all"))
+            .join(per_doc.select("doc_id", "n_dup_windows"),
+                  "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_windows_all").cast("long")
+                .alias("n_windows"),
+                F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                .alias("n_dup_windows"),
+                F.expr("CASE WHEN n_windows_all > 0 THEN "
+                       "(coalesce(n_dup_windows, 0L) * 1000000) "
+                       "div n_windows_all ELSE 0 END")
+                .cast("long").alias("dup_ppm")))
+
+
+def span_dedup_oracle_sql(k: int = 8) -> str:
+    """DuckDB twin of :func:`span_dedup_flags` over documents."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 md5(array_to_string(ws[t.i:t.i + {k - 1}], ' '))
+                   AS digest
+          FROM w, UNNEST(range(1, len(ws) - {k - 2})) AS t(i)
+          WHERE len(ws) >= {k}),
+        counts AS (
+          SELECT digest, count(*) AS n_occ FROM wins GROUP BY digest),
+        per_doc AS (
+          SELECT wins.doc_id,
+                 sum(CASE WHEN counts.n_occ > 1 THEN 1 ELSE 0 END)
+                   AS n_dup
+          FROM wins JOIN counts ON wins.digest = counts.digest
+          GROUP BY wins.doc_id)
+        SELECT d.doc_id,
+               greatest(len(string_split(d.text, ' ')) - {k - 1},
+                        0)::BIGINT AS n_windows,
+               coalesce(p.n_dup, 0)::BIGINT AS n_dup_windows,
+               (CASE WHEN len(string_split(d.text, ' ')) >= {k}
+                     THEN (coalesce(p.n_dup, 0) * 1000000)
+                          // (len(string_split(d.text, ' '))
+                              - {k - 1})
+                     ELSE 0 END)::BIGINT AS dup_ppm
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """

@@ -1827,3 +1827,33 @@ def test_lm_fluency_bigram_ppm(spark):
     ora = {r[0]: (r[1], r[2])
            for r in con.execute(lm_fluency_oracle_sql()).fetchall()}
     assert ora == got
+
+
+def test_span_dedup_flags_hand_pinned(spark):
+    """deduplicate-text-datasets-style k-word window dedup signal:
+    cross-doc duplicate window counted once per occurrence, in-doc
+    repeats count too, short docs score (0, 0, 0); DuckDB twin is
+    value-exact."""
+    import duckdb as _duck
+
+    from cuphic_spark.operators.dedup import (
+        span_dedup_flags, span_dedup_oracle_sql)
+
+    rows = [
+        (1, "a b c d e f g h i"),    # 2 windows, 1 dup (with doc 2)
+        (2, "a b c d e f g h x"),    # 2 windows, 1 dup
+        (3, "short text"),           # < k words -> 0/0/0
+        (4, "z z z z z z z z z"),    # both windows identical -> 2/2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ppm)
+           for r in span_dedup_flags(docs, k=8).collect()}
+    assert got == {1: (2, 1, 500000), 2: (2, 1, 500000),
+                   3: (0, 0, 0), 4: (2, 2, 1000000)}
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ora = {r[0]: (r[1], r[2], r[3])
+           for r in con.execute(span_dedup_oracle_sql(k=8)).fetchall()}
+    assert ora == got
