@@ -80,7 +80,8 @@ def synthetic_edges(spark: SparkSession, universe: int) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
-             scale: int = 10**9) -> DataFrame:
+             scale: int = 10**9, init_ranks: DataFrame | None = None,
+             ) -> DataFrame:
     """Exact integer fixed-point PageRank (damping 85/100).
 
     ``edges``: (src long, dst long) with node ids in [0, n_nodes).
@@ -91,6 +92,14 @@ def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
     invariant under partitioning and engine — the oracle gate hashes
     it exactly. Keep ``n_nodes * scale * 85 < 2^63`` (10^8 nodes at
     the default scale; pass a smaller scale beyond that).
+
+    ``init_ranks``: optional (id, rank) warm start — the crawl-wave
+    maintenance path: after a wave appends edges, resume from the
+    previous wave's ranks and run a few iterations instead of a cold
+    full solve (the iteration is a pure function of (ranks, edges),
+    so warm-start k iters on unchanged edges is EXACTLY cold-start
+    at prior+k iters — pinned in tests). Nodes absent from
+    ``init_ranks`` (newly discovered pages) start at ``scale``.
     """
     from ..operators.dedup import (_free_rdd_ids,
                                    _tracked_local_checkpoint)
@@ -112,11 +121,19 @@ def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # ranks carries outdeg (null = dangling) so the loop body joins
     # edges only — one shuffle join + one aggregate per iteration.
+    if init_ranks is not None:
+        r0 = F.coalesce(F.col("rank0"),
+                        F.lit(scale).cast("long"))
+        init = init_ranks.select(
+            "id", F.col("rank").cast("long").alias("rank0"))
+        seed = (nodes.repartition(parts, "id")
+                .join(init, "id", "left"))
+    else:
+        r0 = F.lit(scale).cast("long")
+        seed = nodes.repartition(parts, "id")
     ranks, held = _tracked_local_checkpoint(
-        nodes.repartition(parts, "id")
-        .join(outdeg, F.col("id") == F.col("src"), "left")
-        .select("id", "outdeg",
-                F.lit(scale).cast("long").alias("rank")))
+        seed.join(outdeg, F.col("id") == F.col("src"), "left")
+        .select("id", "outdeg", r0.alias("rank")))
     for _ in range(iters):
         dangling = (ranks.where(F.col("outdeg").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0))

@@ -180,3 +180,27 @@ def test_url_trap_signals_taxonomy(spark):
     assert got[5] == (1, 1, 0, 8, False, True)
     assert got[6] == (2, 1, 1, 2, False, False)
     assert got[7] == (0, 0, 0, 0, False, False)
+
+
+def test_pagerank_warm_start_equals_cold(spark):
+    """Crawl-wave rank maintenance: warm-starting from wave-k ranks
+    and iterating 2 more equals a cold 5-iteration solve exactly
+    (the update is a pure function of (ranks, edges)); new nodes
+    absent from the warm start seed at scale."""
+    e = synthetic_edges(spark, U)
+    cold = {r.id: r.rank for r in pagerank(e, U, iters=5).collect()}
+    prev = pagerank(e, U, iters=3)
+    warm = {r.id: r.rank
+            for r in pagerank(e, U, iters=2,
+                              init_ranks=prev).collect()}
+    assert warm == cold
+
+    # a warm start missing some ids treats them as fresh (scale):
+    # iters=0 passthrough shows the seeding rule directly
+    partial = prev.where(F.col("id") < 50)
+    seeded = {r.id: r.rank
+              for r in pagerank(e, U, iters=0,
+                                init_ranks=partial).collect()}
+    prev_map = {r.id: r.rank for r in prev.collect()}
+    assert all(seeded[i] == prev_map[i] for i in range(50))
+    assert all(seeded[i] == SCALE for i in range(50, U))
