@@ -1383,6 +1383,44 @@ _TRAP_URL_CASE = """
 """
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WARC -> WET derivation end-to-end: documents packed into
+    per-record-gzip WARC files executor-side, read back (gzip walk +
+    envelope strip), byte-identity text extraction, re-packed as WET
+    conversion records (sources/warc.py wet_files_from_pages), read
+    back AGAIN through the conversion filter. The oracle re-derives
+    (url, warc_ts, extracted) closed-form, so both container
+    roundtrips are value-pinned in one gate."""
+    from cuphic_spark.operators.parse import pages_extract_text
+    from cuphic_spark.sources.warc import (
+        read_warc, read_wet, wet_files_from_pages, write_warc)
+
+    docs = (_docs(spark, sf_dir).where(F.col("doc_id") < 400)
+            .select("doc_id", "text",
+                    (F.col("doc_id") % 10).alias("g")))
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [(f"https://warc{int(d) % 10}.example/doc/{int(d)}",
+                 f"2026-08-{1 + int(d) % 28:02d}T00:00:00Z",
+                 f"<doc><p>warc {t}</p></doc>".encode())
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+        return pd.DataFrame({"content": [write_warc(recs)]})
+
+    files = docs.groupBy("g").applyInPandas(pack, "content binary")
+    pages = read_warc(files)
+    text = pages_extract_text(pages.select("url", "html"))
+    joined = (pages.select("url", "warc_ts").join(text, "url")
+              .withColumn("wet_group",
+                          F.pmod(F.xxhash64("url"), F.lit(8))))
+    wet_files = wet_files_from_pages(joined)
+    return (read_wet(wet_files)
+            .select("url", "warc_ts",
+                    F.col("text").alias("extracted")))
+
+
 def q_span_dedup(spark, sf_dir):
     """Duplicated k-word-window signal (operators/dedup.py
     span_dedup_flags) — the deduplicate-text-datasets sketch at word
@@ -1503,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": q_lm_fluency,
         "url_traps": q_url_traps,
         "span_dedup": q_span_dedup,
+        "wet_roundtrip": q_wet_roundtrip,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -2128,6 +2167,16 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
         """,
         "warc_extract": """
+            SELECT 'https://warc' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   '2026-08-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') || 'T00:00:00Z'
+                     AS warc_ts,
+                   'warc ' || text AS extracted
+            FROM documents WHERE doc_id < 400
+        """,
+        "wet_roundtrip": """
             SELECT 'https://warc' || CAST(doc_id % 10 AS VARCHAR)
                      || '.example/doc/' || CAST(doc_id AS VARCHAR)
                      AS url,

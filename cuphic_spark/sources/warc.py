@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame
 
 __all__ = ["write_warc", "encode_chunked", "dechunk",
            "iter_warc_records", "extract_http_payload",
-           "read_warc", "WARC_PAGE_SCHEMA"]
+           "read_warc", "WARC_PAGE_SCHEMA",
+           "write_wet", "read_wet", "wet_files_from_pages",
+           "WET_PAGE_SCHEMA"]
 
 _CRLF = b"\r\n"
 
@@ -232,3 +234,97 @@ def read_warc(files: DataFrame, content_col: str = "content") -> DataFrame:
                 {"url": urls, "warc_ts": tss, "html": htmls})
 
     return files.select(content_col).mapInPandas(gen, WARC_PAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the Common-Crawl derived
+# format: one WARC/1.0 ``conversion`` record per page, text/plain
+# block, WARC-Refers-To naming the source capture. Reference layout:
+# commoncrawl.org WET files; framing is plain ISO 28500 again, so
+# the reader reuses iter_warc_records.
+# ---------------------------------------------------------------------------
+
+WET_PAGE_SCHEMA = "url string, warc_ts string, text string"
+
+
+def _wet_record_id(url: str, date: str) -> str:
+    """Deterministic record id (urn:uuid shaped from md5) — real WET
+    writers mint random uuids; byte-determinism (task retries must
+    regenerate identical files) forces a content-derived id."""
+    import hashlib
+
+    h = hashlib.md5(f"{url}\n{date}".encode()).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-"
+            f"{h[16:20]}-{h[20:32]}>")
+
+
+def write_wet(records, per_record_gzip: bool = True) -> bytes:
+    """records: iterable of (url, warc_date, text) -> WET bytes:
+    WARC/1.0 ``conversion`` records with text/plain blocks, one gzip
+    member per record when ``per_record_gzip`` (mtime=0 via zlib —
+    identical inputs give identical bytes, the repo contract)."""
+    out = bytearray()
+    for url, date, text in records:
+        block = text.encode("utf-8")
+        headers = _CRLF.join([
+            b"WARC/1.0",
+            b"WARC-Type: conversion",
+            b"WARC-Target-URI: " + url.encode(),
+            b"WARC-Date: " + date.encode(),
+            b"WARC-Record-ID: " + _wet_record_id(url, date).encode(),
+            b"WARC-Refers-To: "
+            + _wet_record_id(url, date + "#response").encode(),
+            b"Content-Type: text/plain",
+            b"Content-Length: %d" % len(block),
+        ])
+        record = headers + _CRLF * 2 + block + _CRLF * 2
+        if per_record_gzip:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(record) + co.flush()
+        else:
+            out += record
+    return bytes(out)
+
+
+def read_wet(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """WET file bytes -> (url, warc_ts, text); only ``conversion``
+    records yield rows. One Arrow pass, no shuffle."""
+
+    def gen(batches):
+        for pdf in batches:
+            urls, tss, texts = [], [], []
+            for blob in pdf[content_col]:
+                for headers, block in iter_warc_records(bytes(blob)):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    urls.append(headers.get("warc-target-uri", ""))
+                    tss.append(headers.get("warc-date", ""))
+                    texts.append(block.decode("utf-8"))
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "text": texts})
+
+    return files.select(content_col).mapInPandas(gen, WET_PAGE_SCHEMA)
+
+
+def wet_files_from_pages(pages_text: DataFrame,
+                         group_col: str = "wet_group") -> DataFrame:
+    """(url, warc_ts, text [, group]) -> one WET file blob per
+    group — the WARC→WET derivation's pack stage, executor-side
+    (applyInPandas per group, rows ordered by url within a file so
+    retries are byte-identical). Typical composition:
+
+        pages = read_warc(files)
+        text  = pages_extract_text(pages.select("url", "html"))
+        wet   = wet_files_from_pages(
+            pages.select("url", "warc_ts").join(text, "url")
+                 .withColumn("wet_group", F.pmod(F.xxhash64("url"), N)))
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (doc parity)
+
+    def pack(pdf):
+        pdf = pdf.sort_values("url")
+        recs = list(zip(pdf["url"], pdf["warc_ts"], pdf["text"]))
+        return pd.DataFrame({"content": [write_wet(recs)]})
+
+    return (pages_text.groupBy(group_col)
+            .applyInPandas(pack, "content binary"))

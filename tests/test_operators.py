@@ -1857,3 +1857,37 @@ def test_span_dedup_flags_hand_pinned(spark):
     ora = {r[0]: (r[1], r[2], r[3])
            for r in con.execute(span_dedup_oracle_sql(k=8)).fetchall()}
     assert ora == got
+
+
+def test_wet_conversion_records_roundtrip_and_determinism():
+    """WET derived format: write_wet -> read (via iter_warc_records)
+    preserves text exactly (incl. non-ASCII), only conversion
+    records surface, and identical inputs produce IDENTICAL bytes
+    on repeat calls (mtime=0 gzip members — task-retry contract).
+    Mixed WARC+WET streams filter correctly in both readers."""
+    from cuphic_spark.sources.warc import (
+        iter_warc_records, write_warc, write_wet)
+
+    recs = [("https://h.example/doc/1", "2026-08-01T00:00:00Z",
+             "hello wörld\nline two"),
+            ("https://h.example/doc/2", "2026-08-02T00:00:00Z",
+             "text £ with unicode")]
+    a = write_wet(recs)
+    b = write_wet(recs)
+    assert a == b  # byte determinism
+    got = [(h["warc-target-uri"], h["warc-date"],
+            block.decode("utf-8"))
+           for h, block in iter_warc_records(a)
+           if h.get("warc-type") == "conversion"]
+    assert got == list(recs)
+    # record ids are deterministic AND distinct per (url, date)
+    ids = [h["warc-record-id"] for h, _ in iter_warc_records(a)]
+    assert len(set(ids)) == 2 and all(
+        i.startswith("<urn:uuid:") for i in ids)
+
+    # a response record mixed into the stream is NOT a conversion row
+    mixed = write_warc(
+        [("https://h.example/doc/3", "2026-08-03T00:00:00Z",
+          b"<doc><p>x</p></doc>")]) + a
+    kinds = [h.get("warc-type") for h, _ in iter_warc_records(mixed)]
+    assert kinds == ["response", "conversion", "conversion"]
