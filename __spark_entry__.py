@@ -1383,6 +1383,16 @@ _TRAP_URL_CASE = """
 """
 
 
+def q_host_authority(spark, sf_dir):
+    """Host-authority rollup of exact PageRank — the politeness-
+    budget signal (frontier/graphrank.py host_authority)."""
+    from cuphic_spark.frontier.graphrank import (
+        host_authority, pagerank, synthetic_edges)
+    u = _graph_universe(spark, sf_dir)
+    return host_authority(pagerank(synthetic_edges(spark, u), u,
+                                   iters=5))
+
+
 def q_wet_roundtrip(spark, sf_dir):
     """WARC -> WET derivation end-to-end: documents packed into
     per-record-gzip WARC files executor-side, read back (gzip walk +
@@ -1542,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "span_dedup": q_span_dedup,
         "wet_roundtrip": q_wet_roundtrip,
+        "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1560,6 +1571,11 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _host_authority_oracle() -> str:
+    from cuphic_spark.frontier.graphrank import host_authority_oracle_sql
+    return host_authority_oracle_sql("SELECT count(*) FROM orders")
 
 
 def _span_dedup_oracle() -> str:
@@ -2260,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_fluency": _lm_fluency_oracle(),
         "url_traps": _url_traps_oracle(),
         "span_dedup": _span_dedup_oracle(),
+        "host_authority": _host_authority_oracle(),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

@@ -295,6 +295,32 @@ SELECT target,
 FROM anchors GROUP BY target"""
 
 
+def host_authority(ranks: DataFrame, n_hosts: int = 10) -> DataFrame:
+    """Roll page ranks up to host authority — the signal a crawl
+    uses to size per-host politeness budgets (authoritative hosts
+    earn more fetch slots). Host of id follows the webgraph closed
+    form (0 if id%3==0 else id%n_hosts); output (host, authority,
+    n_pages) — integer sum, hash-exact."""
+    host = F.when(F.col("id") % 3 == 0, F.lit(0)) \
+        .otherwise(F.col("id") % n_hosts)
+    return (ranks.select(host.alias("host"), "rank")
+            .groupBy("host")
+            .agg(F.sum("rank").alias("authority"),
+                 F.count("*").alias("n_pages")))
+
+
+def host_authority_oracle_sql(universe_sql: str,
+                              n_hosts: int = 10) -> str:
+    """DuckDB twin: PageRank CTE chain -> host rollup."""
+    chain = pagerank_cte_chain(universe_sql)
+    return f"""WITH {chain}
+SELECT (CASE WHEN id % 3 = 0 THEN 0 ELSE id % {n_hosts} END)::BIGINT
+         AS host,
+       sum(rank)::BIGINT AS authority,
+       count(*)::BIGINT AS n_pages
+FROM r5 GROUP BY 1"""
+
+
 def rank_priority_expr(rank_col, depth_col, scale: int = 10**9):
     """Frontier priority blending link authority into the crawl
     score: higher rank → earlier schedule, depth still dominates

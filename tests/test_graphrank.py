@@ -204,3 +204,21 @@ def test_pagerank_warm_start_equals_cold(spark):
     prev_map = {r.id: r.rank for r in prev.collect()}
     assert all(seeded[i] == prev_map[i] for i in range(50))
     assert all(seeded[i] == SCALE for i in range(50, U))
+
+
+def test_host_authority_rollup(spark):
+    """Host authority = exact sum of member-page ranks; host 0
+    absorbs every i%3==0 page (the webgraph skew) so it dominates."""
+    from cuphic_spark.frontier.graphrank import host_authority
+
+    ranks = pagerank(synthetic_edges(spark, U), U, iters=3)
+    got = {r.host: (r.authority, r.n_pages)
+           for r in host_authority(ranks).collect()}
+    py = {r_id: r for r_id, r in _py_pagerank(U, 3).items()}
+    exp: dict[int, list[int]] = {}
+    for i, r in py.items():
+        h = 0 if i % 3 == 0 else i % 10
+        a, n = exp.get(h, (0, 0))
+        exp[h] = (a + r, n + 1)
+    assert got == exp
+    assert got[0][1] == max(n for _, n in got.values())
