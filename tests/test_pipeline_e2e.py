@@ -139,4 +139,43 @@ def test_crawl_to_training_data_pipeline(spark, tmp_path):
     assert flags.where(F.col("script") != "latin").count() == 0
     assert flags.where(F.col("diversity_permille") <= 0).count() == 0
 
+    # ---- stage 7: link-graph analytics off the CRAWLED pages —
+    # edges from the kernel anchor pattern over the refetched html
+    # (target id recovered from the canonical /doc/<id> path, which
+    # survives source-host relative resolution), warm-start PageRank
+    # seeded from a cold half-solve, host authority off the result.
+    from cuphic_spark.compiler import compile_pattern, match_nodes
+    from cuphic_spark.frontier.graphrank import (
+        host_authority,
+        pagerank,
+    )
+    from cuphic_spark.operators.parse import pages_to_nodes
+
+    nodes = pages_to_nodes(pages)
+    m = match_nodes(nodes, [compile_pattern(
+        "anchors", "[:a {:href href} anchor]")])
+    edges = (m.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long").alias("src"),
+        F.regexp_extract(F.element_at("bindings", "href"),
+                         r"/doc/(\d+)", 1).cast("long").alias("dst"))
+        .where(F.col("dst").isNotNull()))
+    n_edges = edges.count()
+    # every crawled page's links are recovered exactly (webgraph
+    # closed form: page i emits (i*7+3)%6 anchors)
+    exp_edges = sum(
+        webgraph.n_links(webgraph.id_of_url(r.url))
+        for r in log.select("url").collect())
+    assert n_edges == exp_edges
+
+    cold3 = pagerank(edges, cfg.universe, iters=3)
+    ranks = pagerank(edges, cfg.universe, iters=2, init_ranks=cold3)
+    auth = host_authority(ranks)
+    # mass conservation within floor loss, and host 0 (the i%3==0
+    # absorber) holds the most pages
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert cfg.universe * 10**9 * 0.98 < total <= cfg.universe * 10**9
+    top_host = auth.orderBy(F.desc("n_pages")).first()
+    assert top_host.host == 0
+
     shutil.rmtree(d, ignore_errors=True)
