@@ -105,19 +105,58 @@ def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
                                    _tracked_local_checkpoint)
 
     spark = edges.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        # AQE OFF for the whole solve (crawl-profile precedent): an
+        # AdaptiveSparkPlan reports UnknownPartitioning at checkpoint
+        # time, so localCheckpoint under AQE LOSES the partitioning
+        # and every iteration re-shuffles the edge list — verified in
+        # the physical plan (Exchange on the checkpointed edges side
+        # appears iff AQE is on). The loop is a fixed-shape dataflow;
+        # AQE has nothing to re-plan here.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return _pagerank_loop(spark, edges, n_nodes, iters, scale,
+                              init_ranks, _tracked_local_checkpoint,
+                              _free_rdd_ids)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _pinned_ranks_checkpoint(spark, df, parts, ckpt, free):
+    """Materialize ``df`` and re-checkpoint it id-bucketed + sorted
+    with PRESERVED metadata, freeing the intermediate immediately.
+
+    Why two checkpoints: a join-derived plan's analyzed output attrs
+    drift from the executed plan's (attribute dedup), so its
+    checkpoint carries a partitioning that references non-output
+    attrs — downstream joins treat it as unknown and re-shuffle the
+    ranks side TWICE per iteration. Checkpointing once to settle the
+    ids, then checkpointing the now-linear repartition+sort plan,
+    yields a leaf whose metadata survives: the iteration join runs
+    with ONE exchange total (the dst aggregate) and zero sorts
+    (plan-pinned in tests)."""
+    mid, mid_held = ckpt(df)
+    out, out_held = ckpt(
+        mid.repartition(parts, "id").sortWithinPartitions("id"))
+    free(spark, mid_held)
+    return out, out_held
+
+
+def _pagerank_loop(spark, edges, n_nodes, iters, scale, init_ranks,
+                   _tracked_local_checkpoint, _free_rdd_ids):
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nodes = spark.range(n_nodes).toDF("id")
-    # Pre-partition the edge list by the join key ONCE and pin it
-    # with an eager checkpoint: LogicalRDD preserves the hash
-    # partitioning, so every iteration's edges ⋈ ranks join is
-    # co-partitioned (ranks comes out of the previous round's
-    # id/dst-keyed join with the same partitioning) and the loop
-    # body pays exactly ONE exchange per iteration — the groupBy(dst)
+    # Pre-partition the edge list by the join key and pre-sort within
+    # partitions ONCE, pinned with an eager checkpoint: LogicalRDD
+    # (AQE off) preserves hash partitioning AND ordering, so every
+    # iteration's edges ⋈ ranks sort-merge join takes the big edge
+    # relation with NO exchange and NO re-sort — the per-iteration
+    # shuffles are the (smaller) ranks side and the groupBy(dst)
     # aggregate. Without this, edges re-shuffle every round (parquet
-    # scans carry no partitioning metadata) — measured 1.7x vs 2.3x
-    # 8→32-core scaling at 10M nodes.
+    # scans carry no partitioning metadata) — measured 1.7x vs 2.2x
+    # 8→32-core scaling at 10M nodes (BENCH/graphrank_scaling_r7).
     edges, edges_held = _tracked_local_checkpoint(
-        edges.repartition(parts, "src"))
+        edges.repartition(parts, "src").sortWithinPartitions("src"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # ranks carries outdeg (null = dangling) so the loop body joins
     # edges only — one shuffle join + one aggregate per iteration.
@@ -126,14 +165,15 @@ def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
                         F.lit(scale).cast("long"))
         init = init_ranks.select(
             "id", F.col("rank").cast("long").alias("rank0"))
-        seed = (nodes.repartition(parts, "id")
-                .join(init, "id", "left"))
+        seed = nodes.join(init, "id", "left")
     else:
         r0 = F.lit(scale).cast("long")
-        seed = nodes.repartition(parts, "id")
-    ranks, held = _tracked_local_checkpoint(
+        seed = nodes
+    ranks, held = _pinned_ranks_checkpoint(
+        spark,
         seed.join(outdeg, F.col("id") == F.col("src"), "left")
-        .select("id", "outdeg", r0.alias("rank")))
+        .select("id", "outdeg", r0.alias("rank")),
+        parts, _tracked_local_checkpoint, _free_rdd_ids)
     for _ in range(iters):
         dangling = (ranks.where(F.col("outdeg").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0))
@@ -143,7 +183,8 @@ def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
                        F.col("src") == F.col("id"))
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div outdeg")).alias("in_sum")))
-        new, new_held = _tracked_local_checkpoint(
+        new, new_held = _pinned_ranks_checkpoint(
+            spark,
             ranks.select("id", "outdeg")
             .join(contrib, F.col("id") == F.col("dst"), "left")
             .crossJoin(F.broadcast(dangling))
@@ -152,7 +193,8 @@ def pagerank(edges: DataFrame, n_nodes: int, iters: int = 5,
                 (F.lit(15 * scale // 100)
                  + F.expr(f"(85 * (coalesce(in_sum, 0L)"
                           f" + dang div {n_nodes}L)) div 100"))
-                .cast("long").alias("rank")))
+                .cast("long").alias("rank")),
+            parts, _tracked_local_checkpoint, _free_rdd_ids)
         _free_rdd_ids(spark, held)  # new is eager: old is unread now
         ranks, held = new, new_held
     out = ranks.select("id", "rank")

@@ -222,3 +222,54 @@ def test_host_authority_rollup(spark):
         exp[h] = (a + r, n + 1)
     assert got == exp
     assert got[0][1] == max(n for _, n in got.values())
+
+
+def test_pagerank_edges_side_no_exchange_in_loop_plan(spark):
+    """Plan pin for the single-prep design: with the loop's AQE-off
+    profile, the checkpointed (repartitioned + sorted) edge relation
+    feeds the iteration's sort-merge join with NO exchange and NO
+    re-sort on the edges side — only the dst aggregate (and the
+    smaller ranks side) shuffle. Under AQE the checkpoint loses its
+    partitioning (UnknownPartitioning at checkpoint time), which is
+    exactly why pagerank() pins the profile."""
+    import re
+
+    from cuphic_spark.operators.dedup import _tracked_local_checkpoint
+
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    bc_was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges, _ = _tracked_local_checkpoint(
+            synthetic_edges(spark, 5000)
+            .repartition(parts, "src").sortWithinPartitions("src"))
+        outdeg = edges.groupBy("src").agg(
+            F.count("*").alias("outdeg"))
+        from cuphic_spark.frontier.graphrank import (
+            _pinned_ranks_checkpoint)
+        from cuphic_spark.operators.dedup import _free_rdd_ids
+        ranks, _ = _pinned_ranks_checkpoint(
+            spark,
+            spark.range(5000).toDF("id")
+            .join(outdeg, F.col("id") == F.col("src"), "left")
+            .select("id", "outdeg",
+                    F.lit(10**9).cast("long").alias("rank")),
+            parts, _tracked_local_checkpoint, _free_rdd_ids)
+        contrib = (edges.join(
+            ranks.where(F.col("outdeg").isNotNull()),
+            F.col("src") == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div outdeg")).alias("in_sum")))
+        plan = contrib._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc_was)
+    # BOTH join inputs arrive pinned (src-hash / id-hash, pre-sorted):
+    # the iteration's only exchange is the dst aggregate, and the
+    # sort-merge join inserts no Sort at all
+    assert not re.search(r"Exchange hashpartitioning\(src", plan), plan
+    assert not re.search(r"Exchange hashpartitioning\(id", plan), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 0, plan
