@@ -1431,6 +1431,67 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.col("text").alias("extracted")))
 
 
+def q_wat_metadata(spark, sf_dir):
+    """WAT derivation end-to-end: richer synthetic pages (title +
+    0-3 anchors) packed into WARC executor-side, parsed via the
+    kernel patterns (title text + anchor hrefs in document order by
+    node_id), serialized as canonical-JSON WAT metadata records
+    (sources/warc.py wat_files_from_pages), read back through the
+    metadata filter. Oracle re-derives (url, title, n_links,
+    links_csv) closed-form."""
+    from cuphic_spark.operators.parse import pages_to_nodes
+    from cuphic_spark.sources.warc import (
+        read_warc, read_wat, wat_files_from_pages, write_warc)
+
+    docs = (_docs(spark, sf_dir).where(F.col("doc_id") < 400)
+            .select("doc_id", (F.col("doc_id") % 10).alias("g")))
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            anchors = "".join(
+                f'<a href="https://t.example/l/{d}-{j}">A{j}</a>'
+                for j in range(d % 4))
+            html = (f"<doc><title>T{d}</title>{anchors}"
+                    f"<p>x</p></doc>").encode()
+            recs.append(
+                (f"https://warc{d % 10}.example/doc/{d}",
+                 f"2026-08-{1 + d % 28:02d}T00:00:00Z", html))
+        return pd.DataFrame({"content": [write_warc(recs)]})
+
+    files = docs.groupBy("g").applyInPandas(pack, "content binary")
+    pages = read_warc(files)
+    nodes = pages_to_nodes(pages)
+    m = match_nodes(nodes, [
+        compile_pattern("wat_title", "[:title {} t]"),
+        compile_pattern("wat_links", "[:a {:href href} anchor]")])
+    titles = (m.where(F.col("pattern_key") == "wat_title")
+              .select("url", F.element_at("bindings", "t")
+                      .alias("title")))
+    links = (m.where(F.col("pattern_key") == "wat_links")
+             .groupBy("url")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(F.struct(
+                     F.col("node_id").alias("nid"),
+                     F.element_at("bindings", "href")
+                     .alias("href")))),
+                 lambda s: s["href"]).alias("links")))
+    meta = (pages.select("url", "warc_ts")
+            .join(titles, "url", "left")
+            .join(links, "url", "left")
+            .select("url", "warc_ts",
+                    F.coalesce("title", F.lit("")).alias("title"),
+                    F.coalesce("links", F.array().cast(
+                        "array<string>")).alias("links"))
+            .withColumn("wat_group",
+                        F.pmod(F.xxhash64("url"), F.lit(8))))
+    return read_wat(wat_files_from_pages(meta))
+
+
 def q_span_dedup(spark, sf_dir):
     """Duplicated k-word-window signal (operators/dedup.py
     span_dedup_flags) — the deduplicate-text-datasets sketch at word
@@ -1552,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "span_dedup": q_span_dedup,
         "wet_roundtrip": q_wet_roundtrip,
+        "wat_metadata": q_wat_metadata,
         "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
@@ -2200,6 +2262,29 @@ def oracle_sql() -> dict[str, str]:
                                       2, '0') || 'T00:00:00Z'
                      AS warc_ts,
                    'warc ' || text AS extracted
+            FROM documents WHERE doc_id < 400
+        """,
+        "wat_metadata": """
+            SELECT 'https://warc' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   '2026-08-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') || 'T00:00:00Z'
+                     AS warc_ts,
+                   'T' || CAST(doc_id AS VARCHAR) AS title,
+                   (doc_id % 4)::BIGINT AS n_links,
+                   CASE doc_id % 4
+                     WHEN 0 THEN ''
+                     WHEN 1 THEN
+                       'https://t.example/l/' || doc_id || '-0'
+                     WHEN 2 THEN
+                       'https://t.example/l/' || doc_id || '-0,'
+                       || 'https://t.example/l/' || doc_id || '-1'
+                     ELSE
+                       'https://t.example/l/' || doc_id || '-0,'
+                       || 'https://t.example/l/' || doc_id || '-1,'
+                       || 'https://t.example/l/' || doc_id || '-2'
+                   END AS links_csv
             FROM documents WHERE doc_id < 400
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),

@@ -39,7 +39,9 @@ __all__ = ["write_warc", "encode_chunked", "dechunk",
            "iter_warc_records", "extract_http_payload",
            "read_warc", "WARC_PAGE_SCHEMA",
            "write_wet", "read_wet", "wet_files_from_pages",
-           "WET_PAGE_SCHEMA"]
+           "WET_PAGE_SCHEMA",
+           "write_wat", "read_wat", "wat_files_from_pages",
+           "WAT_PAGE_SCHEMA"]
 
 _CRLF = b"\r\n"
 
@@ -328,3 +330,93 @@ def wet_files_from_pages(pages_text: DataFrame,
 
     return (pages_text.groupBy(group_col)
             .applyInPandas(pack, "content binary"))
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata records) — the third member of the Common-Crawl
+# triple: one WARC/1.0 ``metadata`` record per page whose block is a
+# JSON document of envelope + extracted-link metadata. JSON is
+# serialized canonically (sorted keys, compact separators) so
+# identical inputs give identical bytes — the repo determinism
+# contract extends to derived formats.
+# ---------------------------------------------------------------------------
+
+WAT_PAGE_SCHEMA = ("url string, warc_ts string, title string, "
+                   "n_links long, links_csv string")
+
+
+def write_wat(records, per_record_gzip: bool = True) -> bytes:
+    """records: iterable of (url, warc_date, meta_dict) -> WAT
+    bytes: ``metadata`` records with application/json blocks."""
+    import json as _json
+
+    out = bytearray()
+    for url, date, meta in records:
+        block = _json.dumps(meta, sort_keys=True,
+                            separators=(",", ":")).encode("utf-8")
+        headers = _CRLF.join([
+            b"WARC/1.0",
+            b"WARC-Type: metadata",
+            b"WARC-Target-URI: " + url.encode(),
+            b"WARC-Date: " + date.encode(),
+            b"WARC-Record-ID: "
+            + _wet_record_id(url, date + "#meta").encode(),
+            b"Content-Type: application/json",
+            b"Content-Length: %d" % len(block),
+        ])
+        record = headers + _CRLF * 2 + block + _CRLF * 2
+        if per_record_gzip:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(record) + co.flush()
+        else:
+            out += record
+    return bytes(out)
+
+
+def wat_files_from_pages(meta: DataFrame,
+                         group_col: str = "wat_group") -> DataFrame:
+    """(url, warc_ts, title, links array<string> [, group]) -> one
+    WAT file blob per group, executor-side; rows url-sorted within a
+    file and JSON canonical, so task retries are byte-identical."""
+
+    def pack(pdf):
+        pdf = pdf.sort_values("url")
+        recs = [(u, ts, {"url": u,
+                         "title": t if t is not None else "",
+                         "links": [{"href": h} for h in list(ls)]})
+                for u, ts, t, ls in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["title"], pdf["links"])]
+        return pd.DataFrame({"content": [write_wat(recs)]})
+
+    return (meta.groupBy(group_col)
+            .applyInPandas(pack, "content binary"))
+
+
+def read_wat(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """WAT file bytes -> (url, warc_ts, title, n_links, links_csv);
+    only ``metadata`` records yield rows. links_csv is the hrefs
+    joined with ',' in record order — a join-friendly projection of
+    the link list. One Arrow pass, no shuffle."""
+    import json as _json
+
+    def gen(batches):
+        for pdf in batches:
+            urls, tss, titles, nl, csv = [], [], [], [], []
+            for blob in pdf[content_col]:
+                for headers, block in iter_warc_records(bytes(blob)):
+                    if headers.get("warc-type") != "metadata":
+                        continue
+                    meta = _json.loads(block.decode("utf-8"))
+                    links = [d.get("href", "")
+                             for d in meta.get("links", [])]
+                    urls.append(headers.get("warc-target-uri", ""))
+                    tss.append(headers.get("warc-date", ""))
+                    titles.append(meta.get("title", ""))
+                    nl.append(len(links))
+                    csv.append(",".join(links))
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "title": titles,
+                 "n_links": pd.Series(nl, dtype="int64"),
+                 "links_csv": csv})
+
+    return files.select(content_col).mapInPandas(gen, WAT_PAGE_SCHEMA)

@@ -1891,3 +1891,28 @@ def test_wet_conversion_records_roundtrip_and_determinism():
           b"<doc><p>x</p></doc>")]) + a
     kinds = [h.get("warc-type") for h, _ in iter_warc_records(mixed)]
     assert kinds == ["response", "conversion", "conversion"]
+
+
+def test_wat_metadata_records_roundtrip_and_determinism():
+    """WAT derived format: canonical-JSON metadata records roundtrip
+    (title, ordered links), byte-identical on repeat calls, and
+    response/conversion records are invisible to the metadata read."""
+    from cuphic_spark.sources.warc import iter_warc_records, write_wat
+
+    recs = [("https://h.example/doc/1", "2026-08-01T00:00:00Z",
+             {"url": "https://h.example/doc/1", "title": "Tö",
+              "links": [{"href": "https://a"}, {"href": "https://b"}]}),
+            ("https://h.example/doc/2", "2026-08-02T00:00:00Z",
+             {"url": "https://h.example/doc/2", "title": "",
+              "links": []})]
+    a = write_wat(recs)
+    assert a == write_wat(recs)  # byte determinism
+    import json as _json
+    got = [(h["warc-target-uri"], _json.loads(b.decode()))
+           for h, b in iter_warc_records(a)
+           if h.get("warc-type") == "metadata"]
+    assert [u for u, _ in got] == [r[0] for r in recs]
+    assert got[0][1]["links"] == [{"href": "https://a"},
+                                  {"href": "https://b"}]
+    assert got[0][1]["title"] == "Tö"
+    assert got[1][1]["links"] == []
