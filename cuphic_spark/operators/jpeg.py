@@ -1139,6 +1139,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     sample_precision = 8
     progressive = False
+    lossless = False
     scans: list[dict] = []
     restart_interval = 0
     while pos < len(payload):
@@ -1185,16 +1186,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             # SOF0 baseline / SOF1 extended sequential / SOF2
-            # progressive — all share the Huffman-DCT decode path;
-            # SOF1/SOF2 additionally allow 12-bit samples
+            # progressive (shared Huffman-DCT path; SOF1/SOF2 allow
+            # 12-bit samples) / SOF3 LOSSLESS (predictor path,
+            # precision 2..16 per T.81 B.2.3)
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision = body[0]
-            if precision == 12 and marker == 0xC0:
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(
+                        f"lossless precision {precision} out of "
+                        "T.81's 2..16")
+            elif precision == 12 and marker == 0xC0:
                 raise ValueError("baseline SOF0 requires 8-bit "
                                  "precision (T.81 B.2.2)")
-            if precision not in (8, 12):
+            elif precision not in (8, 12):
                 raise NotImplementedError(
                     f"{precision}-bit precision (T.81 DCT modes "
                     "define 8 and 12 only)")
@@ -1231,7 +1239,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                      f"{hi}x{vi} for component {cid}")
                 comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
@@ -1284,6 +1292,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("incomplete JPEG: missing SOF/SOS")
     h, w, comps = sof
     nc = len(comps)
+    if lossless:
+        return _decode_lossless(scans, comps, h, w,
+                                sample_precision)
     if nc == 1:
         # a single-component image's scans are non-interleaved per
         # T.81 A.2.3: the MCU is ONE data unit and the declared
@@ -1420,3 +1431,165 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return np.repeat(gray[:, :, None], 3, axis=2)
     ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — predictor DPCM, no DCT.
+# Components are stored raw (T.81 defines no color transform for the
+# lossless process); multi-component streams present as stacked
+# channels, grayscale replicates. Precision 2..16; reconstructions
+# above 8 bits present as floor(x / 2^(P-8)) on the uint8 schema
+# like the extended-sequential path.
+# ---------------------------------------------------------------------------
+
+#: Complete code for lossless difference categories 0..16 (SSSS=16
+#: is the special 32768 symbol, T.81 H.1.2.2): 17 symbols at 5 bits,
+#: all-ones 5-bit code unused per the T.81 convention.
+DC_LOSSLESS_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_LOSSLESS_VALS = list(range(17))
+
+
+def _lossless_predict(plane, y, x, sel, default):
+    """T.81 H.1 prediction for sample (y, x): first sample uses the
+    default (2^(P-Pt-1)), the rest of row 0 use Ra, column 0 uses
+    Rb, and interior samples use selector 1..7."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def _decode_lossless(scans, comps, h, w, precision):
+    nc = len(comps)
+    for cid, hi, vi, _tq in comps:
+        if nc > 1 and (hi != 1 or vi != 1):
+            raise NotImplementedError(
+                "subsampled lossless components unsupported "
+                f"(component {cid} is {hi}x{vi})")
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    coded: list[int] = []
+    for scan in scans:
+        sel, pt = scan["ss"], scan["al"]
+        if not 1 <= sel <= 7:
+            raise ValueError(
+                f"lossless predictor selector {sel} out of 1..7")
+        if scan["ri"] or len(scan["segments"]) != 1:
+            raise NotImplementedError(
+                "restart intervals in lossless scans unsupported")
+        huff = scan["huff"]
+        tables = []
+        cis = []
+        for cid, dc_t, _ac_t in scan["comps"]:
+            if cid not in idx_of:
+                raise ValueError(f"unknown component {cid}")
+            if cid in coded:
+                raise ValueError(f"component {cid} coded twice")
+            coded.append(cid)
+            if (0, dc_t) not in huff:
+                raise ValueError(f"undefined DC table {dc_t}")
+            tables.append(huff[(0, dc_t)])
+            cis.append(idx_of[cid])
+        reader = _BitReader(scan["segments"][0])
+        default = 1 << (precision - pt - 1)
+        for y in range(h):
+            for x in range(w):
+                for ci, table in zip(cis, tables):
+                    size = _read_symbol(reader, table)
+                    if size == 16:
+                        diff = 32768
+                    elif size:
+                        diff = _extend(reader.bits(size), size)
+                    else:
+                        diff = 0
+                    px = _lossless_predict(planes[ci], y, x, sel,
+                                           default)
+                    planes[ci][y, x] = (px + diff) & 0xFFFF
+        if pt:
+            for ci in cis:
+                planes[ci] <<= pt
+    if sorted(coded) != sorted(idx_of):
+        raise ValueError(
+            f"lossless scans cover {sorted(coded)} of "
+            f"{sorted(idx_of)}")
+    out = []
+    for p in planes:
+        p = np.clip(p, 0, (1 << precision) - 1)
+        if precision > 8:
+            p = p >> (precision - 8)
+        out.append(p.astype(np.uint8))
+    if nc == 1:
+        return np.repeat(out[0][:, :, None], 3, axis=2)
+    return np.stack(out, axis=-1)
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                         precision: int = 8) -> bytes:
+    """(h, w) or (h, w, C) integer samples in [0, 2**precision) ->
+    SOF3 lossless JFIF bytes (one interleaved scan, predictor
+    ``predictor`` 1..7, point transform 0). The paired source of
+    truth for the decoder's EXACT roundtrip pin — lossless means
+    decode(encode(x)) == x bit-for-bit at 8-bit precision."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    arr = img.astype(np.int64)
+    if arr.min() < 0 or arr.max() >= (1 << precision):
+        raise ValueError(f"samples out of [0, {(1 << precision) - 1}]")
+    code = _canonical_codes(DC_LOSSLESS_BITS, DC_LOSSLESS_VALS)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    planes = [arr[:, :, c] for c in range(nc)]
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                px = _lossless_predict(p, y, x, predictor, default)
+                diff = int(p[y, x]) - px
+                # mod-2^16 wrap keeps every difference in the
+                # [-32767, 32768] alphabet (T.81 H.1.2.1)
+                diff = ((diff + 32768) & 0xFFFF) - 32768
+                if diff == 32768:
+                    c_, l_ = code[16]
+                    bw.write(c_, l_)
+                    continue
+                size = _category(diff)
+                c_, l_ = code[size]
+                bw.write(c_, l_)
+                if size:
+                    bw.write(_amplitude(diff, size), size)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + h.to_bytes(2, "big") \
+        + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0x00, DC_LOSSLESS_BITS, DC_LOSSLESS_VALS)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=sel, Se=0, AhAl=0
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1916,3 +1916,53 @@ def test_wat_metadata_records_roundtrip_and_determinism():
                                   {"href": "https://b"}]
     assert got[0][1]["title"] == "Tö"
     assert got[1][1]["links"] == []
+
+
+def test_jpeg_lossless_sof3_exact_roundtrip():
+    """Lossless JPEG (SOF3, T.81 Annex H): decode(encode(x)) == x
+    bit-for-bit for every predictor 1..7 at 8-bit (gray + RGB raw
+    channels — T.81 defines no color transform for lossless); 12-bit
+    presents floor(x/16); bad predictor selectors and arithmetic
+    markers still refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_lossless)
+
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    for sel in range(1, 8):
+        out = decode_jpeg(encode_jpeg_lossless(g, predictor=sel))
+        assert np.array_equal(out[:, :, 0], g)
+        assert np.array_equal(out[:, :, 1], g)  # gray replicated
+
+    c = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(c, predictor=7)), c)
+
+    m = rng.integers(0, 4096, (10, 11), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(m, predictor=4,
+                                           precision=12))
+    assert np.array_equal(out[:, :, 0], (m >> 4).astype(np.uint8))
+
+    # worst case for the difference alphabet: alternating extremes
+    z = np.zeros((4, 4), dtype=np.uint16)
+    z[::2, ::2] = 4095
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(z, precision=12))[:, :, 0],
+        (z >> 4).astype(np.uint8))
+
+    # predictor selector 0 in the scan header is invalid for SOF3
+    bad = bytearray(encode_jpeg_lossless(g))
+    i = bad.index(b"\xff\xda")
+    ns = bad[i + 4]
+    bad[i + 5 + 2 * ns] = 0  # Ss byte
+    with _pytest.raises(ValueError, match="predictor selector"):
+        decode_jpeg(bytes(bad))
+
+    # arithmetic lossless (SOF11) remains a named refusal
+    arith = bytearray(encode_jpeg_lossless(g))
+    arith[arith.index(b"\xff\xc3") + 1] = 0xCB
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
