@@ -211,6 +211,52 @@ def main() -> None:
         "shuffle-free. Check: ReadSchema prunes to (doc_id, text), "
         "no Python stages.")
 
+    # --- PageRank iteration body (the session-2 loop contract) ---
+    from cuphic_spark.frontier.graphrank import (
+        _pinned_ranks_checkpoint,
+        synthetic_edges,
+    )
+    from cuphic_spark.operators.dedup import (
+        _free_rdd_ids,
+        _tracked_local_checkpoint,
+    )
+
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    bc_was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pr_edges, _ = _tracked_local_checkpoint(
+            synthetic_edges(spark, 5000)
+            .repartition(parts, "src").sortWithinPartitions("src"))
+        outdeg = pr_edges.groupBy("src").agg(
+            F.count("*").alias("outdeg"))
+        pr_ranks, _ = _pinned_ranks_checkpoint(
+            spark,
+            spark.range(5000).toDF("id")
+            .join(outdeg, F.col("id") == F.col("src"), "left")
+            .select("id", "outdeg",
+                    F.lit(10**9).cast("long").alias("rank")),
+            parts, _tracked_local_checkpoint, _free_rdd_ids)
+        add("PageRank iteration body (edges ⋈ ranks → dst aggregate)",
+            pr_edges.join(
+                pr_ranks.where(F.col("outdeg").isNotNull()),
+                F.col("src") == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div outdeg")).alias("in_sum")),
+            "Session 2: both join inputs are pinned checkpoints "
+            "(src-hash / id-hash, pre-sorted) under the AQE-off "
+            "loop profile — the sort-merge join runs with NO "
+            "exchange and NO sort on either side; the iteration's "
+            "only shuffle is the dst aggregate (partial sum below "
+            "the Exchange). Check: exactly one Exchange "
+            "hashpartitioning, zero Sort nodes, both sides Scan "
+            "ExistingRDD.")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc_was)
+
     (REPO / "BENCH" / "PLANS.md").write_text(
         "# Physical plans of the key operators (captured, sf0.001)\n\n"
         + "\n".join(sections))
