@@ -1431,6 +1431,23 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.col("text").alias("extracted")))
 
 
+def q_train_sample(spark, sf_dir):
+    """Training-mix construction (operators/sampling.py):
+    deterministic stratified sampling (per-stratum md5-threshold
+    fractions) + independent-stream shard assignment — identical
+    membership at any partitioning, hash-exact vs the DuckDB twin."""
+    from cuphic_spark.operators.sampling import (
+        assign_shards, stratified_sample)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 3).alias("stratum"))
+    sampled = stratified_sample(
+        docs, F.col("stratum"), {0: 0.5, 1: 0.25, 2: 1.0},
+        seed="r7")
+    return (assign_shards(sampled, n_shards=8, seed="r7")
+            .select("doc_id", F.col("stratum").cast("long")
+                    .alias("stratum"), "shard"))
+
+
 def q_wat_metadata(spark, sf_dir):
     """WAT derivation end-to-end: richer synthetic pages (title +
     0-3 anchors) packed into WARC executor-side, parsed via the
@@ -1614,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "wet_roundtrip": q_wet_roundtrip,
         "wat_metadata": q_wat_metadata,
+        "train_sample": q_train_sample,
         "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
@@ -1633,6 +1651,12 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _train_sample_oracle() -> str:
+    from cuphic_spark.operators.sampling import sample_oracle_sql
+    return sample_oracle_sql({0: 0.5, 1: 0.25, 2: 1.0}, 8,
+                             "doc_id % 3", seed="r7")
 
 
 def _host_authority_oracle() -> str:
@@ -2362,6 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         "url_traps": _url_traps_oracle(),
         "span_dedup": _span_dedup_oracle(),
         "host_authority": _host_authority_oracle(),
+        "train_sample": _train_sample_oracle(),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

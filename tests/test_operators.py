@@ -1966,3 +1966,61 @@ def test_jpeg_lossless_sof3_exact_roundtrip():
     arith[arith.index(b"\xff\xc3") + 1] = 0xCB
     with _pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(arith))
+
+
+def test_deterministic_sampling_and_sharding(spark):
+    """Training-mix operators: membership is a pure function of
+    (key, seed) — identical across repartitionings; fractions on the
+    SAME stream nest (sample(0.25) is a subset of sample(0.5));
+    strata absent from the map are dropped; shard stream is
+    independent of the membership stream; DuckDB twin exact."""
+    import duckdb as _duck
+
+    from cuphic_spark.operators.sampling import (
+        assign_shards, hash_sample, sample_oracle_sql,
+        stratified_sample)
+
+    docs = spark.range(2000).toDF("doc_id")
+    a = {r.doc_id for r in hash_sample(docs, 0.5, "s").collect()}
+    b = {r.doc_id
+         for r in hash_sample(docs.repartition(13), 0.5, "s")
+         .collect()}
+    assert a == b                       # partitioning-invariant
+    q = {r.doc_id for r in hash_sample(docs, 0.25, "s").collect()}
+    assert q <= a                       # nested thresholds
+    assert 0.2 < len(q) / 2000 < 0.3    # calibrated
+    other = {r.doc_id for r in hash_sample(docs, 0.5, "t").collect()}
+    assert other != a                   # seed changes the stream
+
+    strat = docs.withColumn("stratum", F.col("doc_id") % 3)
+    kept = stratified_sample(strat, F.col("stratum"),
+                             {0: 1.0, 2: 0.0}, seed="s")
+    got = {r.doc_id for r in kept.collect()}
+    assert all(d % 3 == 0 for d in got)      # 1 absent -> dropped
+    assert len(got) == len([d for d in range(2000) if d % 3 == 0])
+
+    sh = assign_shards(docs, n_shards=8, seed="s")
+    counts = {r.shard: r.c for r in
+              sh.groupBy("shard").agg(F.count("*").alias("c"))
+              .collect()}
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())
+
+    # twin equality on the gate's exact shape
+    rows = [(i,) for i in range(500)]
+    sdocs = spark.createDataFrame(rows, "doc_id long") \
+        .withColumn("stratum", F.col("doc_id") % 3)
+    samp = (assign_shards(
+        stratified_sample(sdocs, F.col("stratum"),
+                          {0: 0.5, 1: 0.25, 2: 1.0}, seed="r7"),
+        n_shards=8, seed="r7")
+        .select("doc_id", F.col("stratum").cast("long")
+                .alias("stratum"), "shard"))
+    gotd = {r.doc_id: (r.stratum, r.shard) for r in samp.collect()}
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?)", rows)
+    ora = {r[0]: (r[1], r[2]) for r in con.execute(
+        sample_oracle_sql({0: 0.5, 1: 0.25, 2: 1.0}, 8,
+                          "doc_id % 3", seed="r7")).fetchall()}
+    assert gotd == ora
