@@ -1431,6 +1431,19 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.col("text").alias("extracted")))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination gate: documents with doc_id < 20
+    play the eval suite, the rest the corpus; every corpus doc's
+    8-word windows are checked against the benchmark window set
+    (operators/dedup.py contamination_flags — broadcast semi-join,
+    corpus never shuffles)."""
+    from cuphic_spark.operators.dedup import contamination_flags
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(~(F.col("doc_id") < 20))
+    return contamination_flags(corpus, bench, k=8)
+
+
 def q_train_sample(spark, sf_dir):
     """Training-mix construction (operators/sampling.py):
     deterministic stratified sampling (per-stratum md5-threshold
@@ -1632,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "wat_metadata": q_wat_metadata,
         "train_sample": q_train_sample,
+        "decontaminate": q_decontaminate,
         "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
@@ -1651,6 +1665,11 @@ _LINKS_TEXT = ("CASE WHEN n_links > 0 THEN array_to_string("
 
 _LI_TEXT = ("CASE WHEN li_case = 0 THEN '\u2022' || li_bold "
             "WHEN li_case = 2 THEN '\u2022' ELSE '' END")
+
+
+def _decontaminate_oracle() -> str:
+    from cuphic_spark.operators.dedup import contamination_oracle_sql
+    return contamination_oracle_sql(k=8, bench_pred="doc_id < 20")
 
 
 def _train_sample_oracle() -> str:
@@ -2387,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _span_dedup_oracle(),
         "host_authority": _host_authority_oracle(),
         "train_sample": _train_sample_oracle(),
+        "decontaminate": _decontaminate_oracle(),
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

@@ -816,3 +816,84 @@ def span_dedup_oracle_sql(k: int = 8) -> str:
                      ELSE 0 END)::BIGINT AS dup_ppm
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
+
+
+def contamination_flags(docs: DataFrame, benchmarks: DataFrame,
+                        k: int = 8, text_col: str = "text"
+                        ) -> DataFrame:
+    """Benchmark decontamination signal (the eval-leakage check every
+    LLM data pipeline runs before training): flag every k-word
+    window of ``docs`` whose exact text also appears in
+    ``benchmarks`` (doc_id, text), and roll up per corpus document.
+
+    Returns (doc_id, n_windows, n_contaminated, contaminated) where
+    ``contaminated`` is true iff any window matched. Same md5-keyed
+    shape as span_dedup_flags; the benchmark window set is typically
+    tiny (eval suites), so the semi-join broadcasts — corpus rows
+    never shuffle."""
+    def windows(df):
+        ws = F.split(F.col(text_col), " ")
+        return (df
+                .withColumn("ws", ws)
+                .where(F.size("ws") >= k)
+                .select("doc_id",
+                        F.explode(F.expr(
+                            f"sequence(1, size(ws) - {k - 1})"))
+                        .alias("i"), "ws")
+                .select("doc_id",
+                        F.md5(F.concat_ws(
+                            " ", F.expr(f"slice(ws, i, {k})")))
+                        .alias("digest")))
+
+    bench = windows(benchmarks).select("digest").distinct()
+    wins = windows(docs)
+    hits = (wins.join(F.broadcast(bench), "digest")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated")))
+    ws = F.split(F.col(text_col), " ")
+    return (docs.select(
+        "doc_id",
+        F.greatest(F.size(ws) - F.lit(k - 1), F.lit(0))
+        .cast("long").alias("n_windows"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", "n_windows",
+                F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                .alias("n_contaminated"),
+                (F.coalesce("n_contaminated", F.lit(0)) > 0)
+                .alias("contaminated")))
+
+
+def contamination_oracle_sql(k: int = 8,
+                             bench_pred: str = "doc_id < 20"
+                             ) -> str:
+    """DuckDB twin of :func:`contamination_flags` with benchmarks =
+    documents WHERE ``bench_pred`` and corpus = the rest."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 md5(array_to_string(ws[t.i:t.i + {k - 1}], ' '))
+                   AS digest
+          FROM w, UNNEST(range(1, len(ws) - {k - 2})) AS t(i)
+          WHERE len(ws) >= {k}),
+        bench AS (
+          SELECT DISTINCT digest FROM wins
+          WHERE doc_id IN (SELECT doc_id FROM documents
+                           WHERE {bench_pred})),
+        corpus AS (SELECT * FROM wins
+                   WHERE doc_id NOT IN (SELECT doc_id FROM documents
+                                        WHERE {bench_pred})),
+        hits AS (
+          SELECT corpus.doc_id, count(*) AS n
+          FROM corpus JOIN bench ON corpus.digest = bench.digest
+          GROUP BY corpus.doc_id)
+        SELECT d.doc_id,
+               greatest(len(string_split(d.text, ' ')) - {k - 1},
+                        0)::BIGINT AS n_windows,
+               coalesce(h.n, 0)::BIGINT AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE NOT ({bench_pred.replace('doc_id', 'd.doc_id')})
+    """

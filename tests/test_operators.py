@@ -2024,3 +2024,39 @@ def test_deterministic_sampling_and_sharding(spark):
         sample_oracle_sql({0: 0.5, 1: 0.25, 2: 1.0}, 8,
                           "doc_id % 3", seed="r7")).fetchall()}
     assert gotd == ora
+
+
+def test_contamination_flags_planted_leak(spark):
+    """Decontamination: a corpus doc embedding an exact 8-word
+    benchmark span is flagged with the right window count; clean and
+    short docs are not; DuckDB twin exact."""
+    import duckdb as _duck
+
+    from cuphic_spark.operators.dedup import (
+        contamination_flags, contamination_oracle_sql)
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, bench_text),                               # benchmark
+        (10, "intro words " + bench_text + " outro"),  # leaked
+        (11, "totally clean text with enough words to windowize ok"),
+        (12, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(~(F.col("doc_id") < 10))
+    got = {r.doc_id: (r.n_windows, r.n_contaminated, r.contaminated)
+           for r in contamination_flags(corpus, bench, k=8).collect()}
+    # doc 10 has 12 words -> 5 windows; the bench text contributes
+    # 9 words -> 2 of its windows are exact bench windows
+    assert got[10] == (5, 2, True)
+    assert got[11][2] is False and got[11][1] == 0
+    assert got[12] == (0, 0, False)
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ora = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        contamination_oracle_sql(k=8, bench_pred="doc_id < 10"))
+        .fetchall()}
+    assert ora == got
