@@ -1431,6 +1431,62 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.col("text").alias("extracted")))
 
 
+def q_link_hygiene(spark, sf_dir):
+    """REP page-level extensions (frontier/robots.py): <meta
+    name=robots> directives + rel=nofollow link hygiene through the
+    kernel patterns. Pages are closed-form: doc_id%6 selects the
+    meta directive (absent for %6 >= 3), doc_id%3 anchors with
+    rel=nofollow on (doc_id+j)%2==0."""
+    from cuphic_spark.frontier.robots import (
+        ANCHOR_REL_PATTERN, META_ROBOTS_PATTERN,
+        followable_links, meta_directives)
+    from cuphic_spark.operators.parse import pages_to_nodes
+
+    def gen(batches):
+        import pandas as pd
+
+        metas = ["noindex", "nofollow", "noindex, nofollow"]
+        for pdf in batches:
+            urls, htmls = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d % 6
+                meta = (f'<meta name="robots" '
+                        f'content="{metas[m]}"/>' if m < 3 else "")
+                anchors = "".join(
+                    '<a href="https://t.example/%d-%d"%s>L</a>'
+                    % (d, j, ' rel="nofollow"'
+                       if (d + j) % 2 == 0 else "")
+                    for j in range(d % 3))
+                urls.append(f"https://h{d % 10}.example/doc/{d}")
+                htmls.append(
+                    f"<doc>{meta}{anchors}<p>x</p></doc>".encode())
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = (_docs(spark, sf_dir).select("doc_id")
+             .mapInPandas(gen, "url string, html binary"))
+    m = match_nodes(pages_to_nodes(pages), [
+        compile_pattern("hyg_meta", META_ROBOTS_PATTERN),
+        compile_pattern("hyg_rel", ANCHOR_REL_PATTERN)])
+    md = meta_directives(m.where(F.col("pattern_key") == "hyg_meta"))
+    fl = (followable_links(m.where(F.col("pattern_key") == "hyg_rel"))
+          .groupBy("url")
+          .agg(F.count("*").alias("n_links"),
+               F.sum(F.col("followable").cast("int"))
+               .alias("n_followable")))
+    return (pages.select("url")
+            .join(md, "url", "left").join(fl, "url", "left")
+            .select("url",
+                    F.coalesce("noindex", F.lit(False))
+                    .alias("noindex"),
+                    F.coalesce("nofollow_meta", F.lit(False))
+                    .alias("nofollow_meta"),
+                    F.coalesce("n_links", F.lit(0)).cast("long")
+                    .alias("n_links"),
+                    F.coalesce("n_followable", F.lit(0)).cast("long")
+                    .alias("n_followable")))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination gate: documents with doc_id < 20
     play the eval suite, the rest the corpus; every corpus doc's
@@ -1646,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata": q_wat_metadata,
         "train_sample": q_train_sample,
         "decontaminate": q_decontaminate,
+        "link_hygiene": q_link_hygiene,
         "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
@@ -2407,6 +2464,18 @@ def oracle_sql() -> dict[str, str]:
         "host_authority": _host_authority_oracle(),
         "train_sample": _train_sample_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "link_hygiene": """
+            SELECT 'https://h' || (doc_id % 10) || '.example/doc/'
+                     || doc_id AS url,
+                   (doc_id % 6 = 0 OR doc_id % 6 = 2) AS noindex,
+                   (doc_id % 6 = 1 OR doc_id % 6 = 2)
+                     AS nofollow_meta,
+                   (doc_id % 3)::BIGINT AS n_links,
+                   (CASE doc_id % 3 WHEN 0 THEN 0
+                        WHEN 1 THEN doc_id % 2 ELSE 1 END)::BIGINT
+                     AS n_followable
+            FROM documents
+        """,
         "lsh_pairs_web08": _lsh_web08_oracle_sql(),
         "robots_decisions": """
             WITH u AS (

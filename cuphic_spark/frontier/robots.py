@@ -393,3 +393,55 @@ def robots_allowed(urls: DataFrame, parsed: DataFrame, agent: str,
                    F.coalesce("_rule_allow", F.lit(True)).alias("allowed"),
                    "crawl_delay"))
     return urls.join(out, url_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# Robots Exclusion Protocol page-level extensions: <meta name=robots>
+# directives and rel=nofollow link hygiene (Google's REP extensions;
+# the page-level half of what robots.txt does host-level). Both ride
+# the kernel pattern engine — no extra parse pass.
+# ---------------------------------------------------------------------------
+
+META_ROBOTS_PATTERN = "[:meta {:name mname :content content}]"
+ANCHOR_REL_PATTERN = "[:a {:href href :rel ?rel} anchor]"
+
+
+def meta_directives(matches) -> "DataFrame":
+    """Per-page robots meta verdict from kernel matches of
+    META_ROBOTS_PATTERN: (url, noindex, nofollow_meta). A page
+    without the tag (or with name != robots) gets false/false via
+    the caller's left join; multiple robots metas OR together
+    (conservative: any noindex wins)."""
+    from pyspark.sql import functions as F
+
+    name = F.lower(F.element_at("bindings", "mname"))
+    content = F.lower(F.element_at("bindings", "content"))
+    toks = F.transform(F.split(content, ","), lambda t: F.trim(t))
+    has = (lambda d: F.array_contains(toks, d)
+           | F.array_contains(toks, "none"))
+    return (matches.where(name == "robots")
+            .select("url", has("noindex").alias("ni"),
+                    has("nofollow").alias("nf"))
+            .groupBy("url")
+            .agg(F.max("ni").alias("noindex"),
+                 F.max("nf").alias("nofollow_meta")))
+
+
+def followable_links(matches) -> "DataFrame":
+    """Kernel matches of ANCHOR_REL_PATTERN -> (url, href, anchor,
+    followable): followable is false iff the anchor's rel attribute
+    token-contains nofollow (space-separated per HTML; absent rel =
+    followable). Page-level nofollow (meta_directives) composes on
+    top via join — this is the per-link half."""
+    from pyspark.sql import functions as F
+
+    # the optional-attr binding keeps its ?-prefixed name (the
+    # reference's v1 binding-key quirk, cf. the p_id gate)
+    rel = F.lower(F.coalesce(F.element_at("bindings", "?rel"),
+                             F.lit("")))
+    toks = F.split(rel, " +")
+    return matches.select(
+        "url",
+        F.element_at("bindings", "href").alias("href"),
+        F.element_at("bindings", "anchor").alias("anchor"),
+        (~F.array_contains(toks, "nofollow")).alias("followable"))

@@ -273,3 +273,38 @@ def test_pagerank_edges_side_no_exchange_in_loop_plan(spark):
     assert not re.search(r"Exchange hashpartitioning\(id", plan), plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+
+
+def test_rep_meta_and_nofollow_semantics(spark):
+    """REP page-level semantics: content tokens trim + lowercase,
+    'none' implies both directives, multiple metas OR together,
+    rel is space-token matched (nofollow ugc counts; 'nofollowx'
+    does not), absent rel is followable."""
+    from cuphic_spark.frontier.robots import (
+        ANCHOR_REL_PATTERN, META_ROBOTS_PATTERN,
+        followable_links, meta_directives)
+    from cuphic_spark.operators.parse import pages_to_nodes
+
+    html1 = (b'<doc><meta name="ROBOTS" content=" NoIndex "/>'
+             b'<meta name="robots" content="nofollow"/>'
+             b'<a href="https://a" rel="NOFOLLOW ugc">A</a>'
+             b'<a href="https://b" rel="nofollowx">B</a>'
+             b'<a href="https://c">C</a></doc>')
+    html2 = b'<doc><meta name="robots" content="none"/></doc>'
+    html3 = b'<doc><meta name="viewport" content="noindex"/></doc>'
+    pages = spark.createDataFrame(
+        [("u1", html1), ("u2", html2), ("u3", html3)],
+        "url string, html binary")
+    m = match_nodes(pages_to_nodes(pages), [
+        compile_pattern("m", META_ROBOTS_PATTERN),
+        compile_pattern("r", ANCHOR_REL_PATTERN)])
+    md = {r.url: (r.noindex, r.nofollow_meta) for r in
+          meta_directives(m.where(F.col("pattern_key") == "m"))
+          .collect()}
+    assert md == {"u1": (True, True), "u2": (True, True)}
+    assert "u3" not in md  # name != robots never contributes
+    fl = {r.href: r.followable for r in
+          followable_links(m.where(F.col("pattern_key") == "r"))
+          .collect()}
+    assert fl == {"https://a": False, "https://b": True,
+                  "https://c": True}
