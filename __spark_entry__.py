@@ -1431,6 +1431,29 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.col("text").alias("extracted")))
 
 
+def q_ingest_dedup(spark, sf_dir):
+    """Snapshot-vs-delta ingest dedup (operators/dedup.py
+    ingest_dedup_flags): incoming batch = exact copies (%40),
+    one-word-appended near copies (%25 — the simhash_pairs planting)
+    and fresh docs (%30) derived from the corpus; flags checked
+    against the full md5 + 64-bit bit-vote SimHash twin in SQL."""
+    from cuphic_spark.operators.dedup import ingest_dedup_flags
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    inc = (docs.where(F.col("doc_id") % 40 == 0)
+           .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+           .unionByName(
+               docs.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + 20000).alias("doc_id"),
+                       F.concat("text", F.lit(" x")).alias("text")))
+           .unionByName(
+               docs.where(F.col("doc_id") % 30 == 0)
+               .select((F.col("doc_id") + 30000).alias("doc_id"),
+                       F.concat(F.lit("fresh unseen doc "),
+                                F.col("doc_id").cast("string"))
+                       .alias("text"))))
+    return ingest_dedup_flags(docs, inc, max_hamming=3)
+
+
 def q_link_hygiene(spark, sf_dir):
     """REP page-level extensions (frontier/robots.py): <meta
     name=robots> directives + rel=nofollow link hygiene through the
@@ -1703,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_sample": q_train_sample,
         "decontaminate": q_decontaminate,
         "link_hygiene": q_link_hygiene,
+        "ingest_dedup": q_ingest_dedup,
         "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
@@ -2464,6 +2488,59 @@ def oracle_sql() -> dict[str, str]:
         "host_authority": _host_authority_oracle(),
         "train_sample": _train_sample_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "ingest_dedup": """
+            WITH inc AS (
+              SELECT doc_id + 10000 AS doc_id, text
+              FROM documents WHERE doc_id % 40 = 0
+              UNION ALL
+              SELECT doc_id + 20000, text || ' x'
+              FROM documents WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT doc_id + 30000,
+                     'fresh unseen doc ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 30 = 0),
+            all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM inc),
+            words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM all_docs),
+            hashes AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM words),
+            bitvotes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM hashes
+              CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit),
+            sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN vote > 0
+                         THEN (1::HUGEINT << bit)
+                         ELSE 0::HUGEINT END)::UBIGINT AS u
+              FROM bitvotes GROUP BY doc_id),
+            exact AS (
+              SELECT DISTINCT i.doc_id FROM inc i
+              WHERE md5(i.text) IN
+                    (SELECT md5(text) FROM documents)),
+            near AS (
+              SELECT DISTINCT si.doc_id
+              FROM sig si JOIN sig se
+                ON si.doc_id >= 10000 AND se.doc_id < 10000
+               AND bit_count(xor(si.u, se.u)) <= 3)
+            SELECT i.doc_id,
+                   i.doc_id IN (SELECT doc_id FROM exact)
+                     AS exact_dup,
+                   i.doc_id IN (SELECT doc_id FROM near)
+                     AS near_dup,
+                   NOT (i.doc_id IN (SELECT doc_id FROM exact)
+                        OR i.doc_id IN (SELECT doc_id FROM near))
+                     AS keep
+            FROM inc i
+        """,
         "link_hygiene": """
             SELECT 'https://h' || (doc_id % 10) || '.example/doc/'
                      || doc_id AS url,

@@ -897,3 +897,72 @@ def contamination_oracle_sql(k: int = 8,
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE NOT ({bench_pred.replace('doc_id', 'd.doc_id')})
     """
+
+
+def ingest_dedup_flags(existing: DataFrame, incoming: DataFrame,
+                       max_hamming: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Ingest-time dedup against the ALREADY-INGESTED corpus — the
+    snapshot-vs-delta shape every rolling pipeline runs (within-batch
+    dedup alone re-admits content the corpus already holds).
+
+    Per incoming doc: ``exact_dup`` iff its md5(text) exists in
+    ``existing``; ``near_dup`` iff some existing doc's SimHash is
+    within ``max_hamming``; ``keep`` = neither. Near-dup candidates
+    come from the same pigeonhole chunk join as simhash_pairs
+    (max_hamming+1 chunks of 64 bits — any pair within the ball
+    agrees on >= 1 chunk), verified exactly with bit_count(xor).
+
+    Scale shape: exact is a digest-keyed left-semi join; near is a
+    chunk equi-join of (max_hamming+1)·|incoming| probe rows against
+    the existing side's chunk table (at steady state existing >>
+    incoming, and the chunk table is a reusable derivative of the
+    corpus snapshot); all verification stays JVM-side."""
+    nchunks = max_hamming + 1
+    if 64 % nchunks:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // nchunks
+    mask = (1 << width) - 1
+
+    ex_md5 = existing.select(
+        F.md5(F.col(text_col)).alias("digest")).distinct()
+    exact = (incoming
+             .select("doc_id", F.md5(F.col(text_col)).alias("digest"))
+             .join(ex_md5, "digest", "left_semi")
+             .select("doc_id", F.lit(True).alias("exact_dup")))
+
+    def chunked(sig, id_alias, sig_alias):
+        parts = []
+        for i in range(nchunks):
+            parts.append(sig.select(
+                F.col("doc_id").alias(id_alias),
+                F.col("simhash").alias(sig_alias),
+                F.lit(i).alias("chunk_ix"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask)).alias("chunk_val")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    ex_chunks = chunked(simhash64(existing), "ex_id", "ex_sig")
+    in_chunks = chunked(simhash64(incoming), "in_id", "in_sig")
+    near = (in_chunks.join(ex_chunks, ["chunk_ix", "chunk_val"])
+            .where(F.bit_count(
+                F.col("in_sig").bitwiseXOR(F.col("ex_sig")))
+                <= max_hamming)
+            .select(F.col("in_id").alias("doc_id"))
+            .distinct()
+            .withColumn("near_dup", F.lit(True)))
+
+    return (incoming.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("exact_dup", F.lit(False))
+                .alias("exact_dup"),
+                F.coalesce("near_dup", F.lit(False))
+                .alias("near_dup"))
+            .withColumn("keep",
+                        ~F.col("exact_dup") & ~F.col("near_dup")))

@@ -2060,3 +2060,28 @@ def test_contamination_flags_planted_leak(spark):
         contamination_oracle_sql(k=8, bench_pred="doc_id < 10"))
         .fetchall()}
     assert ora == got
+
+
+def test_ingest_dedup_flags_planted(spark):
+    """Snapshot-vs-delta dedup: an exact copy flags exact+near, a
+    one-word tweak of a LONG doc flags near only, fresh text keeps.
+    Within-batch duplicates of the incoming set do NOT flag (the
+    check is against existing only)."""
+    from cuphic_spark.operators.dedup import ingest_dedup_flags
+
+    long_text = " ".join(f"w{i % 37}tok{i % 11}" for i in range(120))
+    existing = spark.createDataFrame(
+        [(1, long_text), (2, "some other corpus document here")],
+        "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(10, long_text),                  # exact (and near, d=0)
+         (11, long_text + " x"),           # near only
+         (12, "completely different fresh content entirely"),
+         (13, "completely different fresh content entirely")],
+        "doc_id long, text string")        # 12/13: batch-internal dup
+    got = {r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+           for r in ingest_dedup_flags(existing, incoming).collect()}
+    assert got[10] == (True, True, False)
+    assert got[11] == (False, True, False)
+    assert got[12] == (False, False, True)
+    assert got[13] == (False, False, True)  # existing-only semantics
