@@ -105,3 +105,30 @@ def test_url_traps_fuzz_matches_duckdb(spark, seed):
         ora.setdefault(r[0], []).append(tuple(r[1:]))
     assert {k: sorted(v) for k, v in got.items()} \
         == {k: sorted(v) for k, v in ora.items()}
+
+
+def test_scan_side_operators_have_no_shuffle_no_python(spark):
+    """Plan contract for the scan-side claims: url_trap_signals is a
+    pure Project/Filter chain (zero Exchange, zero Python stages);
+    lm_fluency's only Python-free plan has exactly the documented
+    shuffles (two count aggregates + join-backs), no MapInPandas."""
+    import re
+
+    from cuphic_spark.frontier.urltrap import url_trap_signals
+    from cuphic_spark.operators.textstats import lm_fluency
+
+    urls = spark.createDataFrame(
+        [("https://h.example/a/b?x=1",)], "url string")
+    plan = (url_trap_signals(urls)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+    docs = spark.createDataFrame([(1, "a b c")],
+                                 "doc_id long, text string")
+    lplan = (lm_fluency(docs)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "InPandas" not in lplan and "BatchEvalPython" not in lplan
+    # bounded shuffle count: c2 agg, c1 agg, joins + final agg —
+    # under AQE the executed plan shows the exchanges pre-reuse
+    assert len(re.findall(r"\bExchange\b", lplan)) <= 8, lplan
