@@ -53,3 +53,63 @@ def lang_ingest_accounting(pages_stream: DataFrame) -> DataFrame:
             .applyInPandasWithState(
                 _account, OUTPUT_SCHEMA, STATE_SCHEMA,
                 "update", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest dedup with explicit cross-batch state — the
+# second applyInPandasWithState operator: unlike
+# dropDuplicatesWithinWatermark (whose state the engine manages and
+# ages out), this keeps an explicit per-shard digest set and EMITS
+# the dedup decision per page, so downstream stages can route
+# duplicates (count them, divert to a quarantine sink) instead of
+# just losing them. Sharding the state by digest prefix bounds each
+# group's state row and parallelizes the membership check.
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("is_new", T.BooleanType()),
+])
+# state: the shard's known digests, concatenated (32 hex chars each)
+DEDUP_STATE_SCHEMA = "digests string"
+
+
+def _dedup_shard(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    known = set()
+    if state.exists:
+        blob = state.get[0]
+        known = {blob[i:i + 32] for i in range(0, len(blob), 32)}
+    urls, digs, flags = [], [], []
+    for pdf in pdfs:
+        for url, dig in zip(pdf["url"], pdf["digest"]):
+            fresh = dig not in known
+            if fresh:
+                known.add(dig)
+            urls.append(url)
+            digs.append(dig)
+            flags.append(fresh)
+    state.update(("".join(sorted(known)),))
+    yield pd.DataFrame({"url": urls, "digest": digs,
+                        "is_new": flags})
+
+
+def streaming_ingest_dedup(pages_stream: DataFrame,
+                           n_shards: int = 16) -> DataFrame:
+    """Streaming DF (url, html, ...) -> (url, digest, is_new) in
+    append mode: is_new is false for any content digest seen in ANY
+    earlier micro-batch (state persists via the checkpoint).
+    Duplicates within one batch resolve in arrival order inside the
+    shard group. State is sharded by digest prefix — each group
+    holds only its slice of the digest set."""
+    digest = F.md5(F.col("html"))
+    prepped = pages_stream.select(
+        "url", digest.alias("digest"),
+        (F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
+         % F.lit(n_shards)).alias("shard_id"))
+    return (prepped.groupBy("shard_id")
+            .applyInPandasWithState(
+                _dedup_shard, DEDUP_OUTPUT_SCHEMA, DEDUP_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -109,3 +109,43 @@ def test_streaming_crawl_reproduces_batch(spark, tmp_path):
         .orderBy("wave", "rank_in_wave").collect()
     assert [(r.wave, r.rank_in_wave, r.url, r.bytes) for r in b] == \
         [(r.wave, r.rank_in_wave, r.url, r.bytes) for r in s]
+
+
+def test_streaming_ingest_dedup_state_across_batches(spark, tmp_path):
+    """The explicit-state dedup EMITS a decision per page: content
+    seen in an EARLIER micro-batch flags is_new=false (state carried
+    via checkpoint), within-batch repeats resolve in arrival order,
+    and distinct content stays new. Unlike the watermark variant the
+    duplicate rows are still visible downstream."""
+    import datetime
+    import os
+
+    from cuphic_spark.sources.tei import PAGES_SCHEMA
+    from cuphic_spark.streaming.pages_stream import read_pages_stream
+    from cuphic_spark.streaming.stateful import streaming_ingest_dedup
+
+    ts = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    b1 = [("u1", ts, b"<d>alpha</d>", "", "en"),
+          ("u2", ts, b"<d>beta</d>", "", "en")]
+    b2 = [("u3", ts, b"<d>beta</d>", "", "en"),     # cross-batch dup
+          ("u4", ts, b"<d>gamma</d>", "", "en")]
+    spark.createDataFrame(b1, PAGES_SCHEMA).write.mode("append") \
+        .parquet(src)
+    spark.createDataFrame(b2, PAGES_SCHEMA).write.mode("append") \
+        .parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_ingest_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT url, is_new FROM sdedup").collect()
+    got = {r.url: r.is_new for r in rows}
+    assert len(got) == 4                       # every page emitted
+    assert got["u1"] and got["u2"] and got["u4"]
+    assert got["u3"] is False                  # duplicate visible+flagged
