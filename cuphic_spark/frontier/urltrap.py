@@ -44,7 +44,10 @@ def url_trap_signals(df: DataFrame, url_col: str = "url",
     """Append the trap-signal columns to ``df`` (see module doc)."""
     url = F.col(url_col)
     # path = after the authority, before ? or #; query = after ?
-    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    # (scheme class covers RFC 3986 incl. UPPERCASE — trap signals
+    # must fire on raw, not-yet-canonicalized urls too)
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     params = F.filter(F.split(query, "&"), lambda p: p != "")
@@ -83,7 +86,8 @@ def trap_signals_oracle_sql(urls_cte: str, max_repeat: int = 3,
           SELECT url,
                  list_filter(string_split(
                    regexp_extract(url,
-                     '^[a-z]+://[^/?#]*([^?#]*)', 1), '/'),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                     1), '/'),
                    s -> s <> '') AS segs,
                  list_filter(string_split(
                    regexp_extract(url, '\\?([^#]*)', 1), '&'),

@@ -945,8 +945,11 @@ def ingest_dedup_flags(existing: DataFrame, incoming: DataFrame,
             out = out.unionByName(p)
         return out
 
-    ex_chunks = chunked(simhash64(existing), "ex_id", "ex_sig")
-    in_chunks = chunked(simhash64(incoming), "in_id", "in_sig")
+    def as_text(df):  # simhash64 reads the fixed (doc_id, text) shape
+        return df.select("doc_id", F.col(text_col).alias("text"))
+
+    ex_chunks = chunked(simhash64(as_text(existing)), "ex_id", "ex_sig")
+    in_chunks = chunked(simhash64(as_text(incoming)), "in_id", "in_sig")
     near = (in_chunks.join(ex_chunks, ["chunk_ix", "chunk_val"])
             .where(F.bit_count(
                 F.col("in_sig").bitwiseXOR(F.col("ex_sig")))

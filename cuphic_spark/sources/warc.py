@@ -382,7 +382,10 @@ def wat_files_from_pages(meta: DataFrame,
     def pack(pdf):
         pdf = pdf.sort_values("url")
         recs = [(u, ts, {"url": u,
-                         "title": t if t is not None else "",
+                         # pd.isna guards the pandas null spellings
+                         # (None AND float NaN — NaN would serialize
+                         # as invalid bare JSON NaN)
+                         "title": "" if pd.isna(t) else t,
                          "links": [{"href": h} for h in list(ls)]})
                 for u, ts, t, ls in zip(pdf["url"], pdf["warc_ts"],
                                         pdf["title"], pdf["links"])]

@@ -308,3 +308,19 @@ def test_rep_meta_and_nofollow_semantics(spark):
           .collect()}
     assert fl == {"https://a": False, "https://b": True,
                   "https://c": True}
+
+
+def test_url_trap_signals_uppercase_scheme(spark):
+    """Trap signals must fire on raw, not-yet-canonicalized urls:
+    an UPPERCASE scheme still parses (a lowercase-only scheme class
+    would zero every signal and wave the url through)."""
+    from cuphic_spark.frontier.urltrap import url_trap_signals
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://H.example/a/b/a/a/p"),
+         (2, "Https://h.example/d?PHPSESSID=1")],
+        "doc_id long, url string")
+    got = {r.doc_id: (r.max_repeat, r.has_session, r.is_trap)
+           for r in url_trap_signals(df).collect()}
+    assert got[1] == (3, False, True)
+    assert got[2] == (1, True, True)
