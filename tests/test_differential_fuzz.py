@@ -132,3 +132,25 @@ def test_scan_side_operators_have_no_shuffle_no_python(spark):
     # bounded shuffle count: c2 agg, c1 agg, joins + final agg —
     # under AQE the executed plan shows the exchanges pre-reuse
     assert len(re.findall(r"\bExchange\b", lplan)) <= 8, lplan
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_contamination_fuzz_matches_duckdb(spark, seed):
+    from cuphic_spark.operators.dedup import (
+        contamination_flags, contamination_oracle_sql)
+
+    rng = random.Random(seed)
+    words = ["a", "b", "c", "d"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(
+        rng.randint(0, 12)))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where("doc_id < 10")
+    corpus = docs.where("doc_id >= 10")
+    got = {r.doc_id: (r.n_windows, r.n_contaminated, r.contaminated)
+           for r in contamination_flags(corpus, bench, k=4).collect()}
+    con = _duck_with_docs(rows)
+    ora = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        contamination_oracle_sql(k=4, bench_pred="doc_id < 10"))
+        .fetchall()}
+    assert got == ora
+    assert any(v[2] for v in got.values())  # collisions occur at k=4
