@@ -1431,6 +1431,25 @@ def q_wet_roundtrip(spark, sf_dir):
                     F.col("text").alias("extracted")))
 
 
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC gate: every third document gets a combining-mark
+    suffix (e+U+0301, A+U+030A) appended closed-form; the Spark side
+    composes via stdlib unicodedata (Arrow-batched), the oracle via
+    DuckDB's built-in nfc_normalize — two independent UAX #15
+    implementations must agree byte-for-byte."""
+    from cuphic_spark.operators.webclean import normalize_nfc
+    # DECOMPOSED via chr (no source-encoding ambiguity):
+    # e+COMBINING ACUTE, A+COMBINING RING
+    suffix = " cafe" + chr(0x301) + " A" + chr(0x30A)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat("text", F.lit(suffix)))
+        .otherwise(F.col("text")).alias("text"))
+    return normalize_nfc(docs).select(
+        "doc_id", "normalized", "was_denormalized")
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Snapshot-vs-delta ingest dedup (operators/dedup.py
     ingest_dedup_flags): incoming batch = exact copies (%40),
@@ -1727,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "link_hygiene": q_link_hygiene,
         "ingest_dedup": q_ingest_dedup,
+        "nfc_normalize": q_nfc_normalize,
         "host_authority": q_host_authority,
         # rows-only (non-SQL by nature: iterative crawl state /
         # kernel-path TEI parsing)
@@ -2488,6 +2508,19 @@ def oracle_sql() -> dict[str, str]:
         "host_authority": _host_authority_oracle(),
         "train_sample": _train_sample_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "nfc_normalize": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' cafe' || chr(769)
+                               || ' A' || chr(778)
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(text) AS normalized,
+                   nfc_normalize(text) <> text AS was_denormalized
+            FROM d
+        """,
         "ingest_dedup": """
             WITH inc AS (
               SELECT doc_id + 10000 AS doc_id, text

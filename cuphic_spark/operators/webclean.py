@@ -11,6 +11,8 @@ drift from the operator.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 (pandas_udf annotations)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -194,3 +196,32 @@ def doc_filter_flags(docs: DataFrame, badwords=BADWORDS,
         permille.alias("badword_permille"),
         ((~blocked) & (permille <= max_badword_permille)).alias("keep"),
     )
+
+
+def normalize_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization (UAX #15) — the prerequisite for
+    every downstream equality-keyed operator: 'café' spelled with a
+    combining acute and with the precomposed character are DIFFERENT
+    byte strings (md5 dedup, line dedup, span windows, simhash
+    tokens all miss the duplicate) until composed.
+
+    Arrow-batched pandas UDF over stdlib unicodedata (composition is
+    table-driven; no column-expression equivalent exists), one narrow
+    pass, no shuffle. Returns doc_id, normalized, was_denormalized.
+    The DuckDB twin is built-in ``nfc_normalize`` — two independent
+    UAX #15 implementations agreeing byte-for-byte is the gate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    out = docs.withColumn("normalized", nfc(F.col(text_col)))
+    return out.withColumn(
+        "was_denormalized",
+        F.coalesce(F.col("normalized") != F.col(text_col),
+                   F.lit(False)))

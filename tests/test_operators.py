@@ -2085,3 +2085,34 @@ def test_ingest_dedup_flags_planted(spark):
     assert got[11] == (False, True, False)
     assert got[12] == (False, False, True)
     assert got[13] == (False, False, True)  # existing-only semantics
+
+
+def test_nfc_normalization(spark):
+    """NFC composition: combining sequences compose (e+0301 -> é,
+    A+030A -> Å), already-NFC text is untouched and unflagged, null
+    passes through; equality-keyed dedup MISSES the duplicate until
+    normalization and catches it after — the operator's raison
+    d'être."""
+    from cuphic_spark.operators.dedup import exact_dedup_groups
+    from cuphic_spark.operators.webclean import normalize_nfc
+
+    decomp = "cafe" + chr(0x301)
+    comp = "caf" + chr(0xE9)
+    docs = spark.createDataFrame(
+        [(1, decomp), (2, comp), (3, "plain"), (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.normalized, r.was_denormalized)
+           for r in normalize_nfc(docs).collect()}
+    assert got[1] == (comp, True)
+    assert got[2] == (comp, False)
+    assert got[3] == ("plain", False)
+    assert got[4] == (None, False)
+
+    # before: byte-unequal -> no dup group; after: one group of 2
+    # (exact_dedup_groups already filters to n_copies > 1)
+    before = exact_dedup_groups(docs.where("text is not null"))
+    after = exact_dedup_groups(
+        normalize_nfc(docs.where("text is not null"))
+        .select("doc_id", F.col("normalized").alias("text")))
+    assert before.count() == 0
+    assert after.count() == 1
