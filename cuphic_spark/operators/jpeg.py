@@ -1295,6 +1295,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if lossless:
         return _decode_lossless(scans, comps, h, w,
                                 sample_precision)
+    planes, comps = _decode_dct_frame(
+        scans, comps, h, w, progressive, sample_precision, qtabs)
+    return _present_planes(planes, len(comps), sample_precision)
+
+
+def _present_planes(planes, nc, sample_precision):
+    """Native-precision component planes -> the uniform uint8 RGB
+    schema: clamp at the stream's precision, floor-downscale >8-bit
+    samples (floor(x / 2^(P-8))), then grayscale-replicate or apply
+    the JFIF YCbCr matrices."""
+    shown = []
+    for plane in planes:
+        if sample_precision > 8:
+            plane = np.floor(
+                np.clip(plane.round(), 0,
+                        (1 << sample_precision) - 1)
+                / (1 << (sample_precision - 8)))
+        shown.append(plane)
+    if nc == 1:
+        gray = np.clip(shown[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    ycc = np.stack(shown, axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+def _decode_dct_frame(scans, comps, h, w, progressive,
+                      sample_precision, qtabs, level_shift=True):
+    """Decode one DCT frame's scans to full-resolution component
+    planes at NATIVE precision (float64, h x w each). ``level_shift``
+    off is the differential-frame mode (T.81 Annex J residuals: no
+    +2^(P-1), values signed). Returns (planes, normalized comps)."""
+    nc = len(comps)
     if nc == 1:
         # a single-component image's scans are non-interleaved per
         # T.81 A.2.3: the MCU is ONE data unit and the declared
@@ -1405,16 +1437,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         q = qtabs[tq].reshape(64).astype(np.float64)
         deq = (grids[ci].astype(np.float64)[:, UNZIGZAG] * q) \
             .reshape(rows * cols, 8, 8)
-        # level shift at the stream's sample precision, then bring
-        # 12-bit samples down to the uniform 8-bit pixel schema
-        # (floor(x / 2^(P-8)) of the clamped full-precision sample —
-        # the conventional high-bit-depth presentation)
-        half = float(1 << (sample_precision - 1))
+        # level shift at the stream's sample precision (skipped in
+        # differential mode: Annex J residuals are signed); >8-bit
+        # presentation downscale happens in _present_planes so
+        # hierarchical folding runs at native precision
+        half = float(1 << (sample_precision - 1)) if level_shift \
+            else 0.0
         spatial = np.einsum("xu,nuv,yv->nxy", _A.T, deq, _A.T) + half
-        if sample_precision > 8:
-            spatial = np.floor(
-                np.clip(spatial.round(), 0, 2 * half - 1)
-                / (1 << (sample_precision - 8)))
         plane = (spatial.reshape(rows, cols, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
         # crop to the component's true dims, then replicate up to
@@ -1426,11 +1455,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
                               hmax // hi, axis=1)
         planes.append(plane[:h, :w])
-    if nc == 1:
-        gray = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
-        return np.repeat(gray[:, :, None], 3, axis=2)
-    ycc = np.stack(planes, axis=-1)
-    return _ycbcr_to_rgb(ycc)
+    return planes, comps
+
+
 
 
 # ---------------------------------------------------------------------------
