@@ -1142,6 +1142,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     lossless = False
     scans: list[dict] = []
     restart_interval = 0
+    dhp = None                      # hierarchical full-size header
+    frames: list[dict] = []         # one entry per SOF (Annex J)
+    pending_exp = (0, 0)            # EXP marker ahead of next frame
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -1186,13 +1189,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5):
             # SOF0 baseline / SOF1 extended sequential / SOF2
             # progressive (shared Huffman-DCT path; SOF1/SOF2 allow
             # 12-bit samples) / SOF3 LOSSLESS (predictor path,
-            # precision 2..16 per T.81 B.2.3)
+            # precision 2..16 per T.81 B.2.3) / SOF5 DIFFERENTIAL
+            # sequential (Annex J hierarchical residual frames)
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            differential = marker == 0xC5
+            if differential and dhp is None:
+                raise ValueError(
+                    "differential frame (SOF5) without a preceding "
+                    "DHP header (T.81 Annex J)")
             precision = body[0]
             if lossless:
                 if not 2 <= precision <= 16:
@@ -1239,11 +1248,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                      f"{hi}x{vi} for component {cid}")
                 comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7,
+            scans = []          # new frame: scans rebind, not shared
+            frames.append({"sof": sof, "scans": scans,
+                           "progressive": progressive,
+                           "lossless": lossless,
+                           "differential": differential,
+                           "precision": precision,
+                           "exp": pending_exp})
+            pending_exp = (0, 0)
+        elif marker == 0xDE:  # DHP — hierarchical progression header
+            # same syntax as SOF; only the full dims matter here
+            dhp = (int.from_bytes(body[1:3], "big"),
+                   int.from_bytes(body[3:5], "big"))
+        elif marker == 0xDF:  # EXP — expand reference before next frame
+            pending_exp = (body[0] >> 4, body[0] & 0xF)
+            if pending_exp not in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                raise ValueError(f"invalid EXP nibbles {pending_exp}")
+        elif marker in (0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(arithmetic/hierarchical/lossless modes)")
+                "(arithmetic modes; differential progressive/"
+                "lossless)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1292,6 +1318,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("incomplete JPEG: missing SOF/SOS")
     h, w, comps = sof
     nc = len(comps)
+    if dhp is not None or len(frames) > 1:
+        return _decode_hierarchical(frames, dhp, qtabs)
     if lossless:
         return _decode_lossless(scans, comps, h, w,
                                 sample_precision)
@@ -1618,5 +1646,170 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     sos += bytes([predictor, 0, 0])  # Ss=sel, Se=0, AhAl=0
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J): DHP header, a non-differential
+# first frame at reduced resolution, EXP reference expansion (the
+# spec's fixed bilinear doubling, J.1.1.2), and SOF5 differential
+# sequential frames whose IDCT output is a SIGNED residual added to
+# the expanded reference. Differential progressive/lossless (SOF6/7)
+# and all arithmetic modes remain named refusals.
+# ---------------------------------------------------------------------------
+
+
+def _exp_upsample(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion: doubled axis keeps input
+    samples at even positions, odd positions are the rounded mean of
+    the neighbors ((a+b+1)>>1), last odd replicates the edge."""
+    if eh:
+        n = p.shape[1]
+        out = np.zeros((p.shape[0], 2 * n), dtype=np.int64)
+        out[:, 0::2] = p
+        if n > 1:
+            out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        n = p.shape[0]
+        out = np.zeros((2 * n, p.shape[1]), dtype=np.int64)
+        out[0::2, :] = p
+        if n > 1:
+            out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _decode_hierarchical(frames, dhp, qtabs):
+    if not frames:
+        raise ValueError("hierarchical stream without frames")
+    if frames[0]["differential"]:
+        raise ValueError("first hierarchical frame must be "
+                         "non-differential (T.81 J.1)")
+    precision = frames[0]["precision"]
+    maxv = (1 << precision) - 1
+    ref = None
+    comp_ids = None
+    for idx, fr in enumerate(frames):
+        h, w, comps = fr["sof"]
+        if fr["lossless"]:
+            raise NotImplementedError(
+                "lossless frames inside a hierarchical stream")
+        if fr["precision"] != precision:
+            raise ValueError("sample precision changed mid-stream")
+        if idx == 0:
+            planes, comps_n = _decode_dct_frame(
+                fr["scans"], comps, h, w, fr["progressive"],
+                precision, qtabs)
+            ref = [np.clip(p.round(), 0, maxv).astype(np.int64)
+                   for p in planes]
+            comp_ids = [c[0] for c in comps_n]
+            continue
+        if not fr["differential"]:
+            raise NotImplementedError(
+                "non-differential frame after the first in a "
+                "hierarchical stream")
+        if [c[0] for c in comps] != comp_ids and \
+                [c[0] for c in comps] != comp_ids[:len(comps)]:
+            raise ValueError("component ids changed across frames")
+        eh, ev = fr["exp"]
+        if eh or ev:
+            ref = [_exp_upsample(p, eh, ev) for p in ref]
+        if ref[0].shape[0] < h or ref[0].shape[1] < w:
+            raise ValueError(
+                f"reference {ref[0].shape} smaller than frame "
+                f"{h}x{w} (missing EXP?)")
+        ref = [p[:h, :w] for p in ref]   # odd-dim crop after EXP
+        res, _ = _decode_dct_frame(
+            fr["scans"], comps, h, w, fr["progressive"],
+            precision, qtabs, level_shift=False)
+        ref = [np.clip(r + d.round(), 0, maxv).astype(np.int64)
+               for r, d in zip(ref, res)]
+    planes = [p.astype(np.float64) for p in ref]
+    return _present_planes(planes, len(planes), precision)
+
+
+def encode_jpeg_hierarchical(img: np.ndarray,
+                             quality: int = 85) -> bytes:
+    """(h, w) GRAYSCALE uint8 -> two-level hierarchical JFIF bytes:
+    DHP, a half-resolution SOF0 base frame, EXP(1,1), and one SOF5
+    differential frame carrying the closed-loop residual (computed
+    against the DECODER's own base reconstruction + spec upsampling,
+    so encoder and decoder references agree exactly). The paired
+    test-vector source for Annex J decode; color hierarchical
+    streams decode fine but this encoder stays single-component."""
+    if img.ndim != 2:
+        raise ValueError("hierarchical encoder is grayscale-only")
+    h, w = img.shape
+    full = img.astype(np.int64)
+    base = full[::2, ::2]                    # encoder's downsample
+    bh, bw = base.shape
+
+    q = _scaled_quant(QUANT_LUM, quality).astype(np.float64)
+    dc_code = _canonical_codes(DC_EXTENDED_BITS, DC_EXTENDED_VALS)
+    ac_code = _canonical_codes(AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+
+    def dct_quantize(plane, rows, cols, level_shift):
+        blocks = _grid_blocks(plane.astype(np.float64), rows, cols)
+        if level_shift:
+            blocks = blocks - 128.0
+        coef = np.einsum("ux,rcxy,vy->rcuv", _A, blocks, _A)
+        return np.round(coef / q).astype(np.int32)
+
+    def scan_bytes(quant, rows, cols):
+        bw_ = _BitWriter()
+        prev = 0
+        for by in range(rows):
+            for bx in range(cols):
+                zz = quant[by, bx].reshape(64)[ZIGZAG]
+                prev = _encode_block(bw_, zz, prev, dc_code, ac_code)
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def reconstruct(quant, rows, cols, level_shift):
+        deq = quant.astype(np.float64) * q
+        spatial = np.einsum("xu,rcuv,yv->rcxy", _A.T, deq, _A.T)
+        if level_shift:
+            spatial = spatial + 128.0
+        plane = (spatial.transpose(0, 2, 1, 3)
+                 .reshape(rows * 8, cols * 8))
+        return plane
+
+    # base frame + the decoder's reconstruction of it
+    brows, bcols = -(-bh // 8), -(-bw // 8)
+    qbase = dct_quantize(base, brows, bcols, True)
+    ref = np.clip(reconstruct(qbase, brows, bcols, True)[:bh, :bw]
+                  .round(), 0, 255).astype(np.int64)
+    ref_up = _exp_upsample(ref, 1, 1)[:h, :w]
+    residual = full - ref_up
+    frows, fcols = -(-h // 8), -(-w // 8)
+    qres = dct_quantize(residual, frows, fcols, False)
+
+    def sof(marker, fh, fw):
+        body = bytes([8]) + fh.to_bytes(2, "big") \
+            + fw.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+        return bytes([0xFF, marker]) \
+            + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0]) + bytes(int(x) for x in
+                             q.astype(np.int32).reshape(64)[ZIGZAG])
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    out += sof(0xDE, h, w)                       # DHP (full dims)
+    out += _dht_segment(0x00, DC_EXTENDED_BITS, DC_EXTENDED_VALS)
+    out += _dht_segment(0x10, AC_UNIVERSAL_BITS, AC_UNIVERSAL_VALS)
+    out += sof(0xC0, bh, bw)                     # base frame
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += scan_bytes(qbase, brows, bcols)
+    out += b"\xff\xdf\x00\x03\x11"               # EXP(1,1)
+    out += sof(0xC5, h, w)                       # differential frame
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += scan_bytes(qres, frows, fcols)
     out += b"\xff\xd9"
     return bytes(out)

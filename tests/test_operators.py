@@ -2116,3 +2116,57 @@ def test_nfc_normalization(spark):
         .select("doc_id", F.col("normalized").alias("text")))
     assert before.count() == 0
     assert after.count() == 1
+
+
+def test_jpeg_hierarchical_annex_j():
+    """Hierarchical JPEG (T.81 Annex J): DHP + half-res base frame +
+    EXP(1,1) + SOF5 differential residual. The closed-loop encoder
+    models the decoder's reference exactly, so at quality 100 the
+    residual frame recovers even noise to within rounding; odd dims
+    crop after expansion; the EXP doubling filter matches the spec's
+    hand-computed values; SOF5 without DHP and differential
+    progressive (SOF6) refuse loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cuphic_spark.operators.jpeg import (
+        _exp_upsample, decode_jpeg, encode_jpeg_hierarchical)
+
+    rng = np.random.default_rng(31)
+
+    # spec filter: evens copy, odds rounded mean, edge replicates
+    row = np.array([[0, 10, 255]], dtype=np.int64)
+    up = _exp_upsample(row, 1, 0)
+    assert up.tolist() == [[0, 5, 10, 133, 255, 255]]
+    col = _exp_upsample(row.T, 0, 1)
+    assert col.T.tolist() == [[0, 5, 10, 133, 255, 255]]
+
+    noise = rng.integers(0, 256, (33, 41), dtype=np.uint8)  # odd dims
+    data = encode_jpeg_hierarchical(noise, quality=100)
+    assert b"\xff\xde" in data and b"\xff\xdf" in data \
+        and b"\xff\xc5" in data
+    out = decode_jpeg(data)
+    assert out.shape == (33, 41, 3)
+    err = np.abs(out[:, :, 0].astype(float) - noise.astype(float))
+    assert err.max() <= 2
+
+    x = np.linspace(0, 255, 64)
+    grad = ((np.meshgrid(x, x)[0] + np.meshgrid(x, x)[1]) / 2) \
+        .astype(np.uint8)
+    g = decode_jpeg(encode_jpeg_hierarchical(grad, quality=90))
+    assert np.abs(g[:, :, 0].astype(float)
+                  - grad.astype(float)).max() <= 4
+
+    # SOF5 with no preceding DHP: loud ValueError
+    bad = bytearray(data)
+    i = bad.index(b"\xff\xde")
+    bad[i:i + 4 + int.from_bytes(bad[i + 2:i + 4], "big") - 2] = \
+        b""  # strip the DHP segment entirely
+    with _pytest.raises(ValueError, match="without a preceding DHP"):
+        decode_jpeg(bytes(bad))
+
+    # differential progressive (SOF6) remains a named refusal
+    sof6 = bytearray(data)
+    sof6[sof6.index(b"\xff\xc5") + 1] = 0xC6
+    with _pytest.raises(NotImplementedError, match="0xFFC6"):
+        decode_jpeg(bytes(sof6))
