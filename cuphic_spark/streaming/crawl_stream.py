@@ -72,6 +72,17 @@ def streaming_crawl(spark: SparkSession, cfg: CrawlConfig,
         t0 = time.time()
         while time.time() - t0 < timeout_sec:
             if last_complete_wave(cfg) >= cfg.n_waves - 1:
+                # the final wave's lineage marker commits BEFORE the
+                # batch's trailing work (fetch-log drain, metrics)
+                # returns from crawl() — stopping here would cancel
+                # those jobs mid-batch and lose the waves_run
+                # increment (observed as a rare suite flake; the
+                # crawl state itself is resume-safe either way).
+                # Drain the in-flight trigger first, bounded.
+                t1 = time.time()
+                while (q.status.get("isTriggerActive", False)
+                       and time.time() - t1 < 60):
+                    time.sleep(0.1)
                 break
             time.sleep(0.2)
     finally:
