@@ -55,34 +55,99 @@ def minhash_signature(docs: DataFrame, k: int = 3,
     doc_id + minhash_0..n-1.
 
     The digest-slicing is a deliberate hot-path optimization: the
-    exploded shingle stream is the bench's heaviest section, and the
-    naive family (one full md5 PER hash) pays n_hashes digests per
-    shingle where ceil(n_hashes/4) suffice — a ~4x cut in hashing
-    with the standard one-digest-many-hashes construction (32-bit
-    slices keep min-collision probability negligible at shingle
-    counts this pipeline sees).
+    shingle stream is the bench's heaviest section, and the naive
+    family (one full md5 PER hash) pays n_hashes digests per shingle
+    where ceil(n_hashes/4) suffice — a ~4x cut in hashing with the
+    standard one-digest-many-hashes construction (32-bit slices keep
+    min-collision probability negligible at shingle counts this
+    pipeline sees).
 
-    Physical shape: explode shingles once, then group-min per doc —
-    the shingle array is built ONCE (an array_min-per-hash projection
-    would rebuild it n_hashes times), the per-seed digest is computed
-    ONCE across its four slices, and the groupBy gets map-side
-    partial aggregation, so the shuffle carries only one row per
-    (doc, hash) pair worth of state."""
-    sh = _shingles(F.col("text"), k)
-    exploded = (docs
-                .where(F.size(F.split(F.col("text"), " ")) >= k)
-                .select("doc_id", F.explode(sh).alias("s")))
-    # digests PROJECTED before the aggregate: an agg expression is
-    # evaluated per aggregate function, so slicing md5 inline would
-    # recompute the digest once per slice — the projection pins one
-    # md5 per (seed, shingle)
+    Physical shape (optimization round 8): ONE Arrow-batched map over
+    (doc_id, text) — shingling, hashing (hashlib.md5, C speed) and
+    the per-doc minimum all happen in-task, so the operator has ZERO
+    shuffle and emits exactly one row per qualifying doc. The
+    previous shape (pure column expressions: explode shingles →
+    md5 → groupBy min) was measured 5x slower at the bench scale
+    because the shingle build ran through interpreted higher-order
+    functions (transform/slice/concat_ws are CodegenFallback) and
+    min(string) forced SortAggregate — noop-isolated floors:
+    shingle construction alone 8.7 s of the 10.2 s section, vs
+    ~1.5 s for this path (OPTIMIZATION_r08.md). Results are
+    byte-identical (differential test + oracle gate): Python
+    ``text.split(" ")`` matches ``F.split(text, " ")`` (empties and
+    trailing empties kept), md5 bytes match, and bytewise min of the
+    4-byte digest slice equals lexicographic min of its lowercase-hex
+    rendering. Guide §4.2: let Spark distribute, hand each batch to
+    native code."""
+    from pyspark.sql import types as T
+
     n_seeds = -(-n_hashes // 4)
-    digested = exploded.select(
-        "doc_id", *[F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))
-                    .alias(f"d{j}") for j in range(n_seeds)])
-    aggs = [F.min(F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8))
-            .alias(f"minhash_{i}") for i in range(n_hashes)]
-    return digested.groupBy("doc_id").agg(*aggs)
+    id_type = docs.schema["doc_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("doc_id", id_type)]
+        + [T.StructField(f"minhash_{i}", T.StringType())
+           for i in range(n_hashes)])
+
+    def gen(batches):
+        import pyarrow as pa
+        from hashlib import md5
+
+        prefixes = [f"{j}:".encode() for j in range(n_seeds)]
+        p0 = prefixes[0]
+        slices = [(i // 4, (i % 4) * 4) for i in range(n_hashes)]
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids = []
+            out_mins: list[list[str]] = [[] for _ in range(n_hashes)]
+            for did, text in zip(ids, texts):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                if len(words) < k:
+                    continue
+                if n_seeds == 1 and n_hashes == 4:
+                    # the hot shape (bench + LSH presets route here
+                    # per seed): locals, no inner loops
+                    m0 = m1 = m2 = m3 = b"\xff\xff\xff\xff\xff"
+                    for tup in zip(*(words[i:] for i in range(k))):
+                        d = md5(p0 + " ".join(tup).encode()).digest()
+                        s0 = d[0:4]
+                        if s0 < m0:
+                            m0 = s0
+                        s1 = d[4:8]
+                        if s1 < m1:
+                            m1 = s1
+                        s2 = d[8:12]
+                        if s2 < m2:
+                            m2 = s2
+                        s3 = d[12:16]
+                        if s3 < m3:
+                            m3 = s3
+                    mins = [m0, m1, m2, m3]
+                else:
+                    mins = [b"\xff\xff\xff\xff\xff"] * n_hashes
+                    for tup in zip(*(words[i:] for i in range(k))):
+                        sb = " ".join(tup).encode()
+                        digests = [md5(p + sb).digest()
+                                   for p in prefixes]
+                        for ix, (j, off) in enumerate(slices):
+                            sl = digests[j][off:off + 4]
+                            if sl < mins[ix]:
+                                mins[ix] = sl
+                out_ids.append(did)
+                for ix in range(n_hashes):
+                    out_mins[ix].append(mins[ix].hex())
+            if not out_ids:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=batch.schema.field(0).type)]
+                + [pa.array(col, type=pa.string())
+                   for col in out_mins],
+                names=["doc_id"]
+                + [f"minhash_{i}" for i in range(n_hashes)])
+
+    return docs.select("doc_id", "text").mapInArrow(gen, out_schema)
 
 
 def lsh_recall(s: float, n_hashes: int, band_size: int) -> float:

@@ -2170,3 +2170,39 @@ def test_jpeg_hierarchical_annex_j():
     sof6[sof6.index(b"\xff\xc5") + 1] = 0xC6
     with _pytest.raises(NotImplementedError, match="0xFFC6"):
         decode_jpeg(bytes(sof6))
+
+
+def test_minhash_signature_matches_column_expr_twin(spark, docs):
+    """Round-8 optimization pin: minhash_signature moved from pure
+    column expressions (explode -> md5 -> groupBy min; interpreted
+    higher-order shingle build + SortAggregate dominated the bench
+    section) to an Arrow-batched native map. The old shape lives on
+    here as the differential twin — byte-identical rows required,
+    both for the 1-seed hot path and the multi-seed generic path."""
+    from cuphic_spark.operators.dedup import _shingles, minhash_signature
+
+    corpus = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(90001, None), (90002, "one two"), (90003, ""),
+             (90004, "a  b c"), (90005, "x y z")],
+            "doc_id long, text string"))
+
+    def column_expr_twin(d, k, n_hashes):
+        sh = _shingles(F.col("text"), k)
+        exploded = (d.where(F.size(F.split(F.col("text"), " ")) >= k)
+                    .select("doc_id", F.explode(sh).alias("s")))
+        n_seeds = -(-n_hashes // 4)
+        digested = exploded.select(
+            "doc_id", *[F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))
+                        .alias(f"d{j}") for j in range(n_seeds)])
+        aggs = [F.min(F.substring(F.col(f"d{i // 4}"),
+                                  (i % 4) * 8 + 1, 8))
+                .alias(f"minhash_{i}") for i in range(n_hashes)]
+        return digested.groupBy("doc_id").agg(*aggs)
+
+    for n_hashes in (4, 8):
+        twin = column_expr_twin(corpus, 3, n_hashes)
+        got = minhash_signature(corpus, k=3, n_hashes=n_hashes)
+        assert got.schema == twin.schema
+        assert twin.exceptAll(got).count() == 0
+        assert got.exceptAll(twin).count() == 0
