@@ -220,14 +220,19 @@ def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
     path (operators/parse.py encode_value). ``include_child=False``
     omits the 'var'-tail child pair (the subtree assist fills it)."""
     head = cp.head
-    pairs: list[tuple[Column, Column]] = []
+    # (key, value, presence) triples; presence None = always present.
+    # Only attr_optional values can be NULL (everything else is either
+    # guarded by the head filter's isNotNull conditions or produced by
+    # a when/otherwise with a non-null default).
+    pairs: list[tuple[Column, Column, Column | None]] = []
     if head.tag_binding:
         pairs.append((F.lit(head.tag_binding),
-                      F.concat(F.lit(":"), F.col("tag"))))
+                      F.concat(F.lit(":"), F.col("tag")), None))
     for k, sym in head.attr_required:
-        pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k))))
+        pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k)), None))
     for k, sym in head.attr_optional:
-        pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k))))
+        pairs.append((F.lit(sym), F.element_at("attrs", F.lit(k)),
+                      F.element_at("attrs", F.lit(k)).isNotNull()))
     if head.child_mode == "var" and include_child:
         # no further child -> the nil-bind quirk: key present, value
         # "nil" (same encoding as the kernel path's encode_value(None))
@@ -235,19 +240,24 @@ def bindings_expr(cp: CompiledPattern, include_child: bool = True) -> Column:
         pairs.append((F.lit(head.child_binding),
                       F.when(F.size("children") == k + 1,
                              F.get(F.col("children"), k)["text"])
-                      .otherwise(F.lit("nil"))))
+                      .otherwise(F.lit("nil")), None))
     if not pairs:
         return F.create_map().cast("map<string,string>")
-    # map_filter drops null-valued entries = absent optional ?var
-    # slots (the kernel omits unbound ?vars from the bindings map).
-    args = []
-    for k, v in pairs:
-        args.extend([k, v])
-    m = F.map_from_arrays(
-        F.array(*[a for i, a in enumerate(args) if i % 2 == 0]),
-        F.array(*[a for i, a in enumerate(args) if i % 2 == 1]),
-    )
-    return F.map_filter(m, lambda _k, v: v.isNotNull())
+    # Null-valued entries = absent optional ?var slots must be dropped
+    # (the kernel omits unbound ?vars from the bindings map). Round-8
+    # optimization: the old ``map_filter`` is a higher-order function
+    # (CodegenFallback — its whole subtree, the entire map build, ran
+    # interpreted per match row). Each pair now contributes a 0/1-
+    # element array in its ORIGINAL position and the concat feeds
+    # map_from_arrays — same entries, same order, fully codegen-able.
+    empty = F.array().cast("array<string>")
+    key_parts = [F.array(k) if present is None
+                 else F.when(present, F.array(k)).otherwise(empty)
+                 for k, _v, present in pairs]
+    val_parts = [F.array(v) if present is None
+                 else F.when(present, F.array(v)).otherwise(empty)
+                 for _k, v, present in pairs]
+    return F.map_from_arrays(F.concat(*key_parts), F.concat(*val_parts))
 
 
 def subtree_edn(nodes: DataFrame, targets: DataFrame) -> DataFrame:
@@ -372,9 +382,22 @@ def match_nodes(nodes: DataFrame,
             e = e.when(elem_child_filter(cp), elem_struct)
         entry_structs.append(e)
     entries = F.array(*entry_structs)
-    hits = F.filter(entries, lambda e: e.isNotNull())
-    m = (nodes
-         .select("url", "node_id", F.explode(hits).alias("m"))
+    # Round-8 plan shape: the old ``F.explode(F.filter(entries, ...))``
+    # put a higher-order function under the generator — ArrayFilter is
+    # CodegenFallback, so EVERY head predicate and bindings map was
+    # evaluated interpreted. Exploding the raw entries array and
+    # dropping nulls with a plain (codegen) filter keeps identical
+    # rows in identical order and lets the whole match stage codegen.
+    # A literal-tag prefilter additionally skips entry evaluation for
+    # nodes no pattern can match (every compiled pattern pins its tag)
+    # and reaches the parquet scan as a pushed filter.
+    tag_lits = [cp.head.tag_literal for cp in compiled]
+    src = nodes
+    if all(t is not None for t in tag_lits):
+        src = nodes.where(F.col("tag").isin(sorted(set(tag_lits))))
+    m = (src
+         .select("url", "node_id", F.explode(entries).alias("m"))
+         .where(F.col("m").isNotNull())
          .select("url",
                  F.col("m.pattern_key").alias("pattern_key"),
                  F.col("node_id"),

@@ -68,11 +68,20 @@ def inner_product_topk_quantized(emb: DataFrame, queries: DataFrame,
     promotion differ), so this is the oracle-checkable ANN baseline.
     """
     q = lambda c: F.round(c.cast("double") * scale).cast("long")  # noqa: E731
-    j = emb.crossJoin(F.broadcast(queries)).where(
+    # quantize each side ONCE before the cross join (round 8): the
+    # zip_with/aggregate lambdas are interpreted (CodegenFallback), so
+    # quantizing inside the pair lambda paid 2 rounds + 2 casts per
+    # (pair, element) — pre-quantized long arrays leave only x*y in
+    # the per-pair loop. Same longs, bit-identical dot products.
+    emb_q = emb.select("vec_id",
+                       F.transform(F.col("embedding"), q).alias("embedding"))
+    queries_q = queries.select(
+        "query_id", F.transform(F.col("q_embedding"), q).alias("q_embedding"))
+    j = emb_q.crossJoin(F.broadcast(queries_q)).where(
         F.col("vec_id") != F.col("query_id"))
     dot_q = F.aggregate(
         F.zip_with(F.col("embedding"), F.col("q_embedding"),
-                   lambda x, y: q(x) * q(y)),
+                   lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = j.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
