@@ -365,16 +365,105 @@ def matches(pattern, hiccup):
     return None
 
 
+_EMPTY_DELTA: dict = {}  # shared no-bindings success marker — callers
+# only read it / update() FROM it, never mutate it
+
+
+def _compile_pnode(pnode):
+    """Per-pnode matcher closure for FIXED sections (round-8 hot-loop
+    specialization): f(node) -> bindings dict | None, semantically
+    identical to ``node_bindings(pnode, node)`` (same dispatch order,
+    including the equality short-circuit BEFORE slot/attr handling).
+    The win: attr patterns pre-split their slot/literal keys once per
+    pattern instead of rebuilding three dicts per node."""
+    if isinstance(pnode, Symbol):
+        if syms.is_wildcard(pnode):
+            # equality first in node_bindings, but both branches yield
+            # empty bindings — collapse
+            return lambda node: _EMPTY_DELTA
+        if syms.is_variable(pnode) or syms.is_optional_variable(pnode):
+            def var_match(node, pnode=pnode):
+                if pnode == node:  # same-symbol node: no binding
+                    return _EMPTY_DELTA
+                return {pnode: node}
+            return var_match
+        # reserved non-matching symbols (? / ... in fixed position):
+        # only the equality case can succeed
+        return lambda node, pnode=pnode: (
+            _EMPTY_DELTA if pnode == node else None)
+    if is_map(pnode):
+        k_to_sym = [(k, v) for k, v in pnode.items() if syms.is_slot(v)]
+        slot_keys = {k for k, _v in k_to_sym}
+        other_cattr = [(k, v) for k, v in pnode.items()
+                       if k not in slot_keys]
+        slot_plan = []  # (key, sym, optional, wildcard)
+        for k, sym in k_to_sym:
+            slot_plan.append((k, sym, syms.is_optional_variable(sym),
+                              syms.is_wildcard(sym)))
+        n_other = len(other_cattr)
+
+        def attr_match(node, pnode=pnode):
+            if pnode == node:  # dict equality short-circuit first
+                return _EMPTY_DELTA
+            if not is_map(node):
+                return None
+            # open-world count shortcircuit on the literal half
+            # (len(other_hattr) >= len(other_cattr)) without building
+            # the filtered dicts
+            if n_other:
+                present = 0
+                for k in slot_keys:
+                    if k in node:
+                        present += 1
+                if len(node) - present < n_other:
+                    return None
+            out = {}
+            for k, cv in other_cattr:
+                hv = node.get(k)
+                if hv is None or hv is False:
+                    return None
+                delta = node_bindings(cv, hv)
+                if delta is None:
+                    return None
+                out.update(delta)
+            for k, sym, optional, wildcard in slot_plan:
+                v = node.get(k)
+                if v is None or v is False:
+                    if optional:
+                        continue
+                    return None
+                if wildcard:
+                    continue
+                out[sym] = v
+            return out
+        return attr_match
+    if is_vector(pnode):
+        nested = Matcher(pnode)
+
+        def vec_match(node, pnode=pnode, nested=nested):
+            if pnode == node:
+                return _EMPTY_DELTA
+            if is_vector(node):
+                return nested.match(node)
+            return None
+        return vec_match
+    # literal (Keyword, str, number, bool, None): equality only
+    return lambda node, pnode=pnode: (
+        _EMPTY_DELTA if pnode == node else None)
+
+
 class Matcher:
     """Precompiled matcher: normalisation + section decomposition done
     ONCE per pattern instead of per node (the hot-loop equivalent of
-    the reference's memoized ``normalise``, cuphic.cljc:113-117).
+    the reference's memoized ``normalise``, cuphic.cljc:113-117), and
+    — round 8 — fixed sections compiled to per-pnode closures (see
+    ``_compile_pnode``) plus a trailing-``???`` fast path.
     ``match(hiccup)`` is semantically identical to
     ``get_bindings(pattern, hiccup)`` — pinned by the golden and
     property suites, which run both paths."""
 
     __slots__ = ("pattern", "sections", "section_kinds", "min_sizes",
-                 "_nested")
+                 "_nested", "_fixed_fns", "_tail_opt_omission")
 
     def __init__(self, pattern):
         self.pattern = normalise(pattern)
@@ -382,6 +471,16 @@ class Matcher:
         self.section_kinds = [_section_type(s[0]) for s in self.sections]
         self.min_sizes = [min_size(s) for s in self.sections]
         self._nested: dict[int, Matcher] = {}
+        self._fixed_fns = [
+            [_compile_pnode(p) for p in sec] if kind == "other" else None
+            for sec, kind in zip(self.sections, self.section_kinds)]
+        # a LAST section that is exactly [???]: arbitrary_bindings
+        # returns {} for ANY remainder (capture then optional-omission
+        # pop) — match() can just consume the rest
+        self._tail_opt_omission = [
+            kind == "arbitrary" and len(sec) == 1
+            and syms.is_optional_omission(sec[0])
+            for sec, kind in zip(self.sections, self.section_kinds)]
 
     def match(self, hiccup):
         if not is_vector(hiccup):
@@ -397,6 +496,13 @@ class Matcher:
             pnodes = sections[si]
             kind = kinds[si]
             if kind == "arbitrary":
+                if si + 1 == n_sections and self._tail_opt_omission[si]:
+                    # trailing [???]: matches any remainder, binds
+                    # nothing (capture + optional-omission pop in
+                    # arbitrary_bindings always nets {})
+                    nodes = []
+                    si += 1
+                    continue
                 if si + 1 < n_sections:
                     next_section = sections[si + 1]
                     if kinds[si + 1] == "repeated":
@@ -430,11 +536,20 @@ class Matcher:
                 bindings.update(delta)
                 si += 1
                 continue
-            n = len(pnodes)
-            delta = section_bindings(pnodes, nodes[:n])
-            if delta is None:
+            fns = self._fixed_fns[si]
+            n = len(fns)
+            if len(nodes) < n:
                 return None
-            bindings.update(delta)
+            failed = False
+            for f, node in zip(fns, nodes):
+                delta = f(node)
+                if delta is None:
+                    failed = True
+                    break
+                if delta:
+                    bindings.update(delta)
+            if failed:
+                return None
             nodes = nodes[n:]
             si += 1
         if nodes and truthy(nodes[0]):

@@ -35,16 +35,29 @@ class Keyword:
     mirroring ``keywordize`` at xml.cljc:26-32).
     """
 
-    __slots__ = ("name",)
+    __slots__ = ("name", "_hash")
 
     def __init__(self, name: str):
         self.name = name
+        # cached at construction: Keywords are dict keys (attrs maps)
+        # and tag-gate probes in the per-page hot loops — the old
+        # hash(("kw", name)) built a tuple per call (round-8 profile:
+        # ~0.25M hash calls per 8k pages). XOR keeps Keyword("x") and
+        # Symbol("x") hashes distinct, mirroring the old tuple tag.
+        self._hash = hash(name) ^ 0x6B77  # "kw"
 
     def __eq__(self, other):
-        return isinstance(other, Keyword) and other.name == self.name
+        return self is other or (isinstance(other, Keyword)
+                                 and other.name == self.name)
 
     def __hash__(self):
-        return hash(("kw", self.name))
+        return self._hash
+
+    def __reduce__(self):
+        # hash(str) is per-process (randomized): a pickled _hash from
+        # the driver would be inconsistent with executor-local hashes.
+        # Reconstruct through __init__ so _hash is always local.
+        return (Keyword, (self.name,))
 
     def __repr__(self):
         return f":{self.name}"
@@ -69,16 +82,21 @@ class Symbol:
     use (symbols.cljc:30-32).
     """
 
-    __slots__ = ("name",)
+    __slots__ = ("name", "_hash")
 
     def __init__(self, name: str):
         self.name = name
+        self._hash = hash(name) ^ 0x736D  # "sm" — see Keyword._hash
 
     def __eq__(self, other):
-        return isinstance(other, Symbol) and other.name == self.name
+        return self is other or (isinstance(other, Symbol)
+                                 and other.name == self.name)
 
     def __hash__(self):
-        return hash(("sym", self.name))
+        return self._hash
+
+    def __reduce__(self):
+        return (Symbol, (self.name,))  # see Keyword.__reduce__
 
     def __repr__(self):
         return self.name

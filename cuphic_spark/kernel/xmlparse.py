@@ -44,19 +44,52 @@ def _is_java_whitespace(ch: str) -> bool:
     return unicodedata.category(ch) in ("Zs", "Zl", "Zp")
 
 
+# Python str.strip()'s whitespace set is a strict SUPERSET of Java's
+# (it additionally strips NBSP-family Zs chars and \x85). These are
+# the Python-whitespace chars Java does NOT count — if a Python-blank
+# string contains none of them, it is Java-blank too.
+_PY_WS_NOT_JAVA = "\x85\xa0   "
+
+
 def is_blank(s: str | None) -> bool:
-    """Clojure str/blank?: nil, empty, or whitespace-only (Java rules)."""
+    """Clojure str/blank?: nil, empty, or whitespace-only (Java rules).
+
+    Fast path (round 8 — this runs once per merged text node in the
+    parse/extract hot loops): ``s.strip()`` non-empty proves a
+    non-whitespace char exists (Java-WS ⊂ Python-WS), and a
+    Python-blank string is Java-blank unless it contains one of the
+    few Python-only whitespace chars — both checks are C loops; the
+    per-char Python loop survives only for the rare ambiguous case.
+    Differentially pinned against the char-by-char rule by tests."""
     if s is None or s == "":
         return True
-    return all(_is_java_whitespace(c) for c in s)
+    if s.strip():
+        return False
+    for ch in _PY_WS_NOT_JAVA:
+        if ch in s:
+            return all(_is_java_whitespace(c) for c in s)
+    return True
+
+
+_KW_CACHE: dict[str, Keyword] = {}
 
 
 def keywordize(s: str) -> Keyword:
-    """'xml:id' -> :xml/id (split on the FIRST colon) — xml.cljc:26-32."""
+    """'xml:id' -> :xml/id (split on the FIRST colon) — xml.cljc:26-32.
+
+    Interned (round 8): tag/attr names repeat constantly within a
+    page batch; returning the same Keyword object makes attrs-dict
+    hashing hit the cached hash and lets dict probes short-circuit on
+    identity. Bounded so a pathological corpus of unique attr names
+    cannot grow the cache without limit."""
+    kw = _KW_CACHE.get(s)
+    if kw is not None:
+        return kw
     ns, sep, local = s.partition(":")
-    if sep:
-        return Keyword(f"{ns}/{local}")
-    return Keyword(ns)
+    kw = Keyword(f"{ns}/{local}") if sep else Keyword(ns)
+    if len(_KW_CACHE) < 65536:
+        _KW_CACHE[s] = kw
+    return kw
 
 
 _TEXT_TYPES = (minidom.Node.TEXT_NODE, minidom.Node.CDATA_SECTION_NODE)

@@ -172,3 +172,30 @@ def test_streaming_extractors_fuzz_random_trees():
                     if getattr(sym, "name", None) == "href":
                         want.append(val)
         assert _hrefs_streaming(data) == want, data
+
+
+def test_is_blank_fast_path_matches_java_rule():
+    """Round-8 pin: is_blank grew a C-speed fast path (str.strip()
+    plus a Python-WS-minus-Java-WS exception list). It must agree
+    with the per-char Java rule on every Unicode whitespace-ish
+    char and combinations thereof."""
+    import random
+
+    from cuphic_spark.kernel.xmlparse import _is_java_whitespace, is_blank
+
+    def oracle(s):
+        if s is None or s == "":
+            return True
+        return all(_is_java_whitespace(c) for c in s)
+
+    py_ws = [chr(cp) for cp in range(0x3001) if chr(cp).isspace()]
+    py_ws += [" ", " ", " ", " ", "　"]
+    cands = py_ws + list("ax.·") + ["\x85", "\xa0", " ",
+                                         " "]
+    for c in cands:
+        for s in (c, c * 3, " " + c, c + " ", "x" + c, c + "x"):
+            assert is_blank(s) == oracle(s), repr(s)
+    rng = random.Random(7)
+    for _ in range(5000):
+        s = "".join(rng.choice(cands) for _ in range(rng.randint(0, 6)))
+        assert is_blank(s) == oracle(s), repr(s)
