@@ -337,10 +337,19 @@ def _write_run_partitioned(df: DataFrame, path: str, cfg,
     partitions" — now per run). Returns run records
     [{band, run, path, count, lo, hi}] in (band, run) order, counts
     from parquet footers."""
-    with_run, meta_rows = _with_runs(df, split_rows)
-    (with_run.repartition(cfg.partitions, "part")
-     .sortWithinPartitions(F.desc("score"), F.asc("url"))
-     .write.mode("overwrite").partitionBy("band", "run").parquet(path))
+    # cache the prepped delta across the run-histogram action and the
+    # write (round 8): without it the delta chain (union of residual
+    # filters over the wave caches + new rows) re-executes once for
+    # _with_runs' counts and again for the write — measured as a
+    # second full 130+-task pass per wave. Freed before returning.
+    df = df.cache()
+    try:
+        with_run, meta_rows = _with_runs(df, split_rows)
+        (with_run.repartition(cfg.partitions, "part")
+         .sortWithinPartitions(F.desc("score"), F.asc("url"))
+         .write.mode("overwrite").partitionBy("band", "run").parquet(path))
+    finally:
+        df.unpersist()
     records: list[dict] = []
     for bname in sorted(os.listdir(path)):
         if not bname.startswith("band="):

@@ -381,10 +381,19 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
                                 hrefs.append(val)
                 return hrefs
 
-        for pdf in batches:
-            pdf = pdf.copy()
+        import pyarrow as pa
+
+        # mapInArrow (round 8): scheduling columns ride through the
+        # fetch stage untouched — as Arrow arrays they are reused in
+        # the output batch zero-copy (the old pandas path paid a full
+        # arrow->pandas->arrow conversion of every passthrough column
+        # per batch); only `url` is materialized to Python.
+        url_ix = None
+        for batch in batches:
+            if url_ix is None:
+                url_ix = batch.schema.get_field_index("url")
             status_col, nbytes, hrefs_col = [], [], []
-            for u in pdf["url"]:
+            for u in batch.column(url_ix).to_pylist():
                 res = fetch_fn(u)
                 if isinstance(res, tuple):
                     status, location, data = res
@@ -401,12 +410,16 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
                 status_col.append(status)
                 nbytes.append(len(data))
                 hrefs_col.append(hrefs)
-            pdf["status"] = status_col
-            pdf["bytes"] = nbytes
-            pdf["hrefs"] = hrefs_col
-            yield pdf
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.array(status_col, type=pa.int32()),
+                   pa.array(nbytes, type=pa.int64()),
+                   pa.array(hrefs_col,
+                            type=pa.list_(pa.string()))],
+                names=list(batch.schema.names)
+                + ["status", "bytes", "hrefs"])
 
-    return scheduled.mapInPandas(gen, schema)
+    return scheduled.mapInArrow(gen, schema)
 
 
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,

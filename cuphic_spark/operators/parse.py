@@ -285,10 +285,13 @@ def pages_extract_text(pages: DataFrame, dropped_acc=None) -> DataFrame:
     memory-bandwidth pressure that capped 8->32 scaling."""
     from ..kernel.xmlparse import extract_text_streaming
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
             urls, texts = [], []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            for url, html in zip(batch.column(0).to_pylist(),
+                                 batch.column(1).to_pylist()):
                 text, _mode = parse_html_lenient(
                     html, parser=extract_text_streaming)
                 if text is None:
@@ -297,9 +300,16 @@ def pages_extract_text(pages: DataFrame, dropped_acc=None) -> DataFrame:
                     continue
                 urls.append(url)
                 texts.append(text)
-            yield pd.DataFrame({"url": urls, "text": texts})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()),
+                 pa.array(texts, type=pa.string())],
+                names=["url", "text"])
 
-    return pages.select("url", "html").mapInPandas(gen, TEXT_SCHEMA)
+    # mapInArrow (round 8): the pandas shim added a block-manager
+    # build + object-array conversion on both sides of the boundary
+    # for what is string-in/string-out work — Arrow batches go
+    # straight to/from python lists.
+    return pages.select("url", "html").mapInArrow(gen, TEXT_SCHEMA)
 
 
 def pages_extract_content(pages: DataFrame, drop_tags=None,
@@ -350,7 +360,9 @@ def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str],
     """
     pattern_src = dict(key_to_pattern)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
+        import pyarrow as pa
+
         from ..kernel.match import Matcher
         from ..kernel.scan import scan as kernel_scan
 
@@ -358,19 +370,33 @@ def scrape_pages(pages: DataFrame, key_to_pattern: dict[str, str],
         # (building them per page would re-derive sections each time)
         keys = list(pattern_src)
         plist = [Matcher(reader.parse(pattern_src[k])) for k in keys]
-        for pdf in batches:
-            rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+        bindings_type = pa.map_(pa.string(), pa.string())
+        for batch in batches:
+            urls, pkeys, nids, binds = [], [], [], []
+            for url, html in zip(batch.column(0).to_pylist(),
+                                 batch.column(1).to_pylist()):
                 tree = _html_to_tree(html, dropped_acc)
                 if tree is None:
                     continue
                 for node_id, _node, results in kernel_scan(tree, *plist):
                     for k, b in zip(keys, results):
                         if b is not None:
-                            enc = {sym.name if isinstance(sym, Symbol) else str(sym):
-                                   encode_value(val) for sym, val in b.items()}
-                            rows.append((url, k, node_id, enc))
-            yield pd.DataFrame(rows, columns=["url", "pattern_key", "node_id",
-                                              "bindings"])
+                            urls.append(url)
+                            pkeys.append(k)
+                            nids.append(node_id)
+                            binds.append(
+                                [(sym.name if isinstance(sym, Symbol)
+                                  else str(sym), encode_value(val))
+                                 for sym, val in b.items()])
+            # mapInArrow (round 8): emitting map<string,string> through
+            # a pandas object column paid a per-row python->pandas->
+            # arrow conversion; the Arrow map array is built directly
+            # from (key, value) tuple lists.
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()),
+                 pa.array(pkeys, type=pa.string()),
+                 pa.array(nids, type=pa.int64()),
+                 pa.array(binds, type=bindings_type)],
+                names=["url", "pattern_key", "node_id", "bindings"])
 
-    return pages.select("url", "html").mapInPandas(gen, MATCHES_SCHEMA)
+    return pages.select("url", "html").mapInArrow(gen, MATCHES_SCHEMA)
