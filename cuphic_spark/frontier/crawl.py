@@ -683,12 +683,19 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     def _seen_filter(cand, seen_side):
         """Bloom prune (global broadcast bitmap OR partition-local
         shards — identical pruning semantics) + exact anti-join."""
+        nonlocal bloom
         if bloom_shards is not None:
             from .seen import filter_new_urls_sharded
 
             return filter_new_urls_sharded(
                 cand, seen_side, bloom_shards, cfg.partitions,
                 strategy=seen_strategy)
+        if hasattr(bloom, "result"):
+            # activation/rebuild build submitted as a pool future by
+            # _crawl_loop — joined HERE, the first point the bitmap
+            # bytes are needed, so the build job overlapped the
+            # schedule phase's stats job instead of preceding it
+            bloom = bloom.result()
         return filter_new_urls(cand, seen_side, bloom,
                                bloom_m or cfg.bloom_bits,
                                strategy=seen_strategy)
@@ -1090,6 +1097,25 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         prior_bt = spark.conf.get("spark.sql.broadcastTimeout", "300")
         spark.conf.set("spark.sql.broadcastTimeout",
                        str(cfg.broadcast_timeout))
+    # two more crawl-session profile knobs (restored on exit; both are
+    # plan-shape only — results are identical at any setting):
+    # * limit.initialNumPartitions: the run-map / probe collects are
+    #   `limit(N).collect()` with a TINY true row count (coarse-score
+    #   contract); the default incremental take (1, 4, 16, ... parts)
+    #   turns each into 3-5 sequential mini-jobs of pure scheduling
+    #   latency per wave — one job over all partitions is strictly
+    #   better here at ANY scale, because the bound is on the row
+    #   count, not the partition count.
+    # * preferSortMergeJoin=false: lets the planner use shuffled-hash
+    #   for the seen anti-join (guide §3.1) — skips sorting both
+    #   sides; Spark's own build-side size conditions still gate it,
+    #   so oversized partitions fall back to sort-merge.
+    prior_take = spark.conf.get("spark.sql.limit.initialNumPartitions",
+                                None)
+    spark.conf.set("spark.sql.limit.initialNumPartitions", str(1 << 20))
+    prior_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin",
+                               None)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     # the pool that runs the pipelined checkpoint writes is owned HERE
     # so any exception inside the loop still joins in-flight writes
     # (a write racing session teardown is worse than a leaked cache)
@@ -1104,6 +1130,14 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
             spark.conf.set("spark.sql.adaptive.enabled", prior)
         if prior_bt is not None:
             spark.conf.set("spark.sql.broadcastTimeout", prior_bt)
+        for key, val in (("spark.sql.limit.initialNumPartitions",
+                          prior_take),
+                         ("spark.sql.join.preferSortMergeJoin",
+                          prior_smj)):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
 
 
 def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
@@ -1115,7 +1149,14 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
     prev_links = None
     if start == 0:
         seeds = seed_frontier(spark, cfg)
-        _partitioned_write(
+        # the two seed writes are independent (separate dirs, and the
+        # seeds chain is a cheap range->concat recomputed by each):
+        # run seen_seed on the pool while the frontier seed's
+        # histogram + band write run on this thread — the crawl's
+        # fixed bootstrap cost was two sequential writes (round-8
+        # driver profile: ~2.5 s of the bench leg)
+        f_seed = pool.submit(
+            _partitioned_write,
             seeds.select("url", F.lit(0).alias("added_wave"),
                          F.col("host")), seed_path, cfg,
             dir_partitioned=False)
@@ -1125,6 +1166,7 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             spark, seeds, seed_frontier_dir, cfg,
             bands_mod.empty_manifest(cfg), consumed=[])
         bands_mod.write_manifest(seed_frontier_dir, manifest)
+        f_seed.result()
         seen = _read_seen(spark, cfg, -1)
         n_seen = cfg.n_seeds
         seen_paths = _seen_delta_paths(cfg, -1)
@@ -1277,8 +1319,14 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
                 # saturated and paying x8 rebuilds wave after wave;
                 # cfg.bloom_bits stays the floor, 2^27 (16 MiB
                 # broadcast) the ceiling. Oracle mirrors the formula.
+                # Submitted to the pool as a FUTURE: run_wave only
+                # consumes the bitmap when it builds the seen-filter
+                # plan (after the schedule phase's stats job), so the
+                # build job overlaps scheduling instead of serializing
+                # ahead of it (round 8; bitmap bytes are identical —
+                # only the launch point moves).
                 bloom_m = max(bloom_m, bloom_auto_bits(n_seen))
-                bloom = build_bloom(seen, bloom_m)
+                bloom = pool.submit(build_bloom, seen, bloom_m)
             elif bloom_rebuild and bloom_m < BLOOM_MAX_BITS:
                 # saturation rebuild at the wave boundary (the est-fp
                 # signal fired last wave): geometric ×8 growth,
@@ -1291,7 +1339,7 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
                 # but still-correct (it only prunes; the anti-join is
                 # exact) and the cost router will stop consulting it.
                 bloom_m = min(bloom_m * 8, BLOOM_MAX_BITS)
-                bloom = build_bloom(seen, bloom_m)
+                bloom = pool.submit(build_bloom, seen, bloom_m)
         bloom_rebuild = False
         _mark("bloom_build")
         (frontier_delta, seen_delta, fetch_log, finish, caches,
@@ -1300,6 +1348,12 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths,
             bloom_m=bloom_m, bloom_shards=bloom_shards)
+        if hasattr(bloom, "result"):
+            # activation/rebuild future: resolved inside run_wave's
+            # seen-filter plan build (overlapping the stats job);
+            # here it is already done — this just unwraps the bytes
+            # for the accumulator fold below
+            bloom = bloom.result()
         _mark("schedule")
         # the previous wave's fetch_log drain overlapped the schedule
         # phase above; it must complete (and its lineage commit)
@@ -1316,15 +1370,21 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
         # per-wave metrics ride on them via observe(), and bloom
         # maintenance rides the seen-delta write via an idempotent
         # bitmap accumulator (one pass — the separate per-wave bloom
-        # job is gone). PIPELINED: the fetch_log and seen-delta
-        # writes launch together and cooperate on the fetch cache
-        # (block locks compute each partition exactly once), so the
-        # link chain overlaps the fetch tail + parquet serialization;
-        # the frontier write and cuckoo maintenance launch the moment
-        # the seen delta commits (cuckoo reads the committed delta,
-        # and the frontier write must not race the link-chain caches
-        # while obs_links/obs_new are still being collected — a
-        # below-cache CollectMetrics splits across racing executions).
+        # job is gone). PIPELINED: the seen-delta write runs FIRST
+        # and alone — it owns the fetch+link chain and materializes
+        # the fetch cache with every task slot doing real work — then
+        # the fetch_log write (a pure cache read + parquet encode)
+        # launches with the frontier/cuckoo/bloom writes and drains
+        # into the next wave's schedule phase via _finalize. The
+        # round-7 shape raced fetch_log and seen-delta on the shared
+        # fetch cache: block locks made each partition compute once,
+        # but the losing job's 32 tasks sat BLOCKED on those locks
+        # while HOLDING task slots (REST profile: fetch_log stage
+        # run 31.5 core-s, cpu 2.9 core-s per wave) — half the
+        # cluster waiting on the other half. Launch-after-commit
+        # keeps the overlap (fetch_log serialization shares the
+        # cluster with the frontier write + next wave's planning)
+        # without the blocked-slot tax.
         def write_fetch_log():
             fetch_log.write.mode("overwrite").parquet(
                 os.path.join(d, "fetch_log"))
@@ -1378,9 +1438,9 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             new_df = spark.read.parquet(p)
             return (new_df,) + bloom_shards_stats(new_df)
 
-        f_log = pool.submit(write_fetch_log)
         f_seen = pool.submit(write_seen_delta)
         f_seen.result()
+        f_log = pool.submit(write_fetch_log)
         f_frontier = pool.submit(write_frontier)
         f_bshards = pool.submit(maintain_bloom_shards)
         # obs_new/obs_links rode the just-committed seen write —
