@@ -320,6 +320,26 @@ def _with_runs(df: DataFrame, split_rows: int):
         sc = int(r.score)
         lo, hi = meta.get(key, (sc, sc))
         meta[key] = (min(lo, sc), max(hi, sc))
+    # attach the run id. band is a pure function of score (band_expr =
+    # score div width), so score alone keys the map; when the map is
+    # small (the coarse-score contract — always, in practice) it is
+    # attached as a LITERAL map lookup instead of a broadcast join:
+    # one projection, no BroadcastExchange build job + no join per
+    # frontier write (3+ writes per crawl leg). Every df row's score
+    # appears in the map by construction (the map came from df's own
+    # groupBy), so the lookup is total — identical rows to the former
+    # inner join, in the join's exact column order.
+    join_cols = (["band", "score"]
+                 + [c for c in df.columns if c not in ("band", "score")]
+                 + ["run"])
+    if rows and len(rows) <= 4096:
+        lookup = F.create_map(
+            *[c for r in rows
+              for c in (F.lit(int(r.score)).cast("long"),
+                        F.lit(int(r.run)).cast("int"))])
+        out = (df.withColumn("run", F.element_at(lookup, F.col("score")))
+               .select(*join_cols))
+        return out, meta
     spark = df.sparkSession
     run_map = spark.createDataFrame(
         [(int(r.band), int(r.score), int(r.run)) for r in rows],
