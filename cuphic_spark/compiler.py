@@ -411,10 +411,35 @@ def match_nodes(nodes: DataFrame,
     # LEFT join keeps text rows (null target_id never matches) in the
     # same flow — no base/elem split. The nodes plan is referenced 4x
     # in total (match scan, targets for the semi-join, targets for the
-    # cogroup, pruned reconstruction) — pinned by the plan test; all
-    # pruned parquet scans over a materialized nodes table.
-    targets = (m.where(F.col("target_id").isNotNull())
-               .select("url", "target_id").distinct())
+    # cogroup, pruned reconstruction) — all pruned parquet scans over
+    # a materialized nodes table.
+    #
+    # Round-8: targets derive DIRECTLY from the nodes scan with just
+    # the single_var patterns' elem_child_filters + child_id — not by
+    # re-running the full match stage (every pattern's head CASE +
+    # bindings maps) twice more. Equivalence: a match row carries
+    # target_id exactly when its pattern's elem_child_filter fired
+    # (elem_child_filter requires children[k].kind == 'elem', which
+    # makes head_filter's (size==k | kind=='text') branch false, so
+    # the two WHEN branches are mutually exclusive by construction) —
+    # the direct derivation selects the identical (url, target_id)
+    # set. The giant match codegen fragment now exists ONCE in the
+    # plan instead of three times: less work warm, and one fragment
+    # to recompile/re-JIT when other queries evict the codegen cache
+    # (the measured post-crawl 5x cpu inflation of this section).
+    sv_tags = sorted({cp.head.tag_literal for cp in single_vars
+                      if cp.head.tag_literal is not None})
+    tsrc = nodes
+    if all(cp.head.tag_literal is not None for cp in single_vars):
+        tsrc = nodes.where(F.col("tag").isin(sv_tags))
+    tcols = [F.when(elem_child_filter(cp),
+                    F.get(F.col("children"),
+                          len(cp.head.child_lits))["child_id"])
+             for cp in single_vars]
+    targets = (tsrc
+               .select("url", F.explode(F.array(*tcols)).alias("target_id"))
+               .where(F.col("target_id").isNotNull())
+               .distinct())
     # fresh column names on the assist side: its plan embeds `m`
     # (target derivation), so a bare self-join would be ambiguous
     sub = subtree_edn(nodes, targets).toDF("s_url", "s_target_id", "edn")
