@@ -282,7 +282,7 @@ MAX_RUN_MAP_ROWS = 200_000  # loud-failure guard: the run map is one
 # O(|delta|) driver transfer
 
 
-def _with_runs(df: DataFrame, split_rows: int):
+def _with_runs(df: DataFrame, split_rows: int, precounts=None):
     """Assign each delta row its RUN: within a band, rows are grouped
     by score (descending) and cut into runs of ~``split_rows`` rows —
     every distinct score lands wholly in one run, so runs cover
@@ -293,21 +293,53 @@ def _with_runs(df: DataFrame, split_rows: int):
     never re-executed by a second action), then a broadcast join of
     the literal score->run map back onto the delta.
 
+    ``precounts`` (round 8): when the caller already knows the
+    delta's exact per-(band, score) counts — the crawl wave computes
+    them from the residual/new caches, overlapping the seen-delta
+    write — pass them as [(band, score, cnt)] and the aggregation job
+    here is skipped entirely; the cumulative run split then runs
+    driver-side over the same tiny rows the window produced. Counts
+    MUST cover df exactly (the run map is total over df's scores by
+    construction either way).
+
     Returns (df + run column, {(band, run): (lo, hi)})."""
-    counts = df.groupBy("band", "score").agg(F.count("*").alias("cnt"))
-    w = (Window.partitionBy("band").orderBy(F.desc("score"))
-         .rowsBetween(Window.unboundedPreceding, -1))
-    runs = (counts
-            .withColumn("cum_before",
-                        F.coalesce(F.sum("cnt").over(w), F.lit(0)))
-            .withColumn("run",
-                        (F.col("cum_before") / F.lit(int(split_rows)))
-                        .cast("int"))
-            .select("band", "score", "run"))
-    # limit(MAX+1) bounds the collect ITSELF: the guard must not cost
-    # an O(|delta|) driver transfer to discover it should have fired
-    # (over-limit inputs raise, so the truncation never loses data)
-    rows = runs.limit(MAX_RUN_MAP_ROWS + 1).collect()
+    if precounts is None:
+        counts = df.groupBy("band", "score").agg(F.count("*").alias("cnt"))
+        w = (Window.partitionBy("band").orderBy(F.desc("score"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        runs = (counts
+                .withColumn("cum_before",
+                            F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+                .withColumn("run",
+                            (F.col("cum_before") / F.lit(int(split_rows)))
+                            .cast("int"))
+                .select("band", "score", "run"))
+        # limit(MAX+1) bounds the collect ITSELF: the guard must not
+        # cost an O(|delta|) driver transfer to discover it should
+        # have fired (over-limit inputs raise, so the truncation never
+        # loses data)
+        rows = runs.limit(MAX_RUN_MAP_ROWS + 1).collect()
+    else:
+        # the same cumulative split, driver-side: per band, scores
+        # descending, run = rows-before // split_rows (the window
+        # above with its sort spelled out)
+        if len(precounts) > MAX_RUN_MAP_ROWS:
+            rows = precounts[:MAX_RUN_MAP_ROWS + 1]
+        else:
+            from types import SimpleNamespace
+
+            rows = []
+            cum: dict[int, int] = {}
+            for band, score, cnt in sorted(precounts,
+                                           key=lambda t: (t[0], -t[1])):
+                before = cum.get(band, 0)
+                # int(float-div) mirrors the Spark path's
+                # (cum_before / split) double division + cast("int")
+                # EXACTLY, including any double-rounding behavior
+                rows.append(SimpleNamespace(
+                    band=band, score=score,
+                    run=int(before / int(split_rows))))
+                cum[band] = before + cnt
     if len(rows) > MAX_RUN_MAP_ROWS:
         raise ValueError(
             f"run map has {len(rows)} distinct (band, score) rows > "
@@ -349,7 +381,7 @@ def _with_runs(df: DataFrame, split_rows: int):
 
 
 def _write_run_partitioned(df: DataFrame, path: str, cfg,
-                           split_rows: int) -> list[dict]:
+                           split_rows: int, precounts=None) -> list[dict]:
     """Write a (sub)delta as band/run-partitioned files with the
     north rule's physical layout INSIDE each run: files partitioned
     by pmod(xxhash64(host), P) with intra-host salt, score-sorted
@@ -357,19 +389,26 @@ def _write_run_partitioned(df: DataFrame, path: str, cfg,
     partitions" — now per run). Returns run records
     [{band, run, path, count, lo, hi}] in (band, run) order, counts
     from parquet footers."""
-    # cache the prepped delta across the run-histogram action and the
-    # write (round 8): without it the delta chain (union of residual
-    # filters over the wave caches + new rows) re-executes once for
-    # _with_runs' counts and again for the write — measured as a
-    # second full 130+-task pass per wave. Freed before returning.
-    df = df.cache()
+    # With ``precounts`` (the crawl wave path, round 8) the delta
+    # chain executes exactly ONCE — for the write; the run map came
+    # driver-side from counts the caller collected off the wave
+    # caches while the seen-delta write was still running. Without
+    # precounts, cache the prepped delta across the run-histogram
+    # action and the write: the delta chain (union of residual
+    # filters over the wave caches + new rows) would otherwise
+    # re-execute once for _with_runs' counts and again for the write
+    # — measured as a second full 130+-task pass per wave.
+    cached = None
+    if precounts is None:
+        df = cached = df.cache()
     try:
-        with_run, meta_rows = _with_runs(df, split_rows)
+        with_run, meta_rows = _with_runs(df, split_rows, precounts)
         (with_run.repartition(cfg.partitions, "part")
          .sortWithinPartitions(F.desc("score"), F.asc("url"))
          .write.mode("overwrite").partitionBy("band", "run").parquet(path))
     finally:
-        df.unpersist()
+        if cached is not None:
+            cached.unpersist()
     records: list[dict] = []
     for bname in sorted(os.listdir(path)):
         if not bname.startswith("band="):
@@ -404,7 +443,7 @@ def _prep_delta(delta: DataFrame, cfg) -> DataFrame:
 
 def write_wave_frontier(spark: SparkSession, delta: DataFrame,
                         frontier_dir: str, cfg, prev_manifest: dict,
-                        consumed) -> tuple[dict, int]:
+                        consumed, score_counts=None) -> tuple[dict, int]:
     """Write a wave's frontier DELTA (residual of consumed segments ∪
     newly discovered rows) as band/run-partitioned files and derive
     the next manifest. Returns (manifest, rows_written) where
@@ -416,6 +455,13 @@ def write_wave_frontier(spark: SparkSession, delta: DataFrame,
     a set of ``(band, seq)`` keys, or a plain list of band ids (all
     segments of those bands — the whole-band convenience form).
     Unconsumed segments are carried forward BY REFERENCE.
+
+    ``score_counts`` (round 8, optional): the delta's EXACT per-score
+    row counts as [(score, cnt)] when the caller already knows them —
+    the run-map aggregation job (a full pass over the delta chain) is
+    then skipped and the delta executes once, for the write. Bands
+    derive here via the same integer division as band_expr (scores
+    >= 0 by the scoring contract).
     """
     if isinstance(consumed, ReadPlan):
         consumed_keys = consumed.consumed_keys()
@@ -426,8 +472,14 @@ def write_wave_frontier(spark: SparkSession, delta: DataFrame,
         consumed_keys = set(consumed)
 
     split_rows = split_rows_of(cfg)
+    precounts = None
+    if score_counts is not None:
+        width = int(cfg.band_width)
+        precounts = [(int(s) // width, int(s), int(c))
+                     for s, c in score_counts]
     records = _write_run_partitioned(_prep_delta(delta, cfg),
-                                     frontier_dir, cfg, split_rows)
+                                     frontier_dir, cfg, split_rows,
+                                     precounts=precounts)
     rows_written = sum(r["count"] for r in records)
 
     next_seq = int(prev_manifest.get("next_seq", 0))

@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from xml.parsers import expat as _expat
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -58,8 +59,8 @@ from pyspark.sql import types as T
 
 from . import webgraph
 from .seen import (
-    BloomUpdateAccumulator,
     bloom_est_fp,
+    bloom_merge_urls,
     bloom_popcount,
     build_bloom,
     filter_new_urls,
@@ -208,6 +209,14 @@ def score_py(url_id: int, depth: int, is_seed: bool) -> int:
     return (10000 - 1000 * min(depth, 9)) + url_id % 7 + (5000 if is_seed else 0)
 
 
+# _seed_score_counts' closed form is only valid under the DEFAULT
+# scoring pair; tests (and deployments) may monkeypatch score_expr /
+# score_py as an extension point, and the seed write must then fall
+# back to the data-derived histogram.
+_SCORE_EXPR_DEFAULT = score_expr
+_SCORE_PY_DEFAULT = score_py
+
+
 def robots_rules(spark: SparkSession, version: int = 0,
                  n_hosts: int = webgraph.N_HOSTS) -> DataFrame:
     """The robots CACHE: tiny dim table, broadcast at join time,
@@ -255,7 +264,7 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
         F.lit(0).alias("discovered_wave"))
 
 
-class _HrefCollector:
+def _hrefs_streaming(xml) -> list[str]:
     """Streaming expat twin of the kernel scan for the crawl's FIXED
     link pattern ``[:a {:href href} ???]``: every element whose
     verbatim name is exactly ``a`` (keywordize('a') == :a; names with
@@ -264,31 +273,28 @@ class _HrefCollector:
     exactly the matches the kernel emits for this pattern, with no
     tree materialized. Differentially pinned against the kernel path
     (tests/test_frontier.py: streaming vs kernel link extraction on
-    webgraph + soup pages; the crawl oracle pins end-to-end order)."""
+    webgraph + soup pages; the crawl oracle pins end-to-end order).
 
-    __slots__ = ("hrefs",)
-
-    def __init__(self):
-        self.hrefs: list[str] = []
-
-    def start(self, name, attrs):
-        if name == "a" and "href" in attrs:
-            self.hrefs.append(attrs["href"])
-
-
-def _hrefs_streaming(xml) -> list[str]:
-    """Raises on malformed input exactly like parse_xml (same expat),
-    so it slots into the lenient ladder."""
-    from xml.parsers import expat
-
+    Raises on malformed input exactly like parse_xml (same expat),
+    so it slots into the lenient ladder. The handler is a closure over
+    a local list (round 8): the crawl fetch path runs this once per
+    page at ~35 elements/page, where the bound-method dispatch + the
+    per-page collector-instance construction of the previous class
+    shape measured ~8% of the parse cost."""
     if isinstance(xml, str):
         xml = xml.encode("utf-8")
-    col = _HrefCollector()
-    p = expat.ParserCreate()
+    hrefs: list[str] = []
+    append = hrefs.append
+
+    def start(name, attrs, _a="a", _h="href"):
+        if name == _a and _h in attrs:
+            append(attrs[_h])
+
+    p = _expat.ParserCreate()
     p.buffer_text = True
-    p.StartElementHandler = col.start
+    p.StartElementHandler = start
     p.Parse(bytes(xml), True)
-    return col.hrefs
+    return hrefs
 
 
 def _fetch_extract(scheduled: DataFrame, universe: int,
@@ -939,12 +945,62 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     caches = [frontier, ranked, fetched, distinct_links, new_rows]
     if with_rank is not None:
         caches.append(with_rank)
+    # Per-score counts of the delta's four branches, split by HOW
+    # they are knowable (round 8): "early" (over-budget ∪ passthrough)
+    # reads only the schedule-phase caches (ranked/frontier — warm
+    # once the stats job ran) and is counted on the pool WHILE the
+    # seen-delta write runs; "late" (new rows) needs that write's
+    # cache and is counted right after it commits; the unscheduled
+    # branch needs NO job at all — its counts derive exactly from the
+    # stats histogram and the rank offsets: per budgeted score s with
+    # count c, the wave schedules max(0, min(c, cap - offset_s)) rows
+    # (ranks offset_s+1..offset_s+c, kept iff <= cap; scores outside
+    # the offset map schedule none). The frontier write's run map
+    # then needs no aggregation pass over the full delta chain
+    # (bands._with_runs precounts).
+    unsched_counts: dict[int, int] = {}
+    for s, c in hist:
+        off = offsets.get(s)
+        sched = 0 if off is None else max(0, min(c, cfg.wave_cap - off))
+        if c - sched:
+            unsched_counts[s] = c - sched
+    delta_counts = {
+        "early": over_budget.select("score")
+        .unionByName(passthrough.select("score")),
+        "late": new_rows.select("score"),
+        "driver": unsched_counts,
+    }
     return (frontier_delta, seen_delta, fetch_log, finish, caches, plan,
-            seen_strategy)
+            seen_strategy, delta_counts)
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
     return os.path.join(cfg.checkpoint_dir, f"wave={wave:05d}")
+
+
+def _score_counts(df: DataFrame):
+    """Exact per-score row counts of a delta branch — the run-map
+    precount the frontier write consumes (bands._with_runs
+    precounts). limit() bounds the collect itself; over-coarse inputs
+    surface via the run-map size guard downstream, never as a silent
+    O(|delta|) driver transfer."""
+    from . import bands as bands_mod
+
+    return (df.groupBy("score").agg(F.count("*").alias("cnt"))
+            .limit(bands_mod.MAX_RUN_MAP_ROWS + 1).collect())
+
+
+def _seed_score_counts(cfg: CrawlConfig) -> list[tuple[int, int]]:
+    """Per-score counts of seed_frontier(cfg) in closed form: seed
+    scores are score_py(id, 0, True) = 15000 + id % 7 over ids
+    0..n_seeds-1, so residue r contributes ceil((n_seeds - r) / 7)
+    rows. Differentially pinned against the Spark histogram
+    (tests/test_frontier.py) — lets the seed frontier write skip its
+    run-map aggregation job, the bootstrap's most expensive action."""
+    counts: dict[int, int] = {}
+    for r in range(min(7, cfg.n_seeds)):
+        counts[score_py(r, 0, True)] = (cfg.n_seeds - r + 6) // 7
+    return sorted(counts.items())
 
 
 def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
@@ -1119,9 +1175,10 @@ def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     # the pool that runs the pipelined checkpoint writes is owned HERE
     # so any exception inside the loop still joins in-flight writes
     # (a write racing session teardown is worse than a leaked cache)
-    # 4 slots: fetch_log + frontier + cuckoo + sharded-bloom writes
-    # can all be in flight once the seen delta commits
-    pool = ThreadPoolExecutor(max_workers=4)
+    # 5 slots: fetch_log + frontier + cuckoo + sharded-bloom writes +
+    # the bloom bitmap fold can all be in flight once the seen delta
+    # commits
+    pool = ThreadPoolExecutor(max_workers=5)
     try:
         return _crawl_loop(spark, cfg, pool)
     finally:
@@ -1162,9 +1219,13 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             dir_partitioned=False)
         # seed frontier = the wave -1 manifest (band-partitioned like
         # every later wave; nothing was read, so nothing is carried)
+        default_scoring = (score_expr is _SCORE_EXPR_DEFAULT
+                           and score_py is _SCORE_PY_DEFAULT)
         manifest, _ = bands_mod.write_wave_frontier(
             spark, seeds, seed_frontier_dir, cfg,
-            bands_mod.empty_manifest(cfg), consumed=[])
+            bands_mod.empty_manifest(cfg), consumed=[],
+            score_counts=(_seed_score_counts(cfg) if default_scoring
+                          else None))
         bands_mod.write_manifest(seed_frontier_dir, manifest)
         f_seed.result()
         seen = _read_seen(spark, cfg, -1)
@@ -1343,11 +1404,17 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
         bloom_rebuild = False
         _mark("bloom_build")
         (frontier_delta, seen_delta, fetch_log, finish, caches,
-         plan, seen_strategy) = run_wave(
+         plan, seen_strategy, delta_counts) = run_wave(
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths,
             bloom_m=bloom_m, bloom_shards=bloom_shards)
+        # the residual half of the frontier delta's score histogram
+        # reads only schedule-phase caches — count it on the pool NOW
+        # so the collect overlaps the seen-delta write below; the
+        # other half (unscheduled/new) is counted after that write
+        # commits, inside write_frontier (see run_wave delta_counts)
+        f_early_counts = pool.submit(_score_counts, delta_counts["early"])
         if hasattr(bloom, "result"):
             # activation/rebuild future: resolved inside run_wave's
             # seen-filter plan build (overlapping the stats job);
@@ -1363,14 +1430,18 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             pending = None
         _mark("prev_wave_drain")
         d = _wave_dir(cfg, wave)
-        bloom_acc = (BloomUpdateAccumulator(spark, bloom_m)
-                     if (cfg.use_bloom and bloom is not None) else None)
 
         # The checkpoint writes ARE the wave's remaining Spark jobs;
         # per-wave metrics ride on them via observe(), and bloom
-        # maintenance rides the seen-delta write via an idempotent
-        # bitmap accumulator (one pass — the separate per-wave bloom
-        # job is gone). PIPELINED: the seen-delta write runs FIRST
+        # maintenance folds the committed delta's cache into the
+        # bitmap on the POOL (overlapping the fetch_log/frontier
+        # writes) — round 8: the previous shape rode the seen-delta
+        # write itself via a mapInPandas accumulator, which put a
+        # full Arrow->pandas->Arrow transpose of every delta column
+        # on the wave's LONGEST job for work that only needs the url
+        # hashes; bloom_merge_urls over the cached new_rows produces
+        # the identical bitmap (same xxhash64 -> _bit_indices) off
+        # the critical path. PIPELINED: the seen-delta write runs FIRST
         # and alone — it owns the fetch+link chain and materializes
         # the fetch cache with every task slot doing real work — then
         # the fetch_log write (a pure cache read + parquet encode)
@@ -1394,12 +1465,22 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
                 seen_delta.withColumn("host", host_col(F.col("url")))
                 .select("url", "added_wave", "host"),
                 os.path.join(d, "seen_delta"), cfg,
-                dir_partitioned=False, bloom_acc=bloom_acc)
+                dir_partitioned=False)
 
         def write_frontier():
+            # merge the overlapped residual counts with the
+            # just-available unscheduled/new counts; the frontier
+            # write then skips its run-map aggregation pass
+            merged: dict[int, int] = dict(delta_counts["driver"])
+            for rows in (f_early_counts.result(),
+                         _score_counts(delta_counts["late"])):
+                for r in rows:
+                    s = int(r["score"])
+                    merged[s] = merged.get(s, 0) + int(r["cnt"])
             return bands_mod.write_wave_frontier(
                 spark, frontier_delta, os.path.join(d, "frontier"),
-                cfg, manifest, plan)
+                cfg, manifest, plan,
+                score_counts=sorted(merged.items()))
 
         def maintain_cuckoo(n_seen_after, probe_next):
             # Maintain shards only when the NEXT wave is predicted to
@@ -1443,6 +1524,15 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
         f_log = pool.submit(write_fetch_log)
         f_frontier = pool.submit(write_frontier)
         f_bshards = pool.submit(maintain_bloom_shards)
+        # bloom maintenance: fold the committed delta (cached
+        # new_rows — obs_new rode the seen write, so the cache is
+        # warm) into the bitmap on the pool; bit-identical to the
+        # old in-write accumulator (same xxhash64 -> _bit_indices
+        # positions), overlapping the fetch_log/frontier writes
+        # instead of taxing the seen-delta write with a pandas pass
+        f_bloom = (pool.submit(bloom_merge_urls,
+                               seen_delta.select("url"), bloom_m, bloom)
+                   if (cfg.use_bloom and bloom is not None) else None)
         # obs_new/obs_links rode the just-committed seen write —
         # the cuckoo maintenance decision needs the post-wave
         # seen count and candidate volume without blocking on the
@@ -1462,10 +1552,9 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
         # read in _finalize, after the deferred f_log drain
         extra_metrics = {"frontier_rows_read": plan.rows_read}
         n_seen = n_seen_after
-        if bloom_acc is not None:
-            # driver-side fold of the accumulated bit positions —
-            # zero extra Spark jobs — plus the saturation signal
-            bloom = bloom_acc.merged(base=bloom)
+        if f_bloom is not None:
+            # join the pool-side fold, persist + saturation signal
+            bloom = f_bloom.result()
             with open(os.path.join(d, "bloom.bin"), "wb") as fh:
                 fh.write(bloom)
             pc = bloom_popcount(bloom)

@@ -1700,3 +1700,72 @@ def test_crawl_config_fuzz_vs_oracle(spark, tmp_path):
             [(e["wave"], e["rank_in_wave"], e["url"])
              for e in oracle.fetch_log], (trial, kw, extra)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_seed_score_counts_closed_form(spark):
+    """_seed_score_counts (the bootstrap's run-map precount) must
+    equal the Spark-derived per-score histogram of seed_frontier for
+    any n_seeds — including n_seeds < 7."""
+    from cuphic_spark.frontier.crawl import (
+        _seed_score_counts,
+        seed_frontier,
+    )
+
+    for n in (1, 3, 6, 7, 8, 200, 1013):
+        cfg = CrawlConfig(n_seeds=n, universe=max(n, 10),
+                          budget_per_host=4, wave_cap=8, n_waves=1)
+        got = _seed_score_counts(cfg)
+        want = sorted(
+            (int(r.score), int(r.cnt))
+            for r in seed_frontier(spark, cfg)
+            .groupBy("score").agg(F.count("*").alias("cnt")).collect())
+        assert got == want, n
+
+
+def test_write_wave_frontier_precounts_identical(spark, tmp_path):
+    """score_counts precounts must produce the identical layout,
+    manifest and bytes as the data-derived run-map aggregation —
+    same files, same (band, run) split, same row order."""
+    import os
+
+    from cuphic_spark.frontier import bands
+
+    cfg = CrawlConfig(partitions=4, band_width=1000,
+                      band_split_rows=700)
+    base = spark.range(5_000).selectExpr(
+        "concat('https://host', id % 20, '.example/doc/', id) as url",
+        "concat('host', id % 20, '.example') as host",
+        "cast(1 as int) as depth",
+        "cast((4 - id % 5) * 1000 + id % 7 as long) as score",
+        "cast(1 as int) as discovered_wave")
+    counts = sorted(
+        (int(r.score), int(r.cnt)) for r in
+        base.groupBy("score").agg(F.count("*").alias("cnt")).collect())
+
+    d_ref = str(tmp_path / "ref")
+    m_ref, w_ref = bands.write_wave_frontier(
+        spark, base, d_ref, cfg, bands.empty_manifest(cfg), [])
+    d_pre = str(tmp_path / "pre")
+    m_pre, w_pre = bands.write_wave_frontier(
+        spark, base, d_pre, cfg, bands.empty_manifest(cfg), [],
+        score_counts=counts)
+
+    assert w_pre == w_ref
+
+    def norm(m, root):
+        out = dict(m)
+        out["bands"] = {
+            b: {"count": e["count"],
+                "segments": [{**s, "paths": [os.path.relpath(p, root)
+                                             for p in s["paths"]]}
+                             for s in e["segments"]],
+                "paths": [os.path.relpath(p, root) for p in e["paths"]]}
+            for b, e in m["bands"].items()}
+        return out
+
+    assert norm(m_pre, d_pre) == norm(m_ref, d_ref)
+    ref_rows = bands.read_full_frontier(spark, m_ref).orderBy(
+        "url").collect()
+    pre_rows = bands.read_full_frontier(spark, m_pre).orderBy(
+        "url").collect()
+    assert pre_rows == ref_rows
