@@ -826,6 +826,21 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     # one less shuffle per wave
 
     obs_new = Observation(f"new_w{wave}_{tag}")
+    # Under the DEFAULT scoring pair, a wave's new rows take exactly 7
+    # scores (base + id%7 at the fixed depth wave+1), so their
+    # per-score counts — the "late" half of the frontier write's run
+    # map — ride obs_new as 7 conditional sums on the seen-delta
+    # write instead of costing a separate post-commit job (round 8).
+    # Overridden scoring falls back to the data-derived counts job.
+    default_scoring = (score_expr is _SCORE_EXPR_DEFAULT
+                       and score_py is _SCORE_PY_DEFAULT)
+    new_score_base = 10000 - 1000 * min(wave + 1, 9)
+    new_aggs = [F.count(F.lit(1)).alias("n")]
+    if default_scoring:
+        new_aggs += [
+            F.coalesce(F.sum((F.col("score") == F.lit(new_score_base + r))
+                             .cast("long")), F.lit(0)).alias(f"c{r}")
+            for r in range(7)]
     new_rows = (new_urls.select(
         "url",
         host_col(F.col("url")).alias("host"),
@@ -833,7 +848,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
                    F.lit(wave + 1), False).alias("score"),
         F.lit(wave + 1).alias("discovered_wave"))
-        .observe(obs_new, F.count(F.lit(1)).alias("n"))
+        .observe(obs_new, *new_aggs)
         .cache())
 
     cols = ["url", "host", "depth", "score", "discovered_wave"]
@@ -938,8 +953,25 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             F.coalesce(F.sum("n_refs"), F.lit(0)).alias("t"))
             .collect()[0].asDict())["d"])
 
+    def new_score_counts():
+        """Per-score counts of the wave's new rows, read from obs_new
+        (rides the seen-delta write) — None when non-default scoring
+        made the conditional sums unavailable (caller then runs the
+        data-derived counts job)."""
+        if not default_scoring:
+            return None
+        m = _obs_get(obs_new, lambda: new_rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.coalesce(
+                F.sum((F.col("score") == F.lit(new_score_base + r))
+                      .cast("long")), F.lit(0)).alias(f"c{r}")
+              for r in range(7)]).collect()[0].asDict())
+        return [(new_score_base + r, int(m[f"c{r}"]))
+                for r in range(7) if int(m[f"c{r}"])]
+
     finish.n_new = n_new
     finish.n_links_distinct = n_links_distinct
+    finish.new_score_counts = new_score_counts
     finish.cuckoo_probed = use_cuckoo  # routing decision -> lineage
 
     caches = [frontier, ranked, fetched, distinct_links, new_rows]
@@ -1468,15 +1500,21 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
                 dir_partitioned=False)
 
         def write_frontier():
-            # merge the overlapped residual counts with the
-            # just-available unscheduled/new counts; the frontier
-            # write then skips its run-map aggregation pass
+            # merge the overlapped residual counts, the driver-derived
+            # unscheduled counts and the new-row counts (observed on
+            # the seen-delta write under default scoring, else one
+            # small job over the new-rows cache); the frontier write
+            # then skips its run-map aggregation pass
             merged: dict[int, int] = dict(delta_counts["driver"])
-            for rows in (f_early_counts.result(),
-                         _score_counts(delta_counts["late"])):
-                for r in rows:
-                    s = int(r["score"])
-                    merged[s] = merged.get(s, 0) + int(r["cnt"])
+            new_counts = finish.new_score_counts()
+            if new_counts is None:
+                new_counts = [(int(r["score"]), int(r["cnt"]))
+                              for r in _score_counts(delta_counts["late"])]
+            for s, c in new_counts:
+                merged[s] = merged.get(s, 0) + c
+            for r in f_early_counts.result():
+                s = int(r["score"])
+                merged[s] = merged.get(s, 0) + int(r["cnt"])
             return bands_mod.write_wave_frontier(
                 spark, frontier_delta, os.path.join(d, "frontier"),
                 cfg, manifest, plan,
@@ -1531,7 +1569,8 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
         # positions), overlapping the fetch_log/frontier writes
         # instead of taxing the seen-delta write with a pandas pass
         f_bloom = (pool.submit(bloom_merge_urls,
-                               seen_delta.select("url"), bloom_m, bloom)
+                               seen_delta.select("url"), bloom_m, bloom,
+                               16)
                    if (cfg.use_bloom and bloom is not None) else None)
         # obs_new/obs_links rode the just-committed seen write —
         # the cuckoo maintenance decision needs the post-wave

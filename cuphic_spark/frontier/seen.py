@@ -58,7 +58,8 @@ def _set_bits(arr: np.ndarray, h: "pd.Series", m: int) -> None:
 
 
 def bloom_merge_urls(urls: DataFrame, m: int = BLOOM_BITS_DEFAULT,
-                     base: bytes | None = None) -> bytes:
+                     base: bytes | None = None,
+                     max_parts: int | None = None) -> bytes:
     """Fold a url set into a bloom bitmap, DISTRIBUTEDLY.
 
     Each partition builds its own fixed-size uint8 bitmap (Arrow
@@ -71,8 +72,18 @@ def bloom_merge_urls(urls: DataFrame, m: int = BLOOM_BITS_DEFAULT,
     ``base`` OR-merges into an existing bitmap — the crawl maintains
     its bloom INCREMENTALLY (seed once, fold each wave's delta), never
     re-scanning the full seen table per wave.
+
+    ``max_parts`` (round 8) coalesces the input first (narrow, no
+    shuffle): every partition allocates and sends an m/8-byte partial
+    bitmap, so folding a SMALL url set (a wave's delta, often cached
+    in 100+ tiny partitions) at a large m pays partitions x m/8 of
+    allocation+merge for rows that fit in a handful of tasks. Callers
+    folding big tables (build_bloom over a full seen set) leave it
+    None to keep full scan parallelism.
     """
     nbytes = m // 8 + 1
+    if max_parts is not None and urls.rdd.getNumPartitions() > max_parts:
+        urls = urls.coalesce(max_parts)
 
     def to_bitmap(batches):
         arr = np.zeros(nbytes, dtype=np.uint8)
