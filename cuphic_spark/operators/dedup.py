@@ -93,7 +93,7 @@ def minhash_signature(docs: DataFrame, k: int = 3,
         from hashlib import md5
 
         prefixes = [f"{j}:".encode() for j in range(n_seeds)]
-        p0 = prefixes[0]
+        base0 = md5(prefixes[0])  # seeded digest, copied per shingle
         slices = [(i // 4, (i % 4) * 4) for i in range(n_hashes)]
         for batch in batches:
             ids = batch.column(0).to_pylist()
@@ -103,15 +103,37 @@ def minhash_signature(docs: DataFrame, k: int = 3,
             for did, text in zip(ids, texts):
                 if text is None:
                     continue
-                words = text.split(" ")
-                if len(words) < k:
-                    continue
                 if n_seeds == 1 and n_hashes == 4:
                     # the hot shape (bench + LSH presets route here
-                    # per seed): locals, no inner loops
+                    # per seed): locals, no inner loops. Shingles are
+                    # read as byte SUBSTRINGS of the encoded text
+                    # (round 8): split(" ") splits on every single
+                    # space, so " ".join(words[j:j+k]) is exactly
+                    # text[off_j : off_{j+k}-1] — and 0x20 never
+                    # occurs inside a UTF-8 multibyte sequence, so
+                    # byte-splitting matches str-splitting word for
+                    # word. One slice + a seeded-digest copy replace
+                    # the per-shingle tuple/join/encode/concat churn
+                    # (measured ~12% off the loop, byte-identical by
+                    # the differential test).
+                    benc = text.encode()
+                    bw = benc.split(b" ")
+                    n = len(bw)
+                    if n < k:
+                        continue
+                    offs = [0] * (n + 1)
+                    o = 0
+                    ix = 1
+                    for w in bw:
+                        o += len(w) + 1
+                        offs[ix] = o
+                        ix += 1
                     m0 = m1 = m2 = m3 = b"\xff\xff\xff\xff\xff"
-                    for tup in zip(*(words[i:] for i in range(k))):
-                        d = md5(p0 + " ".join(tup).encode()).digest()
+                    bc = base0.copy
+                    for j in range(n - k + 1):
+                        h = bc()
+                        h.update(benc[offs[j]:offs[j + k] - 1])
+                        d = h.digest()
                         s0 = d[0:4]
                         if s0 < m0:
                             m0 = s0
@@ -126,6 +148,9 @@ def minhash_signature(docs: DataFrame, k: int = 3,
                             m3 = s3
                     mins = [m0, m1, m2, m3]
                 else:
+                    words = text.split(" ")
+                    if len(words) < k:
+                        continue
                     mins = [b"\xff\xff\xff\xff\xff"] * n_hashes
                     for tup in zip(*(words[i:] for i in range(k))):
                         sb = " ".join(tup).encode()
