@@ -403,8 +403,19 @@ def _write_run_partitioned(df: DataFrame, path: str, cfg,
         df = cached = df.cache()
     try:
         with_run, meta_rows = _with_runs(df, split_rows, precounts)
+        # Sort keys LEAD with the dynamic-partition columns (round 8):
+        # a partitionBy write requires task-local ordering by the
+        # partition columns, and Spark's V1Writes rule was inserting
+        # its own (band, run) Sort ON TOP of the score sort — two
+        # sorts per write, and the second (non-stable) one destroyed
+        # the score order inside each file (verified empirically on a
+        # probe write). With (band, run) leading, the explicit sort
+        # satisfies the writer's requirement, the extra Sort
+        # disappears, and files are genuinely score-sorted within
+        # each (band, run) — the layout the docstring always claimed.
         (with_run.repartition(cfg.partitions, "part")
-         .sortWithinPartitions(F.desc("score"), F.asc("url"))
+         .sortWithinPartitions(F.asc("band"), F.asc("run"),
+                               F.desc("score"), F.asc("url"))
          .write.mode("overwrite").partitionBy("band", "run").parquet(path))
     finally:
         if cached is not None:
