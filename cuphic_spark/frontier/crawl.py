@@ -238,8 +238,16 @@ def robots_rules(spark: SparkSession, version: int = 0,
     without touching the wave loop."""
     rows = [(f"host{h}.example", [webgraph.DENY_PREFIX])
             for h in range(n_hosts) if h % 7 == version % 7]
+    # LocalRelation via the Arrow/pandas path (round 8): list-of-rows
+    # createDataFrame builds a PYTHON-RDD-backed DF, so every
+    # per-wave broadcast build of this dim was a 32-task Spark job
+    # each invoking a Python worker for a near-empty partition; a
+    # LocalRelation broadcast builds driver-side with zero tasks.
+    import pandas as pd
+
     return spark.createDataFrame(
-        rows, "host string, deny_prefixes array<string>")
+        pd.DataFrame(rows, columns=["host", "deny_prefixes"]),
+        schema="host string, deny_prefixes array<string>")
 
 
 def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
