@@ -541,11 +541,29 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     w_host = Window.partitionBy("host", "den").orderBy(
         F.desc("score"), F.asc("url"))
     frontier = ranked = None
+    frontier_caches: list[DataFrame] = []  # all rounds' caches; the
+    # earlier rounds stay alive inside the union lineage and are
+    # unpersisted with the wave's other caches
+    read_paths: list[str] = []
     while True:
         if ranked is not None:  # extension round: rebuild over more segments
             ranked.unpersist()
-            frontier.unpersist()
-        frontier = bands_mod.read_plan_df(spark, manifest, plan).cache()
+        # plan_read is monotone (the extension's read set is a strict
+        # superset), so an extension round reads ONLY the added
+        # segment files and unions them with the already-cached rows
+        # (round 8) — previously every round re-read and re-decoded
+        # every consumed segment from parquet. Row set identical:
+        # segment paths are disjoint, and nothing downstream depends
+        # on row order (ranks sort explicitly).
+        new_paths = [p for p in plan.paths() if p not in set(read_paths)]
+        read_paths += new_paths
+        if frontier is None:
+            frontier = bands_mod.read_plan_df(spark, manifest,
+                                              plan).cache()
+        else:
+            frontier = frontier.unionByName(
+                bands_mod._read_paths(spark, new_paths)).cache()
+        frontier_caches.append(frontier)
         eligible_src = frontier.where(F.col("score") >= plan.s_cut)
         fr = eligible_src.withColumn("path", path_col(F.col("url")))
         joined = fr.join(F.broadcast(robots), "host", "left")
@@ -982,7 +1000,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     finish.new_score_counts = new_score_counts
     finish.cuckoo_probed = use_cuckoo  # routing decision -> lineage
 
-    caches = [frontier, ranked, fetched, distinct_links, new_rows]
+    caches = [*frontier_caches, ranked, fetched, distinct_links,
+              new_rows]
     if with_rank is not None:
         caches.append(with_rank)
     # Per-score counts of the delta's four branches, split by HOW
