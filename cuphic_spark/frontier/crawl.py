@@ -444,7 +444,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              prev_links_hint: int | None = None,
              seen_paths: list[str] | None = None,
              bloom_m: int | None = None,
-             bloom_shards: DataFrame | None = None):
+             bloom_shards: DataFrame | None = None,
+             pool=None):
     """Returns (frontier_delta, seen_delta, fetch_log, finish, caches,
     plan).
 
@@ -540,14 +541,18 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     # strictly below every prefix row.
     w_host = Window.partitionBy("host", "den").orderBy(
         F.desc("score"), F.asc("url"))
+    w_score = Window.partitionBy("score").orderBy(F.asc("url"))
+    # cumulative offset of each score group = rows in strictly higher
+    # score groups (see the top-W comment below)
+    w_off = (Window.orderBy(F.desc("score"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    import uuid
     frontier = ranked = None
     frontier_caches: list[DataFrame] = []  # all rounds' caches; the
     # earlier rounds stay alive inside the union lineage and are
     # unpersisted with the wave's other caches
     read_paths: list[str] = []
     while True:
-        if ranked is not None:  # extension round: rebuild over more segments
-            ranked.unpersist()
         # plan_read is monotone (the extension's read set is a strict
         # superset), so an extension round reads ONLY the added
         # segment files and unions them with the already-cached rows
@@ -591,11 +596,324 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         ranked = (joined.withColumn("den", is_denied)
                   .withColumn("host_rank", F.row_number().over(w_host))
                   .drop(robots_col, "path")).cache()
-        stats = (ranked
-                 .where(F.col("den")
-                        | (F.col("host_rank") <= F.col("host_budget")))
-                 .groupBy("den", "score").agg(F.count("*").alias("cnt"))
-                 .collect())
+        stats_q = (ranked
+                   .where(F.col("den")
+                          | (F.col("host_rank") <= F.col("host_budget")))
+                   .groupBy("den", "score").agg(F.count("*").alias("cnt")))
+        # The stats job runs on the POOL while the wave's entire lazy
+        # chain is constructed below (round 8): plan construction is
+        # ~0.9 s/wave of pure driver work (py4j round trips + JVM
+        # analysis) that previously serialized behind this collect —
+        # the in-plan rank offsets below are what free construction
+        # from the collected values. The collected stats are joined
+        # at the bottom of the loop, where the extension decision (and
+        # the coarse-score guard) needs them; on the rare extension
+        # round the optimistically built chain is discarded unrun
+        # (fresh Observations/accumulator per iteration, caches
+        # unpersisted) and rebuilt over the extended read set.
+        f_stats = (pool.submit(stats_q.collect)
+                   if pool is not None else None)
+
+        # consumed rows BELOW the cut: physically read (their runs
+        # span the cut) but semantically unread — pass through to the
+        # residual delta verbatim, outside robots/politeness/scheduling
+        passthrough = frontier.where(F.col("score") < plan.s_cut)
+        budgeted = (ranked
+                    .where(~F.col("den")
+                           & (F.col("host_rank") <= F.col("host_budget")))
+                    .drop("den", "host_rank", "host_budget"))
+
+        # Global top-W WITHOUT TakeOrdered (orderBy+limit would merge
+        # W rows x partitions single-threaded on the driver — at
+        # W=10^5+ that serializes the wave). Scores are coarse by
+        # construction, so: per-score counts -> cumulative offsets
+        # over the score groups in descending-score order -> per-score
+        # windows ordered by url (distributed across score groups) ->
+        # global rank = offset + in-group rank. Identical total order
+        # (score desc, url asc), no driver merge. The offsets are
+        # computed IN-PLAN (tiny agg + single-partition window over
+        # <= max_score_histogram rows + broadcast join) rather than
+        # collected to the driver: a score group is rankable iff the
+        # rows above it don't already cover the cap (off < cap),
+        # exactly the driver loop's break condition, and keeping the
+        # offsets out of the driver lets this whole chain be built
+        # while the stats job runs.
+        offs = (budgeted.groupBy("score").agg(F.count("*").alias("cnt"))
+                .withColumn("off",
+                            F.coalesce(F.sum("cnt").over(w_off),
+                                       F.lit(0)))
+                .where(F.col("off") < cfg.wave_cap)
+                .select("score", "off"))
+        with_rank = (budgeted
+                     .join(F.broadcast(offs), "score", "left")
+                     .withColumn(
+                         "rank_in_wave",
+                         F.when(F.col("off").isNotNull(),
+                                F.col("off")
+                                + F.row_number().over(w_score))
+                         .cast("int"))
+                     .select("url", "host", "depth", "score",
+                             "discovered_wave", "rank_in_wave")
+                     .cache())
+        scheduled = with_rank.where(F.col("rank_in_wave") <= cfg.wave_cap)
+        # leftover budgeted rows: re-derived from the SAME rank window
+        # (cached) instead of an eligible-minus-fetched anti-join —
+        # membership is identical by construction and two url-keyed
+        # shuffles per wave disappear
+        unscheduled = (with_rank
+                       .where(F.col("rank_in_wave").isNull()
+                              | (F.col("rank_in_wave") > cfg.wave_cap))
+                       .drop("rank_in_wave"))
+
+        # the global rank window collapses to one partition; fan back
+        # out so fetch+parse of the wave runs partition-parallel (rank
+        # is already assigned, so redistribution cannot change output)
+        scheduled = scheduled.repartition(cfg.partitions, "url")
+
+        # fetch carries scheduling columns through — fetch_log needs
+        # no join; scheduled/bytes counts ride on the fetch_log write.
+        # obs_fetch sits ABOVE the cache, on the fetch_log plan (not
+        # on `fetched` itself): the fetch_log and seen-delta writes
+        # run CONCURRENTLY and cooperate on materializing the fetch
+        # cache (block locks make each partition compute exactly
+        # once), so a below-cache CollectMetrics would split its
+        # counts across the two racing executions — above the cache,
+        # every fetch_log row streams through the observe exactly
+        # once, in the one execution that owns it.
+        tag = uuid.uuid4().hex[:8]  # observation names unique per run
+        obs_fetch = Observation(f"fetch_w{wave}_{tag}")
+        dropped_acc = spark.sparkContext.accumulator(0)
+        fetched = (_fetch_extract(scheduled, cfg.universe,
+                                  cfg.page_weight,
+                                  dropped_acc=dropped_acc,
+                                  link_extract=cfg.link_extract,
+                                  n_hosts=cfg.n_hosts,
+                                  fetch_fn=cfg.extra.get("fetch_fn"),
+                                  redirect_mod=cfg.redirect_mod)
+                   .cache())
+
+        links = fetched.select(F.col("url").alias("base_url"),
+                               F.explode("hrefs").alias("href"))
+        canon = links.select(
+            canonicalize_cols(F.col("href"),
+                              F.col("base_url")).alias("url"))
+        obs_links = Observation(f"links_w{wave}_{tag}")
+        distinct_links = (canon.groupBy("url")
+                          .agg(F.count("*").alias("n_refs"))
+                          .observe(obs_links,
+                                   F.count(F.lit(1)).alias("d"),
+                                   F.coalesce(F.sum("n_refs"),
+                                              F.lit(0)).alias("t"))
+                          .cache())
+
+        use_bloom = (bloom is not None or bloom_shards is not None) \
+            and cfg.use_bloom and (
+                n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
+        if not use_bloom:
+            bloom = None
+            bloom_shards = None
+
+        def _seen_filter(cand, seen_side):
+            """Bloom prune (global broadcast bitmap OR partition-local
+            shards — identical pruning semantics) + exact anti-join."""
+            nonlocal bloom
+            if bloom_shards is not None:
+                from .seen import filter_new_urls_sharded
+
+                return filter_new_urls_sharded(
+                    cand, seen_side, bloom_shards, cfg.partitions,
+                    strategy=seen_strategy)
+            if hasattr(bloom, "result"):
+                # activation/rebuild build submitted as a pool future
+                # by _crawl_loop — joined HERE, the first point the
+                # bitmap bytes are needed, so the build job overlapped
+                # the schedule phase's stats job instead of preceding
+                # it
+                bloom = bloom.result()
+            return filter_new_urls(cand, seen_side, bloom,
+                                   bloom_m or cfg.bloom_bits,
+                                   strategy=seen_strategy)
+
+        # the broadcast strategy forces F.broadcast(candidates): its
+        # correctness is unconditional but its MEMORY is bounded only by
+        # the candidate set, so both auto and explicit 'broadcast' fall
+        # back to shuffle when the previous wave's distinct-link volume
+        # (the best available predictor of this wave's candidates) exceeds
+        # the configured ceiling (advisor round-2 finding).
+        over_candidate_cap = (prev_links_hint is not None
+                              and prev_links_hint > cfg.broadcast_max_candidates)
+        parts_hit = None  # auto's probe is reused by the pruned branch —
+        # candidate_parts is a Spark job on the candidate chain; computing
+        # it twice per wave was a redundant action (advisor round-3, low)
+        kept_files = None  # ditto for the footer walk
+        if cfg.seen_check == "auto":
+            big_seen = (n_seen_hint is not None
+                        and n_seen_hint >= cfg.broadcast_seen_min)
+            # auto broadcasts only on an AFFIRMATIVE volume prediction: a
+            # MISSING hint (wave 0, or a resume without lineage metrics)
+            # must route conservatively — a first wave at production
+            # scale has unbounded candidates, and broadcasting them both
+            # risks driver memory (the cap exists for exactly this) and
+            # races spark.sql.broadcastTimeout, because the broadcast
+            # side's lineage embeds the whole fetch+parse chain (measured:
+            # the 4M-wave bootstrap blew the 300 s default on 8 cores —
+            # BENCH/crawl_steady_r7.json note)
+            can_broadcast = (prev_links_hint is not None
+                             and prev_links_hint
+                             <= cfg.broadcast_max_candidates)
+            if big_seen and can_broadcast:
+                seen_strategy = "broadcast"
+            elif big_seen and seen_paths is not None:
+                # candidates too big to broadcast against a huge seen
+                # table: if they cluster in few host partitions, a
+                # footer-pruned read of just those partitions beats
+                # shuffling the whole seen side. The parts probe is a
+                # <= cfg.partitions-row collect off the cached candidate
+                # chain; the cost model compares BYTES the pruned read
+                # would open vs the full seen footprint, from the same
+                # footer walk the pruned read needs anyway — the decision
+                # depends only on DATA (file sizes are deterministic
+                # functions of the partitioned writes: deterministic at
+                # any parallelism).
+                from .seen import candidate_parts, select_seen_files
+
+                parts_hit = candidate_parts(distinct_links, cfg.partitions)
+                kept_files, kept_b, total_b = select_seen_files(
+                    seen_paths, parts_hit, with_stats=True)
+                seen_strategy = (
+                    "pruned"
+                    if kept_b <= cfg.pruned_seen_byte_frac * total_b
+                    else "shuffle")
+            else:
+                seen_strategy = "shuffle"
+        else:
+            seen_strategy = cfg.seen_check
+            if seen_strategy == "broadcast" and over_candidate_cap:
+                import warnings
+
+                warnings.warn(
+                    f"seen_check='broadcast' with prev links_distinct="
+                    f"{prev_links_hint} > broadcast_max_candidates="
+                    f"{cfg.broadcast_max_candidates}; falling back to "
+                    "'shuffle' for this wave (broadcasting an unbounded "
+                    "candidate set can exceed driver memory)")
+                seen_strategy = "shuffle"
+
+        # the pruned strategy replaces the seen side with a footer-pruned
+        # read of ONLY the files intersecting the candidates' partition
+        # ids (see seen.prune_seen_paths); the partition-id collect is at
+        # most cfg.partitions rows and rides the cached distinct_links —
+        # candidate parts are computed from the full candidate set, a
+        # superset of the post-cuckoo to_check set (supersets only keep
+        # MORE files: always safe).
+        seen_for_check = seen
+        if seen_strategy == "pruned":
+            if seen_paths is None:
+                raise ValueError(
+                    "seen_check='pruned' needs the seen PATHS (run_wave "
+                    "seen_paths=...); a bare DataFrame cannot be file-"
+                    "pruned")
+            from .seen import candidate_parts, prune_seen_paths
+
+            if parts_hit is None:  # explicit seen_check='pruned' (auto
+                # already computed the probe while routing)
+                parts_hit = candidate_parts(distinct_links, cfg.partitions)
+            seen_for_check = prune_seen_paths(spark, seen_paths, parts_hit,
+                                              kept=kept_files)
+
+        candidates = distinct_links
+        use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
+                      and (n_seen_hint is None
+                           or n_seen_hint >= cfg.cuckoo_min_seen))
+        if (use_cuckoo and n_seen_hint is not None
+                and prev_links_hint is not None
+                and n_seen_hint < cfg.cuckoo_probe_min_ratio
+                * prev_links_hint):
+            # expansion-phase routing: candidates are comparable to the
+            # seen set, so the per-candidate probe cogroup costs more
+            # than the anti-join rows it saves (see CrawlConfig
+            # docstring) — route straight to bloom + anti-join
+            use_cuckoo = False
+        if use_cuckoo:
+            # partition-local prune: candidates flagged definitely-new by
+            # their host partition's cuckoo shard skip the anti-join
+            from .seen import cuckoo_prune
+
+            flagged = cuckoo_prune(candidates, cuckoo_shards, cfg.partitions)
+            fresh = (flagged.where(~F.col("maybe_seen_cuckoo"))
+                     .drop("maybe_seen_cuckoo", "partition"))
+            to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
+                        .drop("maybe_seen_cuckoo", "partition"))
+            confirmed = _seen_filter(to_check, seen_for_check)
+            new_urls = fresh.unionByName(confirmed)
+        else:
+            new_urls = _seen_filter(candidates, seen_for_check)
+        # no frontier anti-join needed: every frontier url is already in
+        # seen (seeds via seen_seed, discoveries via their wave's delta),
+        # so surviving the seen anti-join implies not-pending either —
+        # one less shuffle per wave
+
+        obs_new = Observation(f"new_w{wave}_{tag}")
+        # Under the DEFAULT scoring pair, a wave's new rows take exactly 7
+        # scores (base + id%7 at the fixed depth wave+1), so their
+        # per-score counts — the "late" half of the frontier write's run
+        # map — ride obs_new as 7 conditional sums on the seen-delta
+        # write instead of costing a separate post-commit job (round 8).
+        # Overridden scoring falls back to the data-derived counts job.
+        default_scoring = (score_expr is _SCORE_EXPR_DEFAULT
+                           and score_py is _SCORE_PY_DEFAULT)
+        new_score_base = 10000 - 1000 * min(wave + 1, 9)
+        new_aggs = [F.count(F.lit(1)).alias("n")]
+        if default_scoring:
+            new_aggs += [
+                F.coalesce(F.sum((F.col("score") == F.lit(new_score_base + r))
+                                 .cast("long")), F.lit(0)).alias(f"c{r}")
+                for r in range(7)]
+        new_rows = (new_urls.select(
+            "url",
+            host_col(F.col("url")).alias("host"),
+            F.lit(wave + 1).alias("depth"),
+            score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
+                       F.lit(wave + 1), False).alias("score"),
+            F.lit(wave + 1).alias("discovered_wave"))
+            .observe(obs_new, *new_aggs)
+            .cache())
+
+        cols = ["url", "host", "depth", "score", "discovered_wave"]
+        over_budget = (ranked
+                       .where(~F.col("den")
+                              & (F.col("host_rank") > F.col("host_budget")))
+                       .select(*cols))
+        # the wave's frontier DELTA: residual of the consumed segments
+        # (over-budget ∪ unscheduled ∪ below-cut passthrough — denied
+        # rows drop here, at first eligible read of their segment) plus
+        # new discoveries; unread segments never appear — crawl() carries
+        # them forward by manifest reference
+        frontier_delta = (over_budget
+                          .unionByName(unscheduled.select(*cols))
+                          .unionByName(passthrough.select(*cols))
+                          .unionByName(new_rows))
+        # every frontier url is already in seen (added at discovery), so
+        # denied rows need no re-insert; seen grows only by new discoveries
+        # -> the wave emits a DELTA, never a rewritten snapshot (rewriting
+        # a 10^10-row seen table every wave is the scale killer)
+        seen_delta = new_rows.select("url",
+                                     F.lit(wave + 1).alias("added_wave"))
+
+        fetch_log = (fetched.select(
+            F.lit(wave).alias("wave"), "rank_in_wave", "url",
+            "host", "depth", "score", "status", "bytes")
+            .observe(obs_fetch,
+                     F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
+                     F.coalesce(F.sum(((F.col("status") >= 300)
+                                       & (F.col("status") < 400))
+                                      .cast("long")), F.lit(0)).alias("r")))
+        # ---- join the stats job: the extension decision (and the
+        # coarse-score guard) needs the collected histogram; under no
+        # extension the chain built above is the wave's final plan ----
+        stats = (f_stats.result() if f_stats is not None
+                 else stats_q.collect())
         if len(stats) > cfg.max_score_histogram:
             raise ValueError(
                 f"score histogram has {len(stats)} distinct (den, score) "
@@ -610,26 +928,20 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             break
         # deterministic extension: re-plan with a larger coverage
         # target (plan_read is monotone in need — the new read set is
-        # a superset, so the rebuild only ever adds rows)
+        # a superset, so the rebuild only ever adds rows). The
+        # provisional chain above never ran (everything below the
+        # ranked cache is lazy; its Observations and accumulator die
+        # with it) — drop its cache registrations and rebuild over
+        # the extended read set.
+        for c in (ranked, with_rank, fetched, distinct_links, new_rows):
+            c.unpersist()
         plan = bands_mod.plan_read(
             manifest, plan.rows_read + (cfg.wave_cap - n_budgeted))
     n_denied = sum(r.cnt for r in stats if r.den)
-    # consumed rows BELOW the cut: physically read (their runs span
-    # the cut) but semantically unread — pass through to the residual
-    # delta verbatim, outside robots/politeness/scheduling
-    passthrough = frontier.where(F.col("score") < plan.s_cut)
-    budgeted = (ranked
-                .where(~F.col("den")
-                       & (F.col("host_rank") <= F.col("host_budget")))
-                .drop("den", "host_rank", "host_budget"))
-
-    # Global top-W WITHOUT TakeOrdered (orderBy+limit would merge
-    # W rows x partitions single-threaded on the driver — at W=10^5+
-    # that serializes the wave). Scores are coarse by construction, so:
-    # tiny score histogram to the driver -> cumulative offsets ->
-    # per-score windows ordered by url (distributed across score
-    # groups) -> global rank = offset + in-group rank. Identical total
-    # order (score desc, url asc), no driver merge.
+    # driver copy of the cumulative offsets — IDENTICAL math to the
+    # in-plan offs above (same histogram source, same off < cap cut);
+    # it feeds only the frontier run map's zero-job unscheduled counts
+    # (delta_counts["driver"] below), never the rank computation.
     hist = sorted(((r.score, r.cnt) for r in stats if not r.den),
                   key=lambda x: -x[0])
     offsets = {}
@@ -639,274 +951,6 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             break
         offsets[s] = cum
         cum += c
-    if offsets:
-        offset_map = F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv])
-        w_score = Window.partitionBy("score").orderBy(F.asc("url"))
-        with_rank = (budgeted
-                     .withColumn(
-                         "rank_in_wave",
-                         F.when(F.col("score").isin(list(offsets)),
-                                F.element_at(offset_map, F.col("score"))
-                                + F.row_number().over(w_score))
-                         .cast("int"))
-                     .cache())
-        scheduled = with_rank.where(F.col("rank_in_wave") <= cfg.wave_cap)
-        # leftover budgeted rows: re-derived from the SAME rank window
-        # (cached) instead of an eligible-minus-fetched anti-join —
-        # membership is identical by construction and two url-keyed
-        # shuffles per wave disappear
-        unscheduled = (with_rank
-                       .where(F.col("rank_in_wave").isNull()
-                              | (F.col("rank_in_wave") > cfg.wave_cap))
-                       .drop("rank_in_wave"))
-    else:
-        with_rank = None
-        scheduled = budgeted.withColumn("rank_in_wave", F.lit(0)).limit(0)
-        unscheduled = budgeted
-
-    # the global rank window collapses to one partition; fan back out
-    # so fetch+parse of the wave runs partition-parallel (rank is
-    # already assigned, so redistribution cannot change any output)
-    scheduled = scheduled.repartition(cfg.partitions, "url")
-
-    # fetch carries scheduling columns through — fetch_log needs no
-    # join; scheduled/bytes counts ride on the fetch_log write.
-    # obs_fetch sits ABOVE the cache, on the fetch_log plan (not on
-    # `fetched` itself): the fetch_log and seen-delta writes now run
-    # CONCURRENTLY and cooperate on materializing the fetch cache
-    # (block locks make each partition compute exactly once), so a
-    # below-cache CollectMetrics would split its counts across the
-    # two racing executions — above the cache, every fetch_log row
-    # streams through the observe exactly once, in the one execution
-    # that owns it.
-    import uuid
-    tag = uuid.uuid4().hex[:8]  # observation names unique per run
-    obs_fetch = Observation(f"fetch_w{wave}_{tag}")
-    dropped_acc = spark.sparkContext.accumulator(0)
-    fetched = (_fetch_extract(scheduled, cfg.universe, cfg.page_weight,
-                              dropped_acc=dropped_acc,
-                              link_extract=cfg.link_extract,
-                              n_hosts=cfg.n_hosts,
-                              fetch_fn=cfg.extra.get("fetch_fn"),
-                              redirect_mod=cfg.redirect_mod)
-               .cache())
-
-    links = fetched.select(F.col("url").alias("base_url"),
-                           F.explode("hrefs").alias("href"))
-    canon = links.select(
-        canonicalize_cols(F.col("href"), F.col("base_url")).alias("url"))
-    obs_links = Observation(f"links_w{wave}_{tag}")
-    distinct_links = (canon.groupBy("url")
-                      .agg(F.count("*").alias("n_refs"))
-                      .observe(obs_links,
-                               F.count(F.lit(1)).alias("d"),
-                               F.coalesce(F.sum("n_refs"),
-                                          F.lit(0)).alias("t"))
-                      .cache())
-
-    use_bloom = (bloom is not None or bloom_shards is not None) \
-        and cfg.use_bloom and (
-            n_seen_hint is None or n_seen_hint >= cfg.bloom_min_seen)
-    if not use_bloom:
-        bloom = None
-        bloom_shards = None
-
-    def _seen_filter(cand, seen_side):
-        """Bloom prune (global broadcast bitmap OR partition-local
-        shards — identical pruning semantics) + exact anti-join."""
-        nonlocal bloom
-        if bloom_shards is not None:
-            from .seen import filter_new_urls_sharded
-
-            return filter_new_urls_sharded(
-                cand, seen_side, bloom_shards, cfg.partitions,
-                strategy=seen_strategy)
-        if hasattr(bloom, "result"):
-            # activation/rebuild build submitted as a pool future by
-            # _crawl_loop — joined HERE, the first point the bitmap
-            # bytes are needed, so the build job overlapped the
-            # schedule phase's stats job instead of preceding it
-            bloom = bloom.result()
-        return filter_new_urls(cand, seen_side, bloom,
-                               bloom_m or cfg.bloom_bits,
-                               strategy=seen_strategy)
-
-    # the broadcast strategy forces F.broadcast(candidates): its
-    # correctness is unconditional but its MEMORY is bounded only by
-    # the candidate set, so both auto and explicit 'broadcast' fall
-    # back to shuffle when the previous wave's distinct-link volume
-    # (the best available predictor of this wave's candidates) exceeds
-    # the configured ceiling (advisor round-2 finding).
-    over_candidate_cap = (prev_links_hint is not None
-                          and prev_links_hint > cfg.broadcast_max_candidates)
-    parts_hit = None  # auto's probe is reused by the pruned branch —
-    # candidate_parts is a Spark job on the candidate chain; computing
-    # it twice per wave was a redundant action (advisor round-3, low)
-    kept_files = None  # ditto for the footer walk
-    if cfg.seen_check == "auto":
-        big_seen = (n_seen_hint is not None
-                    and n_seen_hint >= cfg.broadcast_seen_min)
-        # auto broadcasts only on an AFFIRMATIVE volume prediction: a
-        # MISSING hint (wave 0, or a resume without lineage metrics)
-        # must route conservatively — a first wave at production
-        # scale has unbounded candidates, and broadcasting them both
-        # risks driver memory (the cap exists for exactly this) and
-        # races spark.sql.broadcastTimeout, because the broadcast
-        # side's lineage embeds the whole fetch+parse chain (measured:
-        # the 4M-wave bootstrap blew the 300 s default on 8 cores —
-        # BENCH/crawl_steady_r7.json note)
-        can_broadcast = (prev_links_hint is not None
-                         and prev_links_hint
-                         <= cfg.broadcast_max_candidates)
-        if big_seen and can_broadcast:
-            seen_strategy = "broadcast"
-        elif big_seen and seen_paths is not None:
-            # candidates too big to broadcast against a huge seen
-            # table: if they cluster in few host partitions, a
-            # footer-pruned read of just those partitions beats
-            # shuffling the whole seen side. The parts probe is a
-            # <= cfg.partitions-row collect off the cached candidate
-            # chain; the cost model compares BYTES the pruned read
-            # would open vs the full seen footprint, from the same
-            # footer walk the pruned read needs anyway — the decision
-            # depends only on DATA (file sizes are deterministic
-            # functions of the partitioned writes: deterministic at
-            # any parallelism).
-            from .seen import candidate_parts, select_seen_files
-
-            parts_hit = candidate_parts(distinct_links, cfg.partitions)
-            kept_files, kept_b, total_b = select_seen_files(
-                seen_paths, parts_hit, with_stats=True)
-            seen_strategy = (
-                "pruned"
-                if kept_b <= cfg.pruned_seen_byte_frac * total_b
-                else "shuffle")
-        else:
-            seen_strategy = "shuffle"
-    else:
-        seen_strategy = cfg.seen_check
-        if seen_strategy == "broadcast" and over_candidate_cap:
-            import warnings
-
-            warnings.warn(
-                f"seen_check='broadcast' with prev links_distinct="
-                f"{prev_links_hint} > broadcast_max_candidates="
-                f"{cfg.broadcast_max_candidates}; falling back to "
-                "'shuffle' for this wave (broadcasting an unbounded "
-                "candidate set can exceed driver memory)")
-            seen_strategy = "shuffle"
-
-    # the pruned strategy replaces the seen side with a footer-pruned
-    # read of ONLY the files intersecting the candidates' partition
-    # ids (see seen.prune_seen_paths); the partition-id collect is at
-    # most cfg.partitions rows and rides the cached distinct_links —
-    # candidate parts are computed from the full candidate set, a
-    # superset of the post-cuckoo to_check set (supersets only keep
-    # MORE files: always safe).
-    seen_for_check = seen
-    if seen_strategy == "pruned":
-        if seen_paths is None:
-            raise ValueError(
-                "seen_check='pruned' needs the seen PATHS (run_wave "
-                "seen_paths=...); a bare DataFrame cannot be file-"
-                "pruned")
-        from .seen import candidate_parts, prune_seen_paths
-
-        if parts_hit is None:  # explicit seen_check='pruned' (auto
-            # already computed the probe while routing)
-            parts_hit = candidate_parts(distinct_links, cfg.partitions)
-        seen_for_check = prune_seen_paths(spark, seen_paths, parts_hit,
-                                          kept=kept_files)
-
-    candidates = distinct_links
-    use_cuckoo = (cfg.use_cuckoo and cuckoo_shards is not None
-                  and (n_seen_hint is None
-                       or n_seen_hint >= cfg.cuckoo_min_seen))
-    if (use_cuckoo and n_seen_hint is not None
-            and prev_links_hint is not None
-            and n_seen_hint < cfg.cuckoo_probe_min_ratio
-            * prev_links_hint):
-        # expansion-phase routing: candidates are comparable to the
-        # seen set, so the per-candidate probe cogroup costs more
-        # than the anti-join rows it saves (see CrawlConfig
-        # docstring) — route straight to bloom + anti-join
-        use_cuckoo = False
-    if use_cuckoo:
-        # partition-local prune: candidates flagged definitely-new by
-        # their host partition's cuckoo shard skip the anti-join
-        from .seen import cuckoo_prune
-
-        flagged = cuckoo_prune(candidates, cuckoo_shards, cfg.partitions)
-        fresh = (flagged.where(~F.col("maybe_seen_cuckoo"))
-                 .drop("maybe_seen_cuckoo", "partition"))
-        to_check = (flagged.where(F.col("maybe_seen_cuckoo"))
-                    .drop("maybe_seen_cuckoo", "partition"))
-        confirmed = _seen_filter(to_check, seen_for_check)
-        new_urls = fresh.unionByName(confirmed)
-    else:
-        new_urls = _seen_filter(candidates, seen_for_check)
-    # no frontier anti-join needed: every frontier url is already in
-    # seen (seeds via seen_seed, discoveries via their wave's delta),
-    # so surviving the seen anti-join implies not-pending either —
-    # one less shuffle per wave
-
-    obs_new = Observation(f"new_w{wave}_{tag}")
-    # Under the DEFAULT scoring pair, a wave's new rows take exactly 7
-    # scores (base + id%7 at the fixed depth wave+1), so their
-    # per-score counts — the "late" half of the frontier write's run
-    # map — ride obs_new as 7 conditional sums on the seen-delta
-    # write instead of costing a separate post-commit job (round 8).
-    # Overridden scoring falls back to the data-derived counts job.
-    default_scoring = (score_expr is _SCORE_EXPR_DEFAULT
-                       and score_py is _SCORE_PY_DEFAULT)
-    new_score_base = 10000 - 1000 * min(wave + 1, 9)
-    new_aggs = [F.count(F.lit(1)).alias("n")]
-    if default_scoring:
-        new_aggs += [
-            F.coalesce(F.sum((F.col("score") == F.lit(new_score_base + r))
-                             .cast("long")), F.lit(0)).alias(f"c{r}")
-            for r in range(7)]
-    new_rows = (new_urls.select(
-        "url",
-        host_col(F.col("url")).alias("host"),
-        F.lit(wave + 1).alias("depth"),
-        score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
-                   F.lit(wave + 1), False).alias("score"),
-        F.lit(wave + 1).alias("discovered_wave"))
-        .observe(obs_new, *new_aggs)
-        .cache())
-
-    cols = ["url", "host", "depth", "score", "discovered_wave"]
-    over_budget = (ranked
-                   .where(~F.col("den")
-                          & (F.col("host_rank") > F.col("host_budget")))
-                   .select(*cols))
-    # the wave's frontier DELTA: residual of the consumed segments
-    # (over-budget ∪ unscheduled ∪ below-cut passthrough — denied
-    # rows drop here, at first eligible read of their segment) plus
-    # new discoveries; unread segments never appear — crawl() carries
-    # them forward by manifest reference
-    frontier_delta = (over_budget
-                      .unionByName(unscheduled.select(*cols))
-                      .unionByName(passthrough.select(*cols))
-                      .unionByName(new_rows))
-    # every frontier url is already in seen (added at discovery), so
-    # denied rows need no re-insert; seen grows only by new discoveries
-    # -> the wave emits a DELTA, never a rewritten snapshot (rewriting
-    # a 10^10-row seen table every wave is the scale killer)
-    seen_delta = new_rows.select("url",
-                                 F.lit(wave + 1).alias("added_wave"))
-
-    fetch_log = (fetched.select(
-        F.lit(wave).alias("wave"), "rank_in_wave", "url",
-        "host", "depth", "score", "status", "bytes")
-        .observe(obs_fetch,
-                 F.count(F.lit(1)).alias("n"),
-                 F.coalesce(F.sum("bytes"), F.lit(0)).alias("b"),
-                 F.coalesce(F.sum(((F.col("status") >= 300)
-                                   & (F.col("status") < 400))
-                                  .cast("long")), F.lit(0)).alias("r")))
 
     def _obs_get(obs, fallback):
         """Observed metrics, with a fallback for degenerate waves: a
@@ -1001,9 +1045,7 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     finish.cuckoo_probed = use_cuckoo  # routing decision -> lineage
 
     caches = [*frontier_caches, ranked, fetched, distinct_links,
-              new_rows]
-    if with_rank is not None:
-        caches.append(with_rank)
+              new_rows, with_rank]
     # Per-score counts of the delta's four branches, split by HOW
     # they are knowable (round 8): "early" (over-budget ∪ passthrough)
     # reads only the schedule-phase caches (ranked/frontier — warm
@@ -1467,7 +1509,7 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths,
-            bloom_m=bloom_m, bloom_shards=bloom_shards)
+            bloom_m=bloom_m, bloom_shards=bloom_shards, pool=pool)
         # the residual half of the frontier delta's score histogram
         # reads only schedule-phase caches — count it on the pool NOW
         # so the collect overlaps the seen-delta write below; the
