@@ -454,7 +454,8 @@ def _prep_delta(delta: DataFrame, cfg) -> DataFrame:
 
 def write_wave_frontier(spark: SparkSession, delta: DataFrame,
                         frontier_dir: str, cfg, prev_manifest: dict,
-                        consumed, score_counts=None) -> tuple[dict, int]:
+                        consumed, score_counts=None,
+                        prepped: bool = False) -> tuple[dict, int]:
     """Write a wave's frontier DELTA (residual of consumed segments ∪
     newly discovered rows) as band/run-partitioned files and derive
     the next manifest. Returns (manifest, rows_written) where
@@ -473,6 +474,11 @@ def write_wave_frontier(spark: SparkSession, delta: DataFrame,
     then skipped and the delta executes once, for the write. Bands
     derive here via the same integer division as band_expr (scores
     >= 0 by the scoring contract).
+
+    ``prepped`` (round 8): the caller already applied ``_prep_delta``
+    (part/host_salt/band columns) — the crawl wave builds that layout
+    during its overlapped plan-construction window instead of paying
+    the deep-tree re-analyses here, on the wave tail's critical path.
     """
     if isinstance(consumed, ReadPlan):
         consumed_keys = consumed.consumed_keys()
@@ -488,9 +494,9 @@ def write_wave_frontier(spark: SparkSession, delta: DataFrame,
         width = int(cfg.band_width)
         precounts = [(int(s) // width, int(s), int(c))
                      for s, c in score_counts]
-    records = _write_run_partitioned(_prep_delta(delta, cfg),
-                                     frontier_dir, cfg, split_rows,
-                                     precounts=precounts)
+    records = _write_run_partitioned(
+        delta if prepped else _prep_delta(delta, cfg),
+        frontier_dir, cfg, split_rows, precounts=precounts)
     rows_written = sum(r["count"] for r in records)
 
     next_seq = int(prev_manifest.get("next_seq", 0))

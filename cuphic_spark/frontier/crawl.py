@@ -446,8 +446,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              bloom_m: int | None = None,
              bloom_shards: DataFrame | None = None,
              pool=None):
-    """Returns (frontier_delta, seen_delta, fetch_log, finish, caches,
-    plan).
+    """Returns (frontier_delta_prepped, seen_delta, fetch_log, finish,
+    caches, plan, seen_strategy, delta_counts, seen_delta_out).
 
     The wave never touches the whole frontier: ``manifest`` (see
     frontier/bands.py) describes the frontier as score-band files
@@ -899,6 +899,17 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         # a 10^10-row seen table every wave is the scale killer)
         seen_delta = new_rows.select("url",
                                      F.lit(wave + 1).alias("added_wave"))
+        # write-ready layouts built NOW, inside the overlapped
+        # construction window (round 8): every transformation over
+        # these deep trees re-analyzes the whole tree eagerly, which
+        # previously happened at write time — seen-delta layout ahead
+        # of the wave's longest job, frontier layout on the wave
+        # tail's critical path. The writers consume these as-is.
+        seen_delta_out = _partition_layout(
+            seen_delta.withColumn("host", host_col(F.col("url")))
+            .select("url", "added_wave", "host"), cfg)
+        frontier_delta_prepped = bands_mod._prep_delta(frontier_delta,
+                                                       cfg)
 
         fetch_log = (fetched.select(
             F.lit(wave).alias("wave"), "rank_in_wave", "url",
@@ -1071,8 +1082,14 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         "late": new_rows.select("score"),
         "driver": unsched_counts,
     }
-    return (frontier_delta, seen_delta, fetch_log, finish, caches, plan,
-            seen_strategy, delta_counts)
+    # frontier_delta_prepped carries the band/part/salt layout columns
+    # (write_wave_frontier prepped=True); seen_delta_out is the
+    # write-ready seen-delta layout; seen_delta itself stays the plain
+    # projection the bloom/cuckoo maintenance reads straight off the
+    # new_rows cache (the layouts' repartition would cost those folds
+    # an extra shuffle)
+    return (frontier_delta_prepped, seen_delta, fetch_log, finish,
+            caches, plan, seen_strategy, delta_counts, seen_delta_out)
 
 
 def _wave_dir(cfg: CrawlConfig, wave: int) -> str:
@@ -1104,6 +1121,30 @@ def _seed_score_counts(cfg: CrawlConfig) -> list[tuple[int, int]]:
     return sorted(counts.items())
 
 
+def _partition_layout(df: DataFrame, cfg: CrawlConfig,
+                      salt: bool = False) -> DataFrame:
+    """The host-salted, sorted physical layout every seen write uses
+    (see _partitioned_write) as a pure TRANSFORMATION — factored out
+    (round 8) so the crawl wave can build it inside its overlapped
+    plan-construction window: each transformation over the wave's
+    deep delta tree pays a full eager re-analysis, which used to land
+    at write time on the wave tail's critical path."""
+    part = F.pmod(F.xxhash64("host"), F.lit(cfg.partitions)).cast("int")
+    df = df.withColumn("part", part)
+    if salt:
+        df = df.withColumn(
+            "host_salt",
+            F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int"))
+    # seen writes (no score) sort by (part, url): part-first keeps
+    # row-group part ranges tight, which is what lets the pruned seen
+    # strategy skip row groups via footer stats (seen.prune_seen_paths)
+    sort_keys = ([F.desc("score"), F.asc("url")]
+                 if "score" in df.columns
+                 else [F.asc("part"), F.asc("url")])
+    return (df.repartition(cfg.partitions, "part")
+            .sortWithinPartitions(*sort_keys))
+
+
 def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
                        salt: bool = False, dir_partitioned: bool = True,
                        bloom_acc=None):
@@ -1126,20 +1167,7 @@ def _partitioned_write(df: DataFrame, path: str, cfg: CrawlConfig,
     The hashes are JVM-computed (F.xxhash64, the same expression the
     probe uses) and dropped before the write, so the on-disk layout
     is unchanged."""
-    part = F.pmod(F.xxhash64("host"), F.lit(cfg.partitions)).cast("int")
-    df = df.withColumn("part", part)
-    if salt:
-        df = df.withColumn(
-            "host_salt",
-            F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int"))
-    # seen writes (no score) sort by (part, url): part-first keeps
-    # row-group part ranges tight, which is what lets the pruned seen
-    # strategy skip row groups via footer stats (seen.prune_seen_paths)
-    sort_keys = ([F.desc("score"), F.asc("url")]
-                 if "score" in df.columns
-                 else [F.asc("part"), F.asc("url")])
-    out = (df.repartition(cfg.partitions, "part")
-           .sortWithinPartitions(*sort_keys))
+    out = _partition_layout(df, cfg, salt=salt)
     if bloom_acc is not None:
         if dir_partitioned:
             raise ValueError("bloom_acc is wired for the flat seen-"
@@ -1454,6 +1482,15 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             t0 = _time.perf_counter()
 
         jobs_before = _max_job_id(spark)
+        # the previous wave's finalize (fetch_log drain + metrics +
+        # lineage + cache release) runs on the POOL, overlapping this
+        # wave's schedule phase; it is joined below, before this
+        # wave's writes launch, so wave directories + lineage still
+        # commit strictly in wave order (round 8 — previously the
+        # drain overlapped but the metrics/lineage/unpersist tail ran
+        # serially between the schedule phase and the writes)
+        f_fin = (pool.submit(_finalize, pending)
+                 if pending is not None else None)
         shards_cache = None  # activation/rebuild cache, freed post-merge
         if (cfg.use_bloom and cfg.bloom_mode == "sharded"
                 and n_seen >= cfg.bloom_min_seen):
@@ -1505,7 +1542,7 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
         bloom_rebuild = False
         _mark("bloom_build")
         (frontier_delta, seen_delta, fetch_log, finish, caches,
-         plan, seen_strategy, delta_counts) = run_wave(
+         plan, seen_strategy, delta_counts, seen_delta_out) = run_wave(
             spark, cfg, wave, manifest, seen, n_seen_hint=n_seen,
             cuckoo_shards=cuckoo_shards, bloom=bloom,
             prev_links_hint=prev_links, seen_paths=seen_paths,
@@ -1523,11 +1560,12 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             # for the accumulator fold below
             bloom = bloom.result()
         _mark("schedule")
-        # the previous wave's fetch_log drain overlapped the schedule
-        # phase above; it must complete (and its lineage commit)
-        # before THIS wave's writes launch — see _finalize
-        if pending is not None:
-            _finalize(pending)
+        # the previous wave's fetch_log drain + finalize overlapped
+        # the schedule phase above (pool future); it must complete
+        # (and its lineage commit) before THIS wave's writes launch —
+        # see _finalize
+        if f_fin is not None:
+            f_fin.result()
             pending = None
         _mark("prev_wave_drain")
         d = _wave_dir(cfg, wave)
@@ -1562,11 +1600,11 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
                 os.path.join(d, "fetch_log"))
 
         def write_seen_delta():
-            _partitioned_write(
-                seen_delta.withColumn("host", host_col(F.col("url")))
-                .select("url", "added_wave", "host"),
-                os.path.join(d, "seen_delta"), cfg,
-                dir_partitioned=False)
+            # layout prebuilt by run_wave (seen_delta_out) inside the
+            # overlapped construction window — only the write command
+            # itself is planned here
+            seen_delta_out.write.mode("overwrite").parquet(
+                os.path.join(d, "seen_delta"))
 
         def write_frontier():
             # merge the overlapped residual counts, the driver-derived
@@ -1587,7 +1625,7 @@ def _crawl_loop(spark: SparkSession, cfg: CrawlConfig, pool) -> dict:
             return bands_mod.write_wave_frontier(
                 spark, frontier_delta, os.path.join(d, "frontier"),
                 cfg, manifest, plan,
-                score_counts=sorted(merged.items()))
+                score_counts=sorted(merged.items()), prepped=True)
 
         def maintain_cuckoo(n_seen_after, probe_next):
             # Maintain shards only when the NEXT wave is predicted to
