@@ -436,6 +436,30 @@ def _fetch_extract(scheduled: DataFrame, universe: int,
     return scheduled.mapInArrow(gen, schema)
 
 
+_COL_MEMO: dict = {}
+
+
+def _memo_cols(key, build):
+    """Reuse wave-invariant Column expression trees across waves and
+    bench legs (round 8): building a deep Column tree (the url
+    canonicalizer is ~50 nested calls) costs dozens of py4j round
+    trips per wave. The trees memoized here depend only on column
+    NAMES plus the literals baked into the key — never on a
+    DataFrame — so a single JVM expression instance can appear in any
+    number of plans (Columns are immutable expression wrappers; the
+    analyzer resolves them per-plan). Keyed on the active
+    SparkContext so a restarted session never sees stale JVM refs."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    hit = _COL_MEMO.get(key)
+    if hit is not None and hit[0] is sc:
+        return hit[1]
+    val = build()
+    _COL_MEMO[key] = (sc, val)
+    return val
+
+
 def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
              manifest: dict, seen: DataFrame,
              n_seen_hint: int | None = None,
@@ -570,7 +594,9 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                 bands_mod._read_paths(spark, new_paths)).cache()
         frontier_caches.append(frontier)
         eligible_src = frontier.where(F.col("score") >= plan.s_cut)
-        fr = eligible_src.withColumn("path", path_col(F.col("url")))
+        fr = eligible_src.withColumn(
+            "path", _memo_cols("path_url",
+                               lambda: path_col(F.col("url"))))
         joined = fr.join(F.broadcast(robots), "host", "left")
         if host_budgets is not None:
             joined = (joined
@@ -588,10 +614,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                                         F.col("robots_rules"))
             robots_col = "robots_rules"
         else:
-            is_denied = F.coalesce(
+            is_denied = _memo_cols("denied_prefix", lambda: F.coalesce(
                 F.exists(F.col("deny_prefixes"),
                          lambda p: F.col("path").startswith(p)),
-                F.lit(False))
+                F.lit(False)))
             robots_col = "deny_prefixes"
         ranked = (joined.withColumn("den", is_denied)
                   .withColumn("host_rank", F.row_number().over(w_host))
@@ -694,9 +720,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
 
         links = fetched.select(F.col("url").alias("base_url"),
                                F.explode("hrefs").alias("href"))
-        canon = links.select(
-            canonicalize_cols(F.col("href"),
-                              F.col("base_url")).alias("url"))
+        canon = links.select(_memo_cols(
+            "canon",
+            lambda: canonicalize_cols(F.col("href"),
+                                      F.col("base_url")).alias("url")))
         obs_links = Observation(f"links_w{wave}_{tag}")
         distinct_links = (canon.groupBy("url")
                           .agg(F.count("*").alias("n_refs"))
@@ -863,21 +890,36 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         default_scoring = (score_expr is _SCORE_EXPR_DEFAULT
                            and score_py is _SCORE_PY_DEFAULT)
         new_score_base = 10000 - 1000 * min(wave + 1, 9)
-        new_aggs = [F.count(F.lit(1)).alias("n")]
-        if default_scoring:
-            new_aggs += [
-                F.coalesce(F.sum((F.col("score") == F.lit(new_score_base + r))
-                                 .cast("long")), F.lit(0)).alias(f"c{r}")
-                for r in range(7)]
-        new_rows = (new_urls.select(
-            "url",
-            host_col(F.col("url")).alias("host"),
-            F.lit(wave + 1).alias("depth"),
-            score_expr(F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
-                       F.lit(wave + 1), False).alias("score"),
-            F.lit(wave + 1).alias("discovered_wave"))
-            .observe(obs_new, *new_aggs)
-            .cache())
+
+        def _build_new_aggs():
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if default_scoring:
+                aggs += [
+                    F.coalesce(
+                        F.sum((F.col("score")
+                               == F.lit(new_score_base + r))
+                              .cast("long")), F.lit(0)).alias(f"c{r}")
+                    for r in range(7)]
+            return aggs
+
+        # memo keys carry every input the trees bake in: the wave's
+        # literals and (for the score tree) the scoring function
+        # object itself, which tests rebind
+        new_aggs = _memo_cols(("new_aggs", wave, default_scoring),
+                              _build_new_aggs)
+        new_row_cols = _memo_cols(
+            ("new_row_cols", wave, score_expr),
+            lambda: [
+                F.col("url"),
+                host_col(F.col("url")).alias("host"),
+                F.lit(wave + 1).alias("depth"),
+                score_expr(F.regexp_extract("url", r"(\d+)$", 1)
+                           .cast("long"),
+                           F.lit(wave + 1), False).alias("score"),
+                F.lit(wave + 1).alias("discovered_wave")])
+        new_rows = (new_urls.select(*new_row_cols)
+                    .observe(obs_new, *new_aggs)
+                    .cache())
 
         cols = ["url", "host", "depth", "score", "discovered_wave"]
         over_budget = (ranked
@@ -910,6 +952,12 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
             .select("url", "added_wave", "host"), cfg)
         frontier_delta_prepped = bands_mod._prep_delta(frontier_delta,
                                                        cfg)
+        # run-map precount branches (see delta_counts below), built
+        # here so their deep-tree analyses overlap the stats job too;
+        # the zero-job driver half derives from the collected stats
+        early_counts_df = (over_budget.select("score")
+                           .unionByName(passthrough.select("score")))
+        late_counts_df = new_rows.select("score")
 
         fetch_log = (fetched.select(
             F.lit(wave).alias("wave"), "rank_in_wave", "url",
@@ -1077,9 +1125,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         if c - sched:
             unsched_counts[s] = c - sched
     delta_counts = {
-        "early": over_budget.select("score")
-        .unionByName(passthrough.select("score")),
-        "late": new_rows.select("score"),
+        "early": early_counts_df,
+        "late": late_counts_df,
         "driver": unsched_counts,
     }
     # frontier_delta_prepped carries the band/part/salt layout columns

@@ -1769,3 +1769,30 @@ def test_write_wave_frontier_precounts_identical(spark, tmp_path):
     pre_rows = bands.read_full_frontier(spark, m_pre).orderBy(
         "url").collect()
     assert pre_rows == ref_rows
+
+
+def test_memo_cols_reuses_within_session(spark):
+    """_memo_cols must build a wave-invariant Column tree once per
+    (key, SparkContext) and hand back the same JVM expression object
+    on every later wave/leg — and a changed key (e.g. the scoring
+    function identity baked into the new-row key) must rebuild."""
+    from cuphic_spark.frontier import crawl as crawl_mod
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return F.lit(41) + F.lit(1)
+
+    key = ("test_memo", 7)
+    crawl_mod._COL_MEMO.pop(key, None)
+    a = crawl_mod._memo_cols(key, build)
+    b = crawl_mod._memo_cols(key, build)
+    assert a is b and len(calls) == 1
+    other = crawl_mod._memo_cols(("test_memo", 8), build)
+    assert other is not a and len(calls) == 2
+    # the memoized Column is usable in multiple plans
+    assert spark.range(1).select(a.alias("x")).collect()[0].x == 42
+    assert spark.range(2).select(a.alias("x")).count() == 2
+    crawl_mod._COL_MEMO.pop(key, None)
+    crawl_mod._COL_MEMO.pop(("test_memo", 8), None)
