@@ -946,18 +946,25 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         # these deep trees re-analyzes the whole tree eagerly, which
         # previously happened at write time — seen-delta layout ahead
         # of the wave's longest job, frontier layout on the wave
-        # tail's critical path. The writers consume these as-is.
-        seen_delta_out = _partition_layout(
-            seen_delta.withColumn("host", host_col(F.col("url")))
-            .select("url", "added_wave", "host"), cfg)
-        frontier_delta_prepped = bands_mod._prep_delta(frontier_delta,
-                                                       cfg)
-        # run-map precount branches (see delta_counts below), built
-        # here so their deep-tree analyses overlap the stats job too;
-        # the zero-job driver half derives from the collected stats
-        early_counts_df = (over_budget.select("score")
-                           .unionByName(passthrough.select("score")))
-        late_counts_df = new_rows.select("score")
+        # tail's critical path. The writers consume these as-is. The
+        # builds run on the POOL (a second py4j connection): they are
+        # leaf branches nothing else below depends on, so they overlap
+        # both the stats job and the rest of this construction;
+        # resolved after the stats join, before run_wave returns.
+        def _build_layouts():
+            seen_out = _partition_layout(
+                seen_delta.withColumn("host", host_col(F.col("url")))
+                .select("url", "added_wave", "host"), cfg)
+            prepped = bands_mod._prep_delta(frontier_delta, cfg)
+            # run-map precount branches (see delta_counts below); the
+            # zero-job driver half derives from the collected stats
+            early = (over_budget.select("score")
+                     .unionByName(passthrough.select("score")))
+            late = new_rows.select("score")
+            return seen_out, prepped, early, late
+
+        f_layouts = (pool.submit(_build_layouts)
+                     if pool is not None else None)
 
         fetch_log = (fetched.select(
             F.lit(wave).alias("wave"), "rank_in_wave", "url",
@@ -984,6 +991,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
                 "raise cfg.max_score_histogram deliberately.")
         n_budgeted = sum(r.cnt for r in stats if not r.den)
         if n_budgeted >= cfg.wave_cap or plan.exhausted:
+            (seen_delta_out, frontier_delta_prepped,
+             early_counts_df, late_counts_df) = (
+                f_layouts.result() if f_layouts is not None
+                else _build_layouts())
             break
         # deterministic extension: re-plan with a larger coverage
         # target (plan_read is monotone in need — the new read set is
