@@ -1319,8 +1319,12 @@ def _seen_delta_paths(cfg: CrawlConfig, upto_wave: int,
 
 def _read_seen(spark: SparkSession, cfg: CrawlConfig,
                upto_wave: int) -> DataFrame:
-    return (spark.read.parquet(*_seen_delta_paths(cfg, upto_wave))
-            .select("url", "added_wave"))
+    # explicit (pruned) schema: every seen root carries url+added_wave
+    # (SEEN_SCHEMA), so handing the reader the projection up front
+    # skips the per-wave driver-side footer/schema inference — the
+    # multi-root union is re-created after every wave
+    return (spark.read.schema(SEEN_SCHEMA)
+            .parquet(*_seen_delta_paths(cfg, upto_wave)))
 
 
 def crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
