@@ -455,6 +455,16 @@ def _memo_cols(key, build):
     hit = _COL_MEMO.get(key)
     if hit is not None and hit[0] is sc:
         return hit[1]
+    if len(_COL_MEMO) >= 4096:
+        # bound the memo: wave-keyed entries accumulate over very long
+        # crawls, and each holds a py4j ref that pins a JVM expression
+        # — drop stale-context entries first, everything if still full
+        # (rebuild is the pre-memo behavior: a few ms per tree)
+        stale = [k for k, v in _COL_MEMO.items() if v[0] is not sc]
+        for k in stale:
+            del _COL_MEMO[k]
+        if len(_COL_MEMO) >= 4096:
+            _COL_MEMO.clear()
     val = build()
     _COL_MEMO[key] = (sc, val)
     return val
