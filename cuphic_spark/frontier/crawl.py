@@ -632,10 +632,16 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         ranked = (joined.withColumn("den", is_denied)
                   .withColumn("host_rank", F.row_number().over(w_host))
                   .drop(robots_col, "path")).cache()
+        # CACHED: the stats collect below materializes this tiny agg
+        # (<= max_score_histogram rows), and the in-plan offsets then
+        # read the cached rows instead of re-aggregating the 10^5-row
+        # ranked cache inside the seen-delta write's broadcast build —
+        # which sat on the wave's critical path (round 8, ~0.2-0.3 s)
         stats_q = (ranked
                    .where(F.col("den")
                           | (F.col("host_rank") <= F.col("host_budget")))
-                   .groupBy("den", "score").agg(F.count("*").alias("cnt")))
+                   .groupBy("den", "score").agg(F.count("*").alias("cnt"))
+                   .cache())
         # The stats job runs on the POOL while the wave's entire lazy
         # chain is constructed below (round 8): plan construction is
         # ~0.9 s/wave of pure driver work (py4j round trips + JVM
@@ -674,7 +680,10 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         # exactly the driver loop's break condition, and keeping the
         # offsets out of the driver lets this whole chain be built
         # while the stats job runs.
-        offs = (budgeted.groupBy("score").agg(F.count("*").alias("cnt"))
+        # the budgeted per-score counts ARE the stats agg's !den rows —
+        # read them from the cached stats_q (warm once the stats job
+        # ran) rather than re-aggregating the budgeted rows
+        offs = (stats_q.where(~F.col("den")).select("score", "cnt")
                 .withColumn("off",
                             F.coalesce(F.sum("cnt").over(w_off),
                                        F.lit(0)))
@@ -1013,7 +1022,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
         # ranked cache is lazy; its Observations and accumulator die
         # with it) — drop its cache registrations and rebuild over
         # the extended read set.
-        for c in (ranked, with_rank, fetched, distinct_links, new_rows):
+        for c in (ranked, stats_q, with_rank, fetched, distinct_links,
+                  new_rows):
             c.unpersist()
         plan = bands_mod.plan_read(
             manifest, plan.rows_read + (cfg.wave_cap - n_budgeted))
@@ -1124,8 +1134,8 @@ def run_wave(spark: SparkSession, cfg: CrawlConfig, wave: int,
     finish.new_score_counts = new_score_counts
     finish.cuckoo_probed = use_cuckoo  # routing decision -> lineage
 
-    caches = [*frontier_caches, ranked, fetched, distinct_links,
-              new_rows, with_rank]
+    caches = [*frontier_caches, ranked, stats_q, fetched,
+              distinct_links, new_rows, with_rank]
     # Per-score counts of the delta's four branches, split by HOW
     # they are knowable (round 8): "early" (over-budget ∪ passthrough)
     # reads only the schedule-phase caches (ranked/frontier — warm
